@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable operator library (SURVEY.md §7 module 5).
+  *
+  * Everything here is plain Column-expression composition so Catalyst can push
+  * predicates below joins/aggregates and keep the whole pipeline inside
+  * whole-stage codegen. Nothing collects to the driver.
+  */
+object Ops {
+
+  /** Per-group top-k (reference T1-T3: `groupBy(..).sortGroup(.., DESCENDING)
+    * .reduceGroup` with a count-bounded iterator, /root/reference/TextRank.java:280-299,
+    * HotTopics.java:41-46). Window `row_number` compiles to a single
+    * shuffle-on-keys + in-partition sort; at scale this is the standard
+    * skew-safe pattern (no per-group materialization).
+    *
+    * Callers must pass a total order (include a unique tie-break column) so
+    * results are deterministic across engines.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String], order: Seq[Column],
+                   k: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Day-window membership, the reference's `DateZoneFilter(today, numDays,
+    * direction)` (construction sites /root/reference/TextRank.java:86,236,
+    * HotTopics.java:68; impl absent — bounds frozen here as the spec):
+    * direction 0 = past window [today-numDays, today], direction 1 = future
+    * window [today, today+numDays], both inclusive.
+    *
+    * Kept as a Column predicate (never a UDF) so it pushes down to the
+    * parquet scan (SURVEY.md §4 design rule).
+    */
+  def dateZone(dateCol: Column, today: java.sql.Date, numDays: Int, direction: Int): Column =
+    if (direction == 0) dateCol.between(date_sub(lit(today), numDays), lit(today))
+    else dateCol.between(lit(today), date_add(lit(today), numDays))
+
+  /** The reference's `DateLoopFilter(gap, from, to, today)` (constructed
+    * /root/reference/TF_IDF.java:131,164; applied only at TF_IDF.java:133-138;
+    * impl absent). Frozen spec: membership in [max(from, today-gap),
+    * min(to, today)] — a past-gap window clamped to the loop bounds.
+    */
+  def dateLoopFilter(dateCol: Column, gap: Int, from: java.sql.Date, to: java.sql.Date,
+                     today: java.sql.Date): Column = {
+    val lo = greatest(date_sub(lit(today), gap), lit(from))
+    val hi = least(lit(today), lit(to))
+    dateCol.between(lo, hi)
+  }
+
+  /** Per-date distinct user set (reference A1 `generateUniqueUsers`:
+    * groupBy(date) + manual contains-dedup into a list,
+    * /root/reference/TextRank.java:321-340). Normalized form — one row per
+    * (date, userId) — so downstream joins are real equi-joins instead of the
+    * reference's cross + `List.contains` (SURVEY.md §2.3 J1).
+    */
+  def distinctUsersPerDay(clicks: DataFrame): DataFrame =
+    clicks.select(col("date"), col("userId")).dropDuplicates("date", "userId")
+}

@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational query surface over the star schema (SURVEY.md §7 M5):
+  * exercises the §2 operator inventory — aggregation (A3/A4), per-group top-k
+  * (T1-T3), equi/semi/anti joins (the Spark-first replacements for the
+  * reference's cross+contains J1), date-zone filters (P3), and window
+  * functions.
+  *
+  * Every query:
+  *  - aliases every computed column identically to its DuckDB oracle,
+  *  - rounds floating aggregates so cross-engine hashes match,
+  *  - ranks only on rounded values + a unique tie-break, so ordering is
+  *    deterministic in both engines.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A3/A4-style grouped aggregate (TPC-H Q1 shape) — partial aggregation
+    // (map-side combine) is automatic; one shuffle on the two group keys.
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // T1: per-group top-k via window row_number (reference sortGroup+break,
+    // TextRank.java:280-299). Single shuffle on the partition key.
+    "q2_topk_per_group" -> ((s, d) => {
+      Ops.topKPerGroup(
+        Tables.lineitem(s, d).select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+        5)
+    }),
+
+    // J2-as-equi-join + grouped agg; customer is small → broadcast to keep a
+    // single shuffle (lineitem⋈orders) in the plan.
+    "q3_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // J1 done right: left-semi join (the reference emulates this with
+    // cross + List.contains, TextRank.java:246-254) — Catalyst picks
+    // BroadcastHashJoin(LeftSemi) since the filtered orders side is small.
+    "q4_semi_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 150000).select("o_custkey")
+      Tables.customer(s, d).select("c_custkey", "c_name")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+    }),
+
+    // Anti join — NOT EXISTS.
+    "q5_anti_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000).select("o_custkey")
+      Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+    }),
+
+    // P3: DateZoneFilter window (direction 0 = past) as a pushed-down
+    // Column predicate.
+    "q6_date_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .filter(Ops.dateZone(col("day"), java.sql.Date.valueOf("2024-01-15"), 3, 0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // E3 HotTopics shape on lineitem: per-day top-3 parts by line count
+    // (groupBy(date,key).sum → per-date top-k, HotTopics.java:41-46,75-91).
+    "q7_hot_parts" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .withColumn("day", to_date(col("l_shipdate")))
+        .groupBy(col("day"), col("l_partkey"))
+        .agg(count(lit(1)).as("n"))
+      Ops.topKPerGroup(counts, Seq("day"), Seq(col("n").desc, col("l_partkey").asc), 3)
+    }),
+
+    // A1: per-day distinct users (normalized count form).
+    "q8_distinct_per_day" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+    }),
+
+    // T1 on events: per-user top-5 events by value.
+    "q9_user_topk" -> ((s, d) => {
+      Ops.topKPerGroup(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), round(col("value"), 2).as("value")),
+        Seq("user_id"),
+        Seq(col("value").desc, col("event_id").asc),
+        5)
+    }),
+
+    // A4: global (ungrouped) aggregate.
+    "q10_global_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // 5-way star join: dims are tiny → broadcast chain; the only shuffle is
+    // the final group-by (and lineitem⋈orders if AQE doesn't broadcast it).
+    "q11_star_join" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Running window aggregate (rows-frame) with a total order → deterministic.
+    "q12_running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+        .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t WHERE rn <= 5""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin,
+
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name, round(c_acctbal,2) AS c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q6_date_window" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-12' AND DATE '2024-01-15'
+        |GROUP BY event_type""".stripMargin,
+
+    "q7_hot_parts" ->
+      """SELECT day, l_partkey, n, rn FROM (
+        |  SELECT day, l_partkey, n,
+        |    row_number() OVER (PARTITION BY day ORDER BY n DESC, l_partkey) AS rn
+        |  FROM (SELECT CAST(l_shipdate AS DATE) AS day, l_partkey, count(*) AS n
+        |        FROM lineitem GROUP BY 1, 2) c) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q8_distinct_per_day" ->
+      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q9_user_topk" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, round(value,2) AS value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY round(value,2) DESC, event_id) AS rn
+        |  FROM events) t WHERE rn <= 5""".stripMargin,
+
+    "q10_global_agg" ->
+      """SELECT count(*) AS n, round(sum(l_quantity),2) AS sum_qty,
+        | round(min(l_extendedprice),2) AS min_price,
+        | round(max(l_extendedprice),2) AS max_price,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "q11_star_join" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q12_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        |FROM lineitem""".stripMargin
+  )
+}
