@@ -18,8 +18,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle
+    RelationalQueries.oracle ++ TextQueries.oracle
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.ops.Ops
+import graft.text.{TfIdf, Tokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis query surface over the `documents` table: tokenization
+  * (reference F1), token statistics, quality scoring, exact deduplication,
+  * corpus word frequencies, and TF-IDF keyword extraction (reference
+  * A5/A6 — the keyword stage of the TF_IDF pipeline, SURVEY.md §2.4/§2.7).
+  *
+  * All token logic is Column expressions (split/filter/explode — codegen'd,
+  * no UDFs) with a semantically identical regexp in the DuckDB oracle.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  val queries: Map[String, Q] = Map(
+    // F1 tokenize + per-doc token stats.
+    "q13_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", Tokenizer.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+    }),
+
+    // Quality scoring: stopword ratio + average token length.
+    "q14_quality_score" -> ((s, d) => {
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables.documents(s, d)
+        .withColumn("toks", Tokenizer.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          round(size(filter(col("toks"), w => array_contains(stopArr, w)))
+            .cast("double") / size(col("toks")), 6).as("stopword_ratio"),
+          round(aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+            .cast("double") / size(col("toks")), 6).as("avg_token_len"))
+    }),
+
+    // Exact dedup: hash-groupBy on content (scale path: the groupBy shuffles
+    // on the hash, never on the full text; representative = min doc_id).
+    "q15_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+    }),
+
+    // Per-language corpus stats.
+    "q16_lang_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(Tokenizer.tokens(col("text"))))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+    }),
+
+    // Corpus-wide top-20 word frequencies (tokenize-explode + agg + top-k).
+    "q17_word_freq" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(Tokenizer.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      Ops.topKPerGroup(counts.withColumn("g", lit(1)), Seq("g"),
+        Seq(col("n").desc, col("word").asc), 20)
+        .select("word", "n", "rn")
+    }),
+
+    // A5/A6: per-document top-5 TF-IDF keywords.
+    "q18_tfidf_topk" -> ((s, d) => {
+      TfIdf.topKeywords(Tables.documents(s, d), "doc_id",
+        Seq(col("text") -> 1.0), k = 5, roundTo = 6)
+    })
+  )
+
+  private val toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
+  private val stopList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val oracle: Map[String, String] = Map(
+    "q13_token_stats" ->
+      s"""SELECT doc_id, len($toks) AS n_tokens,
+         | len(list_distinct($toks)) AS n_distinct
+         |FROM documents""".stripMargin,
+
+    "q14_quality_score" ->
+      s"""SELECT doc_id, n_chars,
+         | round(CAST(len(list_filter($toks, w -> w IN $stopList)) AS DOUBLE)
+         |   / len($toks), 6) AS stopword_ratio,
+         | round(CAST(list_sum(list_transform($toks, w -> len(w))) AS DOUBLE)
+         |   / len($toks), 6) AS avg_token_len
+         |FROM documents""".stripMargin,
+
+    "q15_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+        | min(doc_id) AS rep_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q16_lang_stats" ->
+      s"""SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars,
+         | round(avg(len($toks)),4) AS avg_tokens
+         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q17_word_freq" ->
+      s"""SELECT word, n, rn FROM (
+         |  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rn
+         |  FROM (SELECT word, count(*) AS n FROM
+         |        (SELECT unnest($toks) AS word FROM documents) u
+         |        GROUP BY word) c) t
+         |WHERE rn <= 20""".stripMargin,
+
+    "q18_tfidf_topk" ->
+      s"""WITH tokens AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word,
+         |    round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score
+         |  FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+         |SELECT doc_id, word, score, rn FROM (
+         |  SELECT doc_id, word, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+         |  FROM scored) t WHERE rn <= 5""".stripMargin
+  )
+}
