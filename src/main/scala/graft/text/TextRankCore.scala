@@ -1,0 +1,131 @@
+package graft.text
+
+import graft.model.Keyword
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+import scala.collection.mutable
+
+/** TextRank keyword extraction (reference F2/F3/F4, SURVEY.md §2.7).
+  *
+  * The co-occurrence graph never crosses a document boundary
+  * (/root/reference/TextRank.java:57-75: graph build + power iteration live
+  * inside one `map` call), so in Spark this is a per-row pure function wrapped
+  * in a UDF — *not* GraphX/Pregel; distributing a ≤few-hundred-node graph
+  * would be pure overhead at any scale.
+  */
+object TextRankCore {
+
+  /** F2 — sliding-window co-occurrence graph (TextRank.java:164-192).
+    *
+    * Faithfully replicates the reference's tail-window quirk: when
+    * `index + windowSize` runs past the end, `right` clamps to **0** (not
+    * `size-1`; TextRank.java:184), so tail tokens collect either just the
+    * sentence-initial token (when `left == 0`) or nothing. Guarded by a unit
+    * test so nobody "fixes" it silently.
+    */
+  def windowGraph(tokens: Seq[String], windowSize: Int): Map[String, Set[String]] = {
+    val words = mutable.LinkedHashMap[String, mutable.LinkedHashSet[String]]()
+    val n = tokens.size
+    for (index <- 0 until n) {
+      val token = tokens(index)
+      val set = words.getOrElseUpdate(token, mutable.LinkedHashSet[String]())
+      var left = index - windowSize
+      if (left < 0) left = 0
+      var right = index + windowSize
+      if (right >= n) right = 0 // matches reference TextRank.java:184
+      var cursor = left
+      while (cursor <= right && cursor != index) {
+        set += tokens(cursor)
+        cursor += 1
+      }
+    }
+    words.iterator.map { case (k, v) => (k, v.toSet) }.toMap
+  }
+
+  /** F3 — clique accumulator variant (TextRank.java:144-162): every distinct
+    * token of a text becomes a neighbor of every other; accumulates across
+    * calls (used to merge all of a user's tweets into one graph,
+    * TextRank.java:118-123).
+    */
+  def cliqueGraph(text: String, words: mutable.Map[String, mutable.Set[String]]): mutable.Map[String, mutable.Set[String]] = {
+    val keySet = Tokenizer.tokenMap(text).keySet
+    if (keySet.nonEmpty) {
+      for (key <- keySet) {
+        val set = words.getOrElseUpdate(key, mutable.LinkedHashSet[String]())
+        for (value <- keySet if key != value) set += value
+      }
+    }
+    words
+  }
+
+  /** F4 — TextRank power iteration (TextRank.java:194-218).
+    *
+    * score(w) = (1-d) + d·Σ_{n∈adj(w)} score(n)/deg(n), starting from all-0,
+    * iterating ≤ maxIterates or until max|Δ| ≤ minDifference; self-loops and
+    * zero-degree neighbors skipped (TextRank.java:208). Iteration order is
+    * sorted-by-word here so the floating-point summation is deterministic
+    * (the reference's HashMap order is JVM-dependent; this freezes the spec).
+    */
+  def vote(words: Map[String, Set[String]], numKeywords: Int, friction: Double,
+           maxIterates: Int, minDifference: Double): List[Keyword] = {
+    val d = friction
+    val keys = words.keys.toSeq.sorted
+    var score = Map.empty[String, Double]
+    var it = 0
+    var done = false
+    while (it < maxIterates && !done) {
+      var maxDiff = 0.0
+      val m = mutable.LinkedHashMap[String, Double]()
+      for (word <- keys) {
+        var v = 1 - d
+        for (neighbor <- words(word).toSeq.sorted) {
+          val size = words.getOrElse(neighbor, Set.empty).size
+          if (word != neighbor && size != 0)
+            v += d / size * score.getOrElse(neighbor, 0.0)
+        }
+        m(word) = v
+        maxDiff = math.max(maxDiff, math.abs(v - score.getOrElse(word, 0.0)))
+      }
+      score = m.toMap
+      it += 1
+      if (maxDiff <= minDifference) done = true
+    }
+    firstN(score, numKeywords)
+  }
+
+  /** `Utils.firstN` (impl absent; called TextRank.java:217) — frozen spec:
+    * top-n by (value desc, word asc).
+    */
+  def firstN(score: Map[String, Double], n: Int): List[Keyword] =
+    score.toList.sortBy { case (w, v) => (-v, w) }.take(n)
+      .map { case (w, v) => Keyword(w, v) }
+
+  /** End-to-end per-document extraction (reference P1,
+    * TextRank.java:59-68): text → window graph → vote → top-k keywords.
+    */
+  def keywords(text: String, windowSize: Int, numKeywords: Int, friction: Double,
+               maxIterates: Int, minDifference: Double): List[Keyword] =
+    vote(windowGraph(Tokenizer.tokenize(text), windowSize), numKeywords,
+      friction, maxIterates, minDifference)
+
+  /** UDF form returning array<struct<word:string,value:double>>. */
+  def keywordsUdf(windowSize: Int, numKeywords: Int, friction: Double,
+                  maxIterates: Int, minDifference: Double): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) =>
+      keywords(text, windowSize, numKeywords, friction, maxIterates, minDifference))
+
+  def keywordsCol(text: Column, windowSize: Int, numKeywords: Int, friction: Double,
+                  maxIterates: Int, minDifference: Double): Column =
+    keywordsUdf(windowSize, numKeywords, friction, maxIterates, minDifference)(text)
+
+  /** Merged-tweets user-profile keywords (reference A2, TextRank.java:111-128):
+    * clique graphs accumulated over all of a user's texts, then one vote.
+    */
+  def userKeywords(texts: Seq[String], numKeywords: Int, friction: Double,
+                   maxIterates: Int, minDifference: Double): List[Keyword] = {
+    val words = mutable.LinkedHashMap[String, mutable.Set[String]]()
+    texts.foreach(t => cliqueGraph(t, words))
+    vote(words.iterator.map { case (k, v) => (k, v.toSet) }.toMap,
+      numKeywords, friction, maxIterates, minDifference)
+  }
+}
