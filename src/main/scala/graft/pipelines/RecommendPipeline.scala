@@ -35,7 +35,7 @@ object RecommendPipeline {
     * @param clicks  (userId, newsId, date, count)
     */
   def scoredPairs(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
-                  scene: Scene): DataFrame = {
+                  scene: Scene, scoreRound: Option[Int] = None): DataFrame = {
     val activeUsers = Ops.distinctUsersPerDay(clicks)
       .filter(col("date").between(lit(scene.fromDate), lit(scene.toDate)))
 
@@ -72,7 +72,13 @@ object RecommendPipeline {
           .groupBy(col("day"), col("userId"), col("id"))
           .agg(sum(col("_lv") * col("_rv")).as("score"))
     }
-    scored
+    // Optional rounding BEFORE the >0 guard and ranking: makes ordering
+    // reproducible bit-for-bit across engines (oracle parity).
+    val maybeRounded = scoreRound match {
+      case Some(p) => scored.withColumn("score", round(col("score"), p))
+      case None    => scored
+    }
+    maybeRounded
       .filter(col("score") > 0) // reference guard TextRank.java:275
       .select(col("day").as("date"), col("userId"), col("id").as("newsId"), col("score"))
   }
@@ -82,9 +88,10 @@ object RecommendPipeline {
     * for TF_IDF's unbounded collect.
     */
   def recommendAll(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
-                   scene: Scene, limit: Option[Int]): DataFrame = {
+                   scene: Scene, limit: Option[Int],
+                   scoreRound: Option[Int] = None): DataFrame = {
     val ranked = Ops.topKPerGroup(
-      scoredPairs(userKw, newsKw, clicks, scene),
+      scoredPairs(userKw, newsKw, clicks, scene, scoreRound),
       Seq("date", "userId"),
       Seq(col("score").desc, col("newsId").asc),
       limit.getOrElse(Int.MaxValue))

@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.model.{Scene, SimilarityAlgorithm}
+import graft.ops.Ops
+import graft.pipelines.{HotTopicsPipeline, PrecisionEval, RecommendPipeline}
+import graft.text.Tokenizer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+/** The three reference pipelines (SURVEY.md §3 E1-E3) as oracle-paired
+  * queries over the testdata mapping (Tables.clicks / Tables.news):
+  * hot topics, unique users, TF-IDF user×news recommendation in both
+  * similarity modes (single-day slice and the all-days run), and precision
+  * evaluation. The DuckDB oracles replicate the full CTE chain — tokenize →
+  * tf/df → top-k profiles → inverted-index scoring → ranked cut — so the
+  * whole E1 lifecycle is hash-checked end-to-end, not just per-operator.
+  */
+object RecQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val today = Date.valueOf("2024-01-15")
+  private val scene = Scene(
+    numDays = 7,
+    fromDate = Date.valueOf("2024-01-05"),
+    toDate = Date.valueOf("2024-01-25"),
+    numRecommendations = 10)
+
+  /** Shared TF-IDF profile builder over the documents/clicks mapping:
+    * returns (newsKw (id, date, word, value), userKw (userId, word, value)).
+    * Weights rounded to 6 so every downstream arithmetic sees identical
+    * operands in Spark and DuckDB.
+    */
+  private def profiles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(Tokenizer.tokens(col("text"))).as("word"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+
+    val newsScored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+      .withColumn("value", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val newsKw = Ops.topKPerGroup(
+        newsScored.select(col("doc_id"), col("word"), col("value")),
+        Seq("doc_id"), Seq(col("value").desc, col("word").asc), 8)
+      .select(col("doc_id").as("id"), col("word"), col("value"))
+    val newsKwDated = newsKw.join(
+      Tables.news(s, d).select(col("id"), col("date")), "id")
+
+    val clicks = Tables.clicks(s, d)
+    val userToks = clicks.select(col("userId"), col("newsId"))
+      .join(toks, col("newsId") === col("doc_id"))
+      .select(col("userId"), col("word"))
+    val utf = userToks.groupBy("userId", "word").agg(count(lit(1)).as("tf"))
+    val userScored = utf.join(dfreq, "word").crossJoin(broadcast(n))
+      .withColumn("value", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val userKw = Ops.topKPerGroup(
+        userScored.select(col("userId"), col("word"), col("value")),
+        Seq("userId"), Seq(col("value").desc, col("word").asc), 8)
+      .select(col("userId"), col("word"), col("value"))
+    (newsKwDated, userKw)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // E3: the HotTopics pipeline over the clicks mapping.
+    "q19_hot_topics" -> ((s, d) =>
+      HotTopicsPipeline.topicsPerDay(Tables.clicks(s, d), scene)),
+
+    // A1 generateUniqueUsers in its reference shape: per-date user list.
+    "q20_unique_users" -> ((s, d) =>
+      Tables.clicks(s, d)
+        .groupBy(col("date"))
+        .agg(sort_array(collect_set(col("userId"))).as("users"))),
+
+    // E1 single-day slice, dot-product mode (F8): scored top-5 per user.
+    "q21_rec_dot" -> ((s, d) => {
+      val (newsKw, userKw) = profiles(s, d)
+      val daySc = scene.copy(fromDate = today, toDate = today,
+        similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance)
+      Ops.topKPerGroup(
+        RecommendPipeline.scoredPairs(userKw, newsKw, Tables.clicks(s, d), daySc, Some(4))
+          .select(col("userId"), col("newsId"), col("score")),
+        Seq("userId"), Seq(col("score").desc, col("newsId").asc), 5)
+    }),
+
+    // E1 single-day slice, calculateX mode (F5 product denominator).
+    "q22_rec_cosine" -> ((s, d) => {
+      val (newsKw, userKw) = profiles(s, d)
+      val daySc = scene.copy(fromDate = today, toDate = today,
+        similarityAlgorithm = SimilarityAlgorithm.CosineSimilarity)
+      Ops.topKPerGroup(
+        RecommendPipeline.scoredPairs(userKw, newsKw, Tables.clicks(s, d), daySc, Some(6))
+          .select(col("userId"), col("newsId"), col("score")),
+        Seq("userId"), Seq(col("score").desc, col("newsId").asc), 5)
+    }),
+
+    // E1 all days: reference-shaped ranked news lists per (user, date).
+    "q23_rec_lists" -> ((s, d) => {
+      val (newsKw, userKw) = profiles(s, d)
+      val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance,
+        numRecommendations = 5)
+      RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
+        limit = Some(5), scoreRound = Some(4))
+    }),
+
+    // J3/eval: precision of the hot-topics lists against same-day clicks.
+    "q24_precision_hot" -> ((s, d) => {
+      val clicks = Tables.clicks(s, d)
+      val recs = HotTopicsPipeline.recommendAll(clicks, scene)
+      val perUser = Ops.distinctUsersPerDay(clicks)
+        .filter(col("date").between(lit(scene.fromDate), lit(scene.toDate)))
+        .join(recs, "date")
+        .select(col("userId"), col("date"), col("news"))
+      PrecisionEval.precisions(perUser, clicks)
+    })
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
+
+  /** Shared CTE prelude: clicks mapping, tokenization, tf/df, both keyword
+    * profiles, news dates. Kept verbatim-identical across the rec oracles.
+    */
+  private val prelude =
+    s"""WITH clicks AS (
+       |  SELECT user_id AS userId, event_id % 500 AS newsId,
+       |         CAST(ts AS DATE) AS date, 1 AS count
+       |  FROM events WHERE event_type = 'click'),
+       |toksrc AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toksrc GROUP BY 1, 2),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |news_scored AS (
+       |  SELECT tf.doc_id, tf.word, round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS value
+       |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+       |news_kw AS (
+       |  SELECT doc_id AS id, word, value FROM (
+       |    SELECT doc_id, word, value,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY value DESC, word) AS rn
+       |    FROM news_scored) t WHERE rn <= 8),
+       |news_date AS (SELECT doc_id AS id,
+       |  DATE '2024-01-01' + CAST(doc_id % 30 AS INT) AS date FROM documents),
+       |user_toks AS (
+       |  SELECT c.userId, t.word FROM clicks c JOIN toksrc t ON t.doc_id = c.newsId),
+       |utf AS (SELECT userId, word, count(*) AS tf FROM user_toks GROUP BY 1, 2),
+       |user_scored AS (
+       |  SELECT utf.userId, utf.word, round(utf.tf * ln(n.n_docs / dfreq.df), 6) AS value
+       |  FROM utf JOIN dfreq USING (word) CROSS JOIN n),
+       |user_kw AS (
+       |  SELECT userId, word, value FROM (
+       |    SELECT userId, word, value,
+       |      row_number() OVER (PARTITION BY userId ORDER BY value DESC, word) AS rn
+       |    FROM user_scored) t WHERE rn <= 8)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q19_hot_topics" ->
+      """WITH clicks AS (
+        |  SELECT user_id AS userId, event_id % 500 AS newsId,
+        |         CAST(ts AS DATE) AS date, 1 AS count
+        |  FROM events WHERE event_type = 'click'),
+        |days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
+        |  INTERVAL 1 DAY))::DATE AS day),
+        |counts AS (
+        |  SELECT d.day, c.newsId, sum(c.count) AS clicks
+        |  FROM clicks c JOIN days d
+        |    ON c.date BETWEEN d.day - 7 AND d.day
+        |  GROUP BY d.day, c.newsId)
+        |SELECT day, newsId, clicks, rn FROM (
+        |  SELECT day, newsId, clicks,
+        |    row_number() OVER (PARTITION BY day ORDER BY clicks DESC, newsId) AS rn
+        |  FROM counts) t WHERE rn <= 10""".stripMargin,
+
+    "q20_unique_users" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        | list_sort(list(DISTINCT user_id)) AS users
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+
+    "q21_rec_dot" -> (prelude +
+      """,
+        |active AS (SELECT DISTINCT userId FROM clicks WHERE date = DATE '2024-01-15'),
+        |cands AS (
+        |  SELECT nk.id, nk.word, nk.value FROM news_kw nk JOIN news_date nd USING (id)
+        |  WHERE nd.date BETWEEN DATE '2024-01-15' AND DATE '2024-01-22'),
+        |scores AS (
+        |  SELECT u.userId, c.id AS newsId, round(sum(u.value * c.value), 4) AS score
+        |  FROM user_kw u JOIN active a USING (userId)
+        |  JOIN cands c USING (word)
+        |  GROUP BY u.userId, c.id)
+        |SELECT userId, newsId, score, rn FROM (
+        |  SELECT userId, newsId, score,
+        |    row_number() OVER (PARTITION BY userId ORDER BY score DESC, newsId) AS rn
+        |  FROM scores WHERE score > 0) t WHERE rn <= 5""".stripMargin),
+
+    "q22_rec_cosine" -> (prelude +
+      """,
+        |active AS (SELECT DISTINCT userId FROM clicks WHERE date = DATE '2024-01-15'),
+        |cands AS (
+        |  SELECT nk.id, nk.word FROM news_kw nk JOIN news_date nd USING (id)
+        |  WHERE nd.date BETWEEN DATE '2024-01-15' AND DATE '2024-01-22'),
+        |usize AS (SELECT userId, count(*) AS s1 FROM user_kw GROUP BY 1),
+        |nsize AS (SELECT id, count(*) AS s2 FROM news_kw GROUP BY 1),
+        |common AS (
+        |  SELECT u.userId, c.id AS newsId, count(*) AS n_common
+        |  FROM user_kw u JOIN active a USING (userId)
+        |  JOIN cands c USING (word)
+        |  GROUP BY u.userId, c.id),
+        |scores AS (
+        |  SELECT cm.userId, cm.newsId,
+        |    round(CAST(cm.n_common AS DOUBLE) / (us.s1 * ns.s2), 6) AS score
+        |  FROM common cm JOIN usize us ON cm.userId = us.userId
+        |  JOIN nsize ns ON cm.newsId = ns.id)
+        |SELECT userId, newsId, score, rn FROM (
+        |  SELECT userId, newsId, score,
+        |    row_number() OVER (PARTITION BY userId ORDER BY score DESC, newsId) AS rn
+        |  FROM scores WHERE score > 0) t WHERE rn <= 5""".stripMargin),
+
+    "q23_rec_lists" -> (prelude +
+      """,
+        |days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
+        |  INTERVAL 1 DAY))::DATE AS day),
+        |active AS (SELECT DISTINCT date AS day, userId FROM clicks
+        |  WHERE date BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'),
+        |cands AS (
+        |  SELECT d.day, nk.id, nk.word, nk.value
+        |  FROM news_kw nk JOIN news_date nd USING (id) JOIN days d
+        |    ON nd.date BETWEEN d.day AND d.day + 7),
+        |scores AS (
+        |  SELECT a.day, u.userId, c.id AS newsId, round(sum(u.value * c.value), 4) AS score
+        |  FROM user_kw u JOIN active a USING (userId)
+        |  JOIN cands c ON c.day = a.day AND c.word = u.word
+        |  GROUP BY a.day, u.userId, c.id),
+        |ranked AS (
+        |  SELECT day, userId, newsId,
+        |    row_number() OVER (PARTITION BY day, userId ORDER BY score DESC, newsId) AS rn
+        |  FROM scores WHERE score > 0)
+        |SELECT userId, day AS date, list(newsId ORDER BY rn) AS news
+        |FROM ranked WHERE rn <= 5 GROUP BY userId, day""".stripMargin),
+
+    "q24_precision_hot" ->
+      """WITH clicks AS (
+        |  SELECT user_id AS userId, event_id % 500 AS newsId,
+        |         CAST(ts AS DATE) AS date, 1 AS count
+        |  FROM events WHERE event_type = 'click'),
+        |days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
+        |  INTERVAL 1 DAY))::DATE AS day),
+        |counts AS (
+        |  SELECT d.day, c.newsId, sum(c.count) AS clicks
+        |  FROM clicks c JOIN days d ON c.date BETWEEN d.day - 7 AND d.day
+        |  GROUP BY d.day, c.newsId),
+        |hot AS (SELECT day, newsId FROM (
+        |  SELECT day, newsId,
+        |    row_number() OVER (PARTITION BY day ORDER BY clicks DESC, newsId) AS rn
+        |  FROM counts) t WHERE rn <= 10),
+        |active AS (SELECT DISTINCT date, userId FROM clicks
+        |  WHERE date BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'),
+        |recs AS (
+        |  SELECT a.userId, a.date, h.newsId FROM active a JOIN hot h ON h.day = a.date),
+        |clicked AS (SELECT DISTINCT userId, date, newsId FROM clicks),
+        |joined AS (
+        |  SELECT r.date, CASE WHEN c.newsId IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM recs r LEFT JOIN clicked c
+        |    ON r.userId = c.userId AND r.date = c.date AND r.newsId = c.newsId)
+        |SELECT date, sum(hit) AS n_hits, count(*) AS n_recommended,
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS precision
+        |FROM joined GROUP BY date""".stripMargin
+  )
+}
