@@ -18,8 +18,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextQueries.queries ++ RecQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries ++ RecQueries.queries ++
+      ExtQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ TextQueries.oracle ++ RecQueries.oracle
+    RelationalQueries.oracle ++ TextQueries.oracle ++ RecQueries.oracle ++
+      ExtQueries.oracle
 }

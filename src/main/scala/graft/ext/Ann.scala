@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers (BASELINE.json north-star):
+  *  - brute-force cosine top-k — exact baseline; the query side is tiny and
+  *    broadcast, candidates stream through codegen'd list arithmetic, and the
+  *    per-query top-k is a window rank. O(Q·N) but embarrassingly parallel
+  *    and shuffle-light: the only shuffle is the final rank on Q keys.
+  *  - random-hyperplane LSH bucketing — the scale path: an 8-bit signature
+  *    partitions vectors into 256 buckets; search joins only within a bucket,
+  *    turning O(Q·N) into O(Q·N/256) expected. The hyperplane coefficients
+  *    are derived from md5 — engine-portable, so the DuckDB oracle builds the
+  *    identical buckets.
+  *
+  * All arithmetic is double-cast, element-ordered (zip/transform + left fold)
+  * so results are bit-identical across engines.
+  */
+object Ann {
+
+  /** Σ a_i·b_i as an ordered left fold (deterministic float semantics). */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a float vector, double-cast. */
+  def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** Exact top-k cosine neighbors of each query vector among candidates.
+    * queries/candidates: (vec_id, embedding). Returns
+    * (q_id, c_id, cosine, rn).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("_qe"))
+    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("_ce"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
+    broadcast(q).crossJoin(c)
+      .withColumn("cosine", round(cosineCol(col("_qe"), col("_ce")), roundTo))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "cosine", "rn")
+  }
+
+  /** Hyperplane-j coefficient for dimension i: ±1 from the first hex nibble
+    * of md5(j + "_" + i) — portable to any engine with md5.
+    */
+  private def coef(j: Int, i: Column): Column =
+    when(substring(md5(concat(lit(j.toString), lit("_"), i.cast("string")).cast("binary")), 1, 1) <= "7",
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Signed projection onto hyperplane j, as an ordered fold over dims 0..dim-1. */
+  private def projection(emb: Column, j: Int, dim: Int): Column =
+    aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+      (acc, i) => acc + coef(j, i) * element_at(emb, i + 1).cast("double"))
+
+  /** `numPlanes`-bit LSH bucket signature, e.g. "10110010" for 8 planes. */
+  def lshBucket(emb: Column, numPlanes: Int, dim: Int): Column =
+    concat((0 until numPlanes).map(j =>
+      when(projection(emb, j, dim) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** (vec_id, bucket) assignment table. */
+  def lshBuckets(vectors: DataFrame, numPlanes: Int, dim: Int): DataFrame =
+    vectors.select(col("vec_id"), lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+
+  /** Bucketed ANN: cosine for pairs sharing a bucket (a < b) — the join is
+    * an equi-join on the bucket key; no cross product.
+    */
+  def lshPairs(vectors: DataFrame, numPlanes: Int, dim: Int, roundTo: Int = 6): DataFrame = {
+    val withB = vectors.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+    val a = withB.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("_ae"))
+    val b = withB.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("_be"))
+    a.join(b, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(cosineCol(col("_ae"), col("_be")), roundTo))
+      .select("bucket", "a_id", "b_id", "cosine")
+  }
+}

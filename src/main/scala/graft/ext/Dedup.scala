@@ -1,0 +1,114 @@
+package graft.ext
+
+import graft.text.Tokenizer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large-scale corpus curation (BASELINE.json
+  * north-star; no reference analogue — the operators a 100 TB training-data
+  * pipeline needs).
+  *
+  * Design for scale:
+  *  - Shingling/minhashing is per-row Column work (codegen'd, no shuffle).
+  *  - LSH banding turns all-pairs O(N²) similarity into an equi-join on
+  *    (band, key): only docs sharing a band collide. Band keys are md5
+  *    strings, so the hash family is engine-portable (the DuckDB oracle
+  *    computes the identical signatures).
+  *  - Exact Jaccard runs only on candidate pairs (explode shingles →
+  *    equi-join → group count), never on the full cross product.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a token array (duplicates preserved). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** One minhash: min over shingles of md5(seed || "_" || shingle).
+    * String-min of hex digests — identical in any engine with md5.
+    */
+  def minhash(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol,
+      s => md5(concat(lit(seed.toString), lit("_"), s).cast("binary"))))
+
+  /** (doc_id, sig0..sig{numHashes-1}) minhash signature table. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: Column,
+                        shingleSize: Int, numHashes: Int): DataFrame = {
+    val withSh = docs.select(col(idCol),
+      shingles(Tokenizer.tokens(textCol), shingleSize).as("_sh"))
+    val sigCols = (0 until numHashes).map(i => minhash(col("_sh"), i).as(s"sig$i"))
+    withSh.select(col(idCol) +: sigCols: _*)
+  }
+
+  /** LSH candidate pairs: docs agreeing on any band of `bandSize` consecutive
+    * signatures. Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    * This is the scale path: a self-equi-join on (band, key), never O(N²).
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
+    val numBands = numHashes / bandSize
+    val bands = sigs.select(col(idCol),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          concat((b * bandSize until (b + 1) * bandSize).map(i => col(s"sig$i")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact shingle-set Jaccard for given (doc_a, doc_b) candidate pairs:
+    * explode distinct shingles per doc, equi-join, count; |A∩B|/(|A|+|B|-|A∩B|).
+    */
+  def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: Column,
+              shingleSize: Int, roundTo: Int = 6): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+        explode(array_distinct(shingles(Tokenizer.tokens(textCol), shingleSize))).as("_s"))
+    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    val inter = pairs
+      .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_s", "_sa"), "doc_a")
+      .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_s", "_sb"), "doc_b")
+      .filter(col("_sa") === col("_sb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("_inter"))
+      .join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
+      .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+      .withColumn("jaccard", round(col("_inter").cast("double")
+        / (col("_na") + col("_nb") - col("_inter")), roundTo))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over a token multiset (tf-weighted): per bit j, sum
+    * tf·(±1) where the sign is bit j of the token's md5; bit set iff sum > 0.
+    * Pure-Scala (per-row) — the Spark side is a UDF; unit-tested, no oracle
+    * (bit twiddling is not worth expressing in SQL).
+    */
+  def simhash32(tokens: Seq[String]): Int = {
+    val votes = new Array[Long](32)
+    val counts = tokens.groupBy(identity).view.mapValues(_.size)
+    for ((tok, tf) <- counts) {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      // first 4 bytes -> 32-bit hash
+      val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) | ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) votes(j) += tf else votes(j) -= tf
+        j += 1
+      }
+    }
+    var out = 0
+    for (j <- 0 until 32) if (votes(j) > 0) out |= (1 << j)
+    out
+  }
+
+  val simhashUdf = udf((text: String) => simhash32(Tokenizer.tokenize(text)))
+
+  /** Hamming distance between two simhashes (for near-dup thresholding). */
+  def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+  val hammingUdf = udf((a: Int, b: Int) => hamming(a, b))
+}

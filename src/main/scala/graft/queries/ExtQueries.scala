@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.ext.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale data-pipeline extension surface (BASELINE.json north-star):
+  * near-duplicate dedup (MinHash+LSH, n-gram Jaccard, SimHash), embedding
+  * similarity search (exact + hyperplane-LSH), language ID, content
+  * fingerprinting, multimodal binary plumbing. Hash families are md5-based
+  * throughout so the DuckDB oracle reproduces signatures/buckets exactly.
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SH = 3   // shingle size
+  private val NH = 8   // minhash count
+  private val BAND = 2 // signatures per LSH band
+  private val PLANES = 8
+  private val DIM = 64
+
+  val queries: Map[String, Q] = Map(
+    "q25_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", col("text"), SH, NH)),
+
+    "q26_lsh_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"), SH, NH)
+      val cands = Dedup.lshCandidates(sigs, "doc_id", NH, BAND)
+      Dedup.jaccard(cands, docs, "doc_id", col("text"), SH)
+    }),
+
+    // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
+    // exercises the exact-similarity operator on guaranteed-nonempty input.
+    "q27_ngram_jaccard" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("doc_a"))
+        .join(ids.select(col("doc_id").as("doc_b")),
+          col("doc_b") === col("doc_a") + 1)
+      Dedup.jaccard(pairs, Tables.documents(s, d), "doc_id", col("text"), SH)
+    }),
+
+    // SimHash fingerprints (UDF bit arithmetic — unit-tested, no SQL oracle).
+    "q28_simhash" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Dedup.simhashUdf(col("text")).as("simhash"))),
+
+    "q29_embed_norm" -> ((s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        round(Ann.normCol(col("embedding")), 6).as("l2_norm"), col("label"))),
+
+    "q30_ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), 5)
+    }),
+
+    "q31_lsh_buckets" -> ((s, d) =>
+      Ann.lshBuckets(Tables.embeddings(s, d), PLANES, DIM)),
+
+    "q32_lsh_ann_pairs" -> ((s, d) =>
+      Ann.lshPairs(Tables.embeddings(s, d), PLANES, DIM)),
+
+    "q33_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))),
+
+    "q34_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    "q35_multimodal" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.documentBlobs(s, d)).toDF())
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
+  private def shingleExpr(t: String): String =
+    s"CASE WHEN len($t) < $SH THEN [] ELSE list_transform(range(1, len($t) - ${SH - 2}), si -> array_to_string(($t)[si:si+${SH - 1}], ' ')) END"
+
+  private val sigSelect = (0 until NH).map(i =>
+    s"list_min(list_transform(sh, ss -> md5('${i}_' || ss))) AS sig$i").mkString(", ")
+
+  private val shCte =
+    s"""docsh AS (SELECT doc_id, ${shingleExpr(toks)} AS sh FROM documents),
+       |shex AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM docsh),
+       |shsize AS (SELECT doc_id, count(*) AS n FROM shex GROUP BY 1)""".stripMargin
+
+  private def jaccardTail(pairsCte: String): String =
+    s"""inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM $pairsCte p
+       |  JOIN shex sa ON sa.doc_id = p.doc_a
+       |  JOIN shex sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT p.doc_a, p.doc_b,
+       |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
+       |    / (na.n + nb.n - coalesce(i.i, 0)), 6) AS jaccard
+       |FROM $pairsCte p
+       |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |JOIN shsize na ON na.doc_id = p.doc_a
+       |JOIN shsize nb ON nb.doc_id = p.doc_b""".stripMargin
+
+  private val bandKeyCase = (0 until NH / BAND).map(b =>
+    s"WHEN ${b} THEN sig${2 * b} || sig${2 * b + 1}").mkString(" ")
+
+  private def projExpr(j: Int): String =
+    s"list_sum(list_transform(range($DIM), pi -> (CASE WHEN substr(md5('${j}_' || pi::VARCHAR), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END) * CAST(embedding[pi+1] AS DOUBLE)))"
+
+  private val bucketExpr = "concat(" + (0 until PLANES).map(j =>
+    s"CASE WHEN ${projExpr(j)} >= 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+
+  private val dotList =
+    "list_sum(list_transform(list_zip(qe, ce), zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))"
+  private def normList(c: String): String =
+    s"sqrt(list_sum(list_transform($c, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))))"
+
+  private val markerScores = TextAnalysis.markers.keys.toSeq.sorted.map { l =>
+    val lst = TextAnalysis.markers(l).map(w => s"'$w'").mkString("(", ",", ")")
+    s"len(list_filter($toks, mw -> mw IN $lst)) AS n_$l"
+  }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q25_minhash_sig" ->
+      s"""WITH docsh AS (SELECT doc_id, ${shingleExpr(toks)} AS sh FROM documents)
+         |SELECT doc_id, $sigSelect FROM docsh""".stripMargin,
+
+    "q26_lsh_pairs" ->
+      s"""WITH $shCte,
+         |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+         |bands AS (
+         |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+         |  FROM sigs, range(${NH / BAND}) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+         |  WHERE x.doc_id < y.doc_id),
+         |${jaccardTail("pairs")}""".stripMargin,
+
+    "q27_ngram_jaccard" ->
+      s"""WITH $shCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |${jaccardTail("pairs")}""".stripMargin,
+
+    "q29_embed_norm" ->
+      s"""SELECT vec_id, round(${normList("embedding")}, 6) AS l2_norm, label
+         |FROM embeddings""".stripMargin,
+
+    "q30_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |pairs AS (
+         |  SELECT q_id, c_id,
+         |    round($dotList / (${normList("qe")} * ${normList("ce")}), 6) AS cosine
+         |  FROM q CROSS JOIN c)
+         |SELECT q_id, c_id, cosine, rn FROM (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM pairs) t WHERE rn <= 5""".stripMargin,
+
+    "q31_lsh_buckets" ->
+      s"SELECT vec_id, $bucketExpr AS bucket FROM embeddings",
+
+    "q32_lsh_ann_pairs" ->
+      s"""WITH wb AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    a.embedding AS qe, b.embedding AS ce
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT bucket, a_id, b_id,
+         |  round($dotList / (${normList("qe")} * ${normList("ce")}), 6) AS cosine
+         |FROM p""".stripMargin,
+
+    "q33_lang_id" ->
+      s"""WITH scores AS (SELECT doc_id, $markerScores FROM documents)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+         |  WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+         |  WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+         |  WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+         |  ELSE 'fr' END AS predicted_lang
+         |FROM scores""".stripMargin,
+
+    "q34_fingerprint" ->
+      s"SELECT doc_id, md5(array_to_string($toks, '|')) AS fingerprint FROM documents",
+
+    "q35_multimodal" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
+        | substr(md5(text), 1, 16) AS digest16,
+        | 64 + ((strpos('0123456789abcdef', substr(md5(text), 9, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5(text), 10, 1)) - 1)) % 128 AS width,
+        | 64 + ((strpos('0123456789abcdef', substr(md5(text), 11, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5(text), 12, 1)) - 1)) % 128 AS height
+        |FROM documents""".stripMargin
+  )
+}

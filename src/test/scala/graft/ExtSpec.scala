@@ -1,0 +1,118 @@
+package graft
+
+import graft.ext.{Ann, Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("simhash32: deterministic, identical texts collide, disjoint texts differ") {
+    val a = Dedup.simhash32(Seq("spark", "flink", "batch"))
+    val b = Dedup.simhash32(Seq("spark", "flink", "batch"))
+    val c = Dedup.simhash32(Seq("totally", "different", "words", "here"))
+    assert(a === b)
+    assert(Dedup.hamming(a, b) === 0)
+    assert(Dedup.hamming(a, c) > 0)
+  }
+
+  test("simhash32: near-duplicate texts land at small hamming distance") {
+    val base = Seq.fill(30)("common") ++ Seq("alpha", "beta", "gamma")
+    val near = Seq.fill(30)("common") ++ Seq("alpha", "beta", "delta")
+    val far = Seq("x", "y", "z", "w", "q", "r")
+    val d1 = Dedup.hamming(Dedup.simhash32(base), Dedup.simhash32(near))
+    val d2 = Dedup.hamming(Dedup.simhash32(base), Dedup.simhash32(far))
+    assert(d1 < d2)
+  }
+
+  test("minhash+LSH: exact duplicates always collide in every band; jaccard = 1") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "completely unrelated content words entirely elsewhere")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"), 3, 8)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)))
+    val j = Dedup.jaccard(Seq((1L, 2L)).toDF("doc_a", "doc_b"), docs, "doc_id", col("text"), 3)
+      .collect().head.getDouble(2)
+    assert(j === 1.0)
+  }
+
+  test("ngram jaccard: disjoint shingle sets give 0") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "x y z w")).toDF("doc_id", "text")
+    val j = Dedup.jaccard(Seq((1L, 2L)).toDF("doc_a", "doc_b"), docs, "doc_id", col("text"), 3)
+      .collect().head.getDouble(2)
+    assert(j === 0.0)
+  }
+
+  test("ANN brute force: identical vector ranks first with cosine 1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f)),
+      (12L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs.filter($"vec_id" === 1), vecs.filter($"vec_id" >= 10), 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(top.head === ((10L, 1.0, 1)))
+    assert(top.map(_._1).toSeq === Seq(10L, 12L, 11L))
+  }
+
+  test("LSH buckets: identical vectors share a bucket; bucket is n-bit string") {
+    val vecs = Seq(
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(0.5f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))).toDF("vec_id", "embedding")
+    val b = Ann.lshBuckets(vecs, 4, 8).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(1L) === b(2L))
+    assert(b(1L).length === 4 && b(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("langId: marker argmax with lex tie-break and 'und' fallback") {
+    val docs = Seq(
+      (1L, "the cat and the dog is here"), // en markers
+      (2L, "der hund und die katze ist"),  // de markers
+      (3L, "xyz qwerty asdf")              // none
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprint: normalization-invariant (case, punctuation, whitespace)") {
+    val docs = Seq(
+      (1L, "Spark, Flink & Batch!"),
+      (2L, "spark   flink batch"),
+      (3L, "spark flink stream")).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("multimodal: binary payload features are deterministic and sized right") {
+    val blobs = Seq((1L, "hello world".getBytes("UTF-8")),
+      (2L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(blobs).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes === 11L)
+    assert(feats(1L).digest16.length === 16)
+    assert(feats(1L).width >= 64 && feats(1L).width < 192)
+    assert(feats(2L).n_bytes === 0L)
+    // determinism
+    val again = Multimodal.extractFeatures(blobs).collect().map(f => f.doc_id -> f).toMap
+    assert(again(1L) === feats(1L))
+  }
+}
