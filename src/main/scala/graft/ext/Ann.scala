@@ -34,6 +34,14 @@ object Ann {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
+  /** Native-codegen cosine (graft.functions.VectorExpressions): bit-identical
+    * to [[cosineCol]] (same left-to-right double accumulation) but a tight
+    * primitive loop instead of per-element lambdas — the hot path for Q×N
+    * ANN scans.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.floatVecCosine(a, b)
+
   /** Exact top-k cosine neighbors of each query vector among candidates.
     * queries/candidates: (vec_id, embedding). Returns
     * (q_id, c_id, cosine, rn).
@@ -45,7 +53,7 @@ object Ann {
     val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("_ce"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
     broadcast(q).crossJoin(c)
-      .withColumn("cosine", round(cosineCol(col("_qe"), col("_ce")), roundTo))
+      .withColumn("cosine", round(cosineNative(col("_qe"), col("_ce")), roundTo))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "c_id", "cosine", "rn")

@@ -70,7 +70,13 @@ object ExtQueries {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
     "q35_multimodal" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.documentBlobs(s, d)).toDF())
+      Multimodal.extractFeatures(Multimodal.documentBlobs(s, d)).toDF()),
+
+    // Structured Streaming daily click counts (tumbling 1-day window +
+    // watermark, memory sink driven to completion) — hash-checked against
+    // the same batch oracle.
+    "q36_streaming_hot" -> ((s, d) =>
+      graft.streaming.StreamingHotTopics.dailyClickCounts(s, d))
   )
 
   // ---- DuckDB oracles ----
@@ -194,6 +200,11 @@ object ExtQueries {
         |   + (strpos('0123456789abcdef', substr(md5(text), 10, 1)) - 1)) % 128 AS width,
         | 64 + ((strpos('0123456789abcdef', substr(md5(text), 11, 1)) - 1) * 16
         |   + (strpos('0123456789abcdef', substr(md5(text), 12, 1)) - 1)) % 128 AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q36_streaming_hot" ->
+      """SELECT CAST(ts AS DATE) AS day, event_id % 500 AS newsId,
+        | count(*) AS clicks
+        |FROM events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming upgrade of the HotTopics pipeline (SURVEY.md §2.8):
+  * the reference simulates "real-time" with a driver-side daily batch loop
+  * (/root/reference/HotTopics.java:36-37 via DateIterator); the idiomatic
+  * Spark form is a streaming read of the click/event log with 1-day tumbling
+  * event-time windows and a watermark for late data. Late-data semantics have
+  * no reference analogue — the 1-day watermark is a documented free choice.
+  *
+  * At scale this is the same plan as the batch aggregation (hash agg on
+  * (window, newsId) with partial aggregation) plus incremental state in the
+  * state store; the batch pipeline stays the correctness source of truth and
+  * this streaming run is hash-checked against the same DuckDB oracle.
+  */
+object StreamingHotTopics {
+
+  /** events.parquet schema as stored (ts = TIMESTAMP(NANOS), readable only
+    * as long under spark.sql.legacy.parquet.nanosAsLong).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Runs the streaming query to completion over the (bounded) events file
+    * and returns the result table: (day, newsId, clicks) — daily click
+    * counts per news item, the input to the hot-topics ranking.
+    */
+  def dailyClickCounts(spark: SparkSession, dir: String,
+                       queryName: String = "stream_hot"): DataFrame = {
+    // The file stream source needs a directory; select just the events file
+    // from the table directory via a glob filter.
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+
+    val clicks = stream
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .filter(col("event_type") === "click")
+      .select((col("event_id") % 500).as("newsId"), col("ts"))
+
+    val agg = clicks
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("newsId"))
+      .agg(count(lit(1)).as("clicks"))
+      .select(to_date(col("window.start")).as("day"), col("newsId"), col("clicks"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

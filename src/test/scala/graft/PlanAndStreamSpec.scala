@@ -1,0 +1,83 @@
+package graft
+
+import graft.ext.Ann
+import graft.queries.RelationalQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape checks: the plans Catalyst actually produces must have the
+  * properties the 100 TB design depends on — filters reaching the parquet
+  * scan, small dimensions broadcast, whole-stage codegen covering the hot
+  * path — plus native-expression parity and the streaming variant.
+  */
+class PlanAndStreamSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    RelationalQueries.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q3/q11: dimension joins are broadcast (no shuffle join for small dims)") {
+    assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
+    assert(plan("q11_star_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q4: semi join executes as a broadcast LeftSemi") {
+    val p = plan("q4_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("q6: date-zone predicate is pushed to the parquet scan") {
+    // The filter must appear as a data-source pushed filter, not only as a
+    // post-scan Filter node: Column-expression date logic, never a UDF.
+    val p = RelationalQueries.queries("q6_date_window")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)") || p.contains("PushedFilters: [IsNotNull"))
+    // and the scan must not read all columns
+    assert(!p.contains("props"))
+  }
+
+  test("q1: aggregation runs inside whole-stage codegen with partial aggregation") {
+    val qe = RelationalQueries.queries("q1_agg")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum")) // map-side combine before the shuffle
+    val codegen = qe.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"))
+  }
+
+  test("native FloatVecDot == ordered-fold dot on real embeddings (codegen path)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val a = e.select($"vec_id", $"embedding".as("x"))
+    val b = e.select($"vec_id".as("vid2"), $"embedding".as("y"))
+    val pairs = a.crossJoin(b).limit(500)
+    val both = pairs.select(
+      graft.functions.VectorExpressions.floatVecDot($"x", $"y").as("native"),
+      Ann.dotCol($"x", $"y").as("fold"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bit-identical
+  }
+
+  test("streaming hot topics equals the batch aggregation") {
+    val streamed = graft.streaming.StreamingHotTopics
+      .dailyClickCounts(spark, sf, queryName = "stream_hot_test")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.io.Tables.clicks(spark, sf)
+      .groupBy($"date", $"newsId").agg(count(lit(1)).as("clicks"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
