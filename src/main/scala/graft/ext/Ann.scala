@@ -60,16 +60,25 @@ object Ann {
   }
 
   /** Hyperplane-j coefficient for dimension i: ±1 from the first hex nibble
-    * of md5(j + "_" + i) — portable to any engine with md5.
+    * of md5(j + "_" + i) — portable to any engine with md5. Computed ONCE on
+    * the driver and shipped as an array literal; the first cut evaluated the
+    * md5 inside the per-element fold — numPlanes·dim digests per row.
     */
-  private def coef(j: Int, i: Column): Column =
-    when(substring(md5(concat(lit(j.toString), lit("_"), i.cast("string")).cast("binary")), 1, 1) <= "7",
-      lit(1.0)).otherwise(lit(-1.0))
+  private[ext] def coef(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+    // first hex char of the digest is the high nibble of byte 0
+    if (((md(0) >> 4) & 0xf) <= 7) 1.0 else -1.0
+  }
 
-  /** Signed projection onto hyperplane j, as an ordered fold over dims 0..dim-1. */
-  private def projection(emb: Column, j: Int, dim: Int): Column =
-    aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-      (acc, i) => acc + coef(j, i) * element_at(emb, i + 1).cast("double"))
+  /** Signed projection onto hyperplane j: ordered fold of emb·coef (same
+    * left-to-right double accumulation as the oracle's list_sum).
+    */
+  private def projection(emb: Column, j: Int, dim: Int): Column = {
+    val coefs = typedLit((0 until dim).map(i => coef(j, i)))
+    aggregate(zip_with(emb, coefs, (x, c) => x.cast("double") * c),
+      lit(0.0), (acc, x) => acc + x)
+  }
 
   /** `numPlanes`-bit LSH bucket signature, e.g. "10110010" for 8 planes. */
   def lshBucket(emb: Column, numPlanes: Int, dim: Int): Column =
@@ -90,7 +99,7 @@ object Ann {
     val b = withB.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("_be"))
     a.join(b, "bucket")
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", round(cosineCol(col("_ae"), col("_be")), roundTo))
+      .withColumn("cosine", round(cosineNative(col("_ae"), col("_be")), roundTo))
       .select("bucket", "a_id", "b_id", "cosine")
   }
 }

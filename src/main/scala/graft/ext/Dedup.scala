@@ -68,10 +68,13 @@ object Dedup {
     val sh = docs.select(col(idCol).as("_id"),
         explode(array_distinct(shingles(Tokenizer.tokens(textCol), shingleSize))).as("_s"))
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    // Shingle equality is part of the join condition (hash join on
+    // (doc, shingle)) — NOT a post-join filter, which would cross every
+    // shingle of a with every shingle of b per candidate pair.
+    val shB = sh.select(col("_id").as("doc_b"), col("_s"))
     val inter = pairs
-      .join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_s", "_sa"), "doc_a")
-      .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_s", "_sb"), "doc_b")
-      .filter(col("_sa") === col("_sb"))
+      .join(sh.withColumnRenamed("_id", "doc_a"), "doc_a")
+      .join(shB, Seq("doc_b", "_s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_inter"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")

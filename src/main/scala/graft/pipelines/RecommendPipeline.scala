@@ -34,42 +34,44 @@ object RecommendPipeline {
     * @param newsKw  (id, date, word, value) — news keywords
     * @param clicks  (userId, newsId, date, count)
     */
-  def scoredPairs(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
-                  scene: Scene, scoreRound: Option[Int] = None): DataFrame = {
-    val activeUsers = Ops.distinctUsersPerDay(clicks)
+  private def activeUsersOf(clicks: DataFrame, scene: Scene): DataFrame =
+    Ops.distinctUsersPerDay(clicks)
       .filter(col("date").between(lit(scene.fromDate), lit(scene.toDate)))
+      .withColumnRenamed("date", "day")
 
-    // News doc is a candidate for day ∈ [date-numDays, date] ∩ [from, to].
-    val candidateNews = newsKw
-      .filter(col("date").between(lit(scene.fromDate), date_add(lit(scene.toDate), scene.numDays)))
-      .withColumn("day", explode(sequence(
-        greatest(date_sub(col("date"), scene.numDays), lit(scene.fromDate)),
-        least(col("date"), lit(scene.toDate)),
-        expr("interval 1 day"))))
-      .select(col("day"), col("id"), col("word"), col("value"))
+  /** Day-invariant (userId, newsId=id, score) pairs with score > 0, scored
+    * once via the inverted-index word join.
+    */
+  private def pairScores(userKw: DataFrame, newsKw: DataFrame, activeUsers: DataFrame,
+                         scene: Scene, scoreRound: Option[Int]): DataFrame = {
 
-    // Profile of each active (day, user): equi-join replaces cross+contains.
-    val activeProfiles = userKw
-      .join(activeUsers.withColumnRenamed("date", "day"), "userId")
-      .select(col("day"), col("userId"), col("word"), col("value"))
+    // Similarity is day-INVARIANT: score each relevant (user, news) pair
+    // exactly once via the inverted-index word join, then attach day
+    // eligibility with cheap equi-joins. (The first cut of this operator
+    // keyed the word join on (day, word) — numDays× redundant arithmetic and
+    // a numDays× larger pre-aggregation shuffle. At 100 TB that difference
+    // is the job.)
+    val relevantNews = newsKw.filter(col("date")
+      .between(lit(scene.fromDate), date_add(lit(scene.toDate), scene.numDays)))
+    val userWords = userKw
+      .join(activeUsers.select("userId").distinct(), "userId") // score active users only
 
     val scored = scene.similarityAlgorithm match {
       case SimilarityAlgorithm.CosineSimilarity =>
-        // F5 calculateX per day-slice: inverted-index join keyed on (day, word).
-        val lsize = activeProfiles.groupBy("day", "userId").agg(count(lit(1)).as("_lsize"))
-        val rsize = candidateNews.groupBy("day", "id").agg(count(lit(1)).as("_rsize"))
-        activeProfiles.select(col("day"), col("userId"), col("word"))
-          .join(candidateNews.select(col("day"), col("id"), col("word")), Seq("day", "word"))
-          .groupBy(col("day"), col("userId"), col("id"))
+        // F5 calculateX: |common words| / (|k1| · |k2|) — product denominator.
+        val lsize = userWords.groupBy("userId").agg(count(lit(1)).as("_lsize"))
+        val rsize = relevantNews.groupBy("id").agg(count(lit(1)).as("_rsize"))
+        userWords.select(col("userId"), col("word"))
+          .join(relevantNews.select(col("id"), col("word")), "word")
+          .groupBy(col("userId"), col("id"))
           .agg(count(lit(1)).as("_common"))
-          .join(lsize, Seq("day", "userId"))
-          .join(rsize, Seq("day", "id"))
+          .join(lsize, "userId")
+          .join(rsize, "id")
           .withColumn("score", col("_common").cast("double") / (col("_lsize") * col("_rsize")))
       case SimilarityAlgorithm.EuclideanDistance =>
-        activeProfiles.select(col("day"), col("userId"), col("word"), col("value").as("_lv"))
-          .join(candidateNews.select(col("day"), col("id"), col("word"), col("value").as("_rv")),
-            Seq("day", "word"))
-          .groupBy(col("day"), col("userId"), col("id"))
+        userWords.select(col("userId"), col("word"), col("value").as("_lv"))
+          .join(relevantNews.select(col("id"), col("word"), col("value").as("_rv")), "word")
+          .groupBy(col("userId"), col("id"))
           .agg(sum(col("_lv") * col("_rv")).as("score"))
     }
     // Optional rounding BEFORE the >0 guard and ranking: makes ordering
@@ -80,6 +82,31 @@ object RecommendPipeline {
     }
     maybeRounded
       .filter(col("score") > 0) // reference guard TextRank.java:275
+      .select(col("userId"), col("id"), col("score"))
+  }
+
+  /** Day eligibility: news doc is a candidate for day ∈ [date-numDays, date]
+    * ∩ [from, to] (direction-1 DateZoneFilter) — exploded once per news doc
+    * (≤ numDays+1 rows each), never per word or per pair.
+    */
+  private def newsDaysOf(newsKw: DataFrame, scene: Scene): DataFrame =
+    newsKw.select("id", "date").distinct()
+      .filter(col("date").between(lit(scene.fromDate), date_add(lit(scene.toDate), scene.numDays)))
+      .withColumn("day", explode(sequence(
+        greatest(date_sub(col("date"), scene.numDays), lit(scene.fromDate)),
+        least(col("date"), lit(scene.toDate)),
+        expr("interval 1 day"))))
+      .select(col("id"), col("day"))
+
+  /** Scored (date, userId, newsId, score) for every active (user, day) ×
+    * candidate news pair with score > 0.
+    */
+  def scoredPairs(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
+                  scene: Scene, scoreRound: Option[Int] = None): DataFrame = {
+    val activeUsers = activeUsersOf(clicks, scene)
+    pairScores(userKw, newsKw, activeUsers, scene, scoreRound)
+      .join(newsDaysOf(newsKw, scene), "id")
+      .join(activeUsers, Seq("day", "userId"), "left_semi")
       .select(col("day").as("date"), col("userId"), col("id").as("newsId"), col("score"))
   }
 
@@ -90,9 +117,34 @@ object RecommendPipeline {
   def recommendAll(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
                    scene: Scene, limit: Option[Int],
                    scoreRound: Option[Int] = None): DataFrame = {
-    val ranked = Ops.topKPerGroup(
-      scoredPairs(userKw, newsKw, clicks, scene, scoreRound),
-      Seq("date", "userId"),
+    val activeUsers = activeUsersOf(clicks, scene)
+    val scores = pairScores(userKw, newsKw, activeUsers, scene, scoreRound)
+    val perDay = limit match {
+      case Some(k) =>
+        // Hierarchical top-k: a day's candidate set is the union of the
+        // numDays+1 news publication dates it covers, and scores are
+        // day-invariant — so the global per-(day,user) top-k is contained in
+        // the union of per-(user, news-date) top-k's. Pre-ranking per news
+        // date cuts the day-exploded ranking input by ~candidates/k before
+        // the expensive window, without changing results.
+        val withDate = scores.join(newsKw.select("id", "date").distinct(), "id")
+        val pre = Ops.topKPerGroup(withDate, Seq("userId", "date"),
+          Seq(col("score").desc, col("id").asc), k, rankCol = "_prn")
+          .drop("_prn")
+        // news dates here are already within [from, to+numDays] (pairScores
+        // pre-filter), so the sequence bounds are always valid
+        pre.withColumn("day", explode(sequence(
+            greatest(date_sub(col("date"), scene.numDays), lit(scene.fromDate)),
+            least(col("date"), lit(scene.toDate)),
+            expr("interval 1 day"))))
+          .join(activeUsers, Seq("day", "userId"), "left_semi")
+          .select(col("day").as("date"), col("userId"), col("id").as("newsId"), col("score"))
+      case None =>
+        scores.join(newsDaysOf(newsKw, scene), "id")
+          .join(activeUsers, Seq("day", "userId"), "left_semi")
+          .select(col("day").as("date"), col("userId"), col("id").as("newsId"), col("score"))
+    }
+    val ranked = Ops.topKPerGroup(perDay, Seq("date", "userId"),
       Seq(col("score").desc, col("newsId").asc),
       limit.getOrElse(Int.MaxValue))
     ranked
