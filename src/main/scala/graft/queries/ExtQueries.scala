@@ -76,8 +76,55 @@ object ExtQueries {
     // watermark, memory sink driven to completion) — hash-checked against
     // the same batch oracle.
     "q36_streaming_hot" -> ((s, d) =>
-      graft.streaming.StreamingHotTopics.dailyClickCounts(s, d))
+      graft.streaming.StreamingHotTopics.dailyClickCounts(s, d)),
+
+    // F6 weighted fuzzy-overlap cosine (CosineSimilarity.compute) over
+    // consecutive-doc TF-IDF keyword profiles.
+    "q37_sim_weighted" -> ((s, d) => {
+      val kw = docKeywords(s, d)
+      val nested = kw.groupBy(col("id"))
+        .agg(collect_list(struct(col("word"), col("value"))).as("keywords"))
+      val a = nested.select(col("id").as("doc_a"), col("keywords").as("_ka"))
+      val b = nested.select(col("id").as("doc_b"), col("keywords").as("_kb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .withColumn("sim",
+          round(graft.sim.Similarities.computeUdf(col("_ka"), col("_kb")), 6))
+        .select("doc_a", "doc_b", "sim")
+    }),
+
+    // F7/F9/F10/F12 rank-based similarity family (computeBoolean,
+    // rankDistance + calculateMax normalization, rankMatchScore) over the
+    // rank-ordered keyword word lists. UDF-level (unit-tested); rows-only.
+    "q38_rank_sim" -> ((s, d) => {
+      val kw = docKeywords(s, d)
+      val words = kw.groupBy(col("id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("rn"), col("word")))),
+          x => x("word")).as("words"))
+      val a = words.select(col("id").as("doc_a"), col("words").as("_wa"))
+      val b = words.select(col("id").as("doc_b"), col("words").as("_wb"))
+      // direct object calls — a captured local alias would drag the whole
+      // (non-serializable) object into the closure
+      val rdMax = udf((x: Seq[String], y: Seq[String]) =>
+        graft.sim.Similarities.rankDistanceMax(x.size, y.size))
+      val rms = udf((x: Seq[String], y: Seq[String]) =>
+        graft.sim.Similarities.rankMatchScore(x, y, x.size, y.size))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          round(graft.sim.Similarities.computeBooleanUdf(col("_wa"), col("_wb")), 6).as("f7_boolean"),
+          graft.sim.Similarities.rankDistanceUdf(col("_wa"), col("_wb")).as("f9_rank_distance"),
+          rdMax(col("_wa"), col("_wb")).as("f12_max"),
+          rms(col("_wa"), col("_wb")).as("f10_match_score"))
+    })
   )
+
+  /** Per-doc TF-IDF top-8 keywords (id, word, value, rn) — shared by the
+    * similarity-variant queries; weights rounded 6 as everywhere.
+    */
+  private def docKeywords(s: SparkSession, d: String): DataFrame =
+    graft.text.TfIdf.topKeywords(Tables.documents(s, d), "doc_id",
+      Seq(col("text") -> 1.0), k = 8, roundTo = 6)
+      .select(col("doc_id").as("id"), col("word"), col("score").as("value"), col("rn"))
 
   // ---- DuckDB oracles ----
 
@@ -205,6 +252,36 @@ object ExtQueries {
     "q36_streaming_hot" ->
       """SELECT CAST(ts AS DATE) AS day, event_id % 500 AS newsId,
         | count(*) AS clicks
-        |FROM events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin
+        |FROM events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin,
+
+    "q37_sim_weighted" ->
+      s"""WITH toksrc AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toksrc GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scoredkw AS (
+         |  SELECT tf.doc_id, tf.word, round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score
+         |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+         |kw AS (SELECT doc_id, word, score FROM (
+         |  SELECT doc_id, word, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+         |  FROM scoredkw) t WHERE rn <= 8),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |ka AS (SELECT p.doc_a, p.doc_b, k.word, k.score AS v1
+         |  FROM pairs p JOIN kw k ON k.doc_id = p.doc_a),
+         |kb AS (SELECT p.doc_a, p.doc_b, k.word, k.score AS v2
+         |  FROM pairs p JOIN kw k ON k.doc_id = p.doc_b),
+         |m AS (SELECT coalesce(ka.doc_a, kb.doc_a) AS doc_a,
+         |        coalesce(ka.doc_b, kb.doc_b) AS doc_b, v1, v2
+         |  FROM ka FULL JOIN kb
+         |    ON ka.doc_a = kb.doc_a AND ka.doc_b = kb.doc_b AND ka.word = kb.word)
+         |SELECT doc_a, doc_b, round(
+         |  sum(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL
+         |        THEN least(v1, v2) * least(v1, v2) ELSE 0 END)
+         |  / sum(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL
+         |        THEN greatest(v1, v2) * greatest(v1, v2)
+         |        WHEN v1 IS NOT NULL THEN v1 * v1 ELSE v2 * v2 END), 6) AS sim
+         |FROM m GROUP BY doc_a, doc_b""".stripMargin
   )
 }

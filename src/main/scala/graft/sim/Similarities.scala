@@ -23,7 +23,7 @@ import scala.collection.mutable
   * spot queries; the scale path decomposes F5/F8 into inverted-index
   * equi-joins (graft.sim.Scoring) with identical semantics.
   */
-object Similarities {
+object Similarities extends Serializable {
 
   /** F5 — CosineSimilarity.calculateX (CosineSimilarity.java:88-127).
     * Used by both recommenders (TextRank.java:268, TF_IDF.java:196).

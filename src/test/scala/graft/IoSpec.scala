@@ -1,0 +1,75 @@
+package graft
+
+import graft.io.{CsvSources, Writers}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class IoSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_io").toString
+
+  test("S1-S3: schema-checked CSV loaders round-trip the entity types") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/news.csv"),
+      "id,date,title,description,content\n" +
+        "1,2024-01-02,Title A,Desc A,spark flink batch\n" +
+        "2,2024-01-03,Title B,Desc B,stream join scan\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/tweets.csv"),
+      "userId,creation_time,content\n7,2024-01-02,spark stream\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/clicks.csv"),
+      "userId,newsId,date,count\n7,1,2024-01-02,3\n")
+
+    val news = CsvSources.loadNews(spark, s"$dir/news.csv").collect()
+    assert(news.map(_.id).toSet === Set(1L, 2L))
+    assert(news.find(_.id == 1L).get.date.toString === "2024-01-02")
+    val tweets = CsvSources.loadTweets(spark, s"$dir/tweets.csv").collect()
+    assert(tweets.head.userId === 7L && tweets.head.content === "spark stream")
+    val clicks = CsvSources.loadClicks(spark, s"$dir/clicks.csv").collect()
+    assert(clicks.head.count === 3)
+  }
+
+  test("K1/F15: formatted-text sink renders documents and recommendations") {
+    val outDocs = tmp() + "/docs_txt"
+    val docs = Seq(
+      (Some(1L), None: Option[Long], Some(java.sql.Date.valueOf("2024-01-02")),
+        Seq(("spark", 1.5), ("flink", 0.25)))
+    ).toDF("id", "userId", "date", "kw")
+      .withColumn("keywords", transform(col("kw"),
+        x => struct(x("_1").as("word"), x("_2").as("value"))))
+    Writers.writeFormattedText(docs, Writers.documentRender, outDocs)
+    val lines = spark.read.text(outDocs).as[String].collect()
+    assert(lines.toSeq === Seq("1||2024-01-02|spark:1.500000;flink:0.250000"))
+
+    val outRecs = tmp() + "/recs_txt"
+    val recs = Seq((7L, java.sql.Date.valueOf("2024-01-02"), Seq(3L, 1L, 2L)))
+      .toDF("userId", "date", "news")
+    Writers.writeFormattedText(recs, Writers.recommendationRender, outRecs)
+    val rlines = spark.read.text(outRecs).as[String].collect()
+    assert(rlines.toSeq === Seq("7|2024-01-02|3,1,2"))
+  }
+
+  test("K1 dual write: parquet round-trip preserves nested keywords") {
+    val base = tmp()
+    val docs = Seq((10L, Seq(("a", 1.0), ("b", 2.0))))
+      .toDF("id", "kw")
+      .withColumn("keywords", transform(col("kw"),
+        x => struct(x("_1").as("word"), x("_2").as("value"))))
+      .select("id", "keywords")
+    Writers.writeDual(docs, concat_ws("|", col("id")), s"$base/pq", s"$base/txt")
+    val back = spark.read.parquet(s"$base/pq")
+    val kws = back.select(explode(col("keywords"))).select("col.word", "col.value")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(kws === Set(("a", 1.0), ("b", 2.0)))
+  }
+}

@@ -76,8 +76,12 @@ def main(out_dir, sf_dir):
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
         if name not in oracles:
-            n = len(con.execute(f"SELECT * FROM '{qdir}*.parquet'").fetchall())
-            print(f"ROWS-ONLY {name}: {n} rows")
+            try:
+                n = len(con.execute(f"SELECT * FROM '{qdir}*.parquet'").fetchall())
+                print(f"ROWS-ONLY {name}: {n} rows")
+            except Exception as e:
+                print(f"FAIL {name}: rows-only read error {e}")
+                n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
