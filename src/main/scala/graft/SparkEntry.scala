@@ -22,9 +22,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ RecQueries.queries ++
-      ExtQueries.queries
+      ExtQueries.queries ++ TextRankQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ RecQueries.oracle ++
-      ExtQueries.oracle
+      ExtQueries.oracle ++ TextRankQueries.oracle
 }

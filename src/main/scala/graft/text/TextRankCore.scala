@@ -69,28 +69,44 @@ object TextRankCore {
   def vote(words: Map[String, Set[String]], numKeywords: Int, friction: Double,
            maxIterates: Int, minDifference: Double): List[Keyword] = {
     val d = friction
-    val keys = words.keys.toSeq.sorted
-    var score = Map.empty[String, Double]
+    // Index the graph once: sorted keys, int-indexed sorted adjacency with
+    // the reference's guards (self-loops and zero-degree neighbors skipped,
+    // TextRank.java:208) pre-applied — the per-iteration loop is then pure
+    // array arithmetic. Same summation order as the naive sorted loop.
+    val keys = words.keys.toArray.sorted
+    val index = keys.zipWithIndex.toMap
+    val degree = keys.map(k => words(k).size)
+    val adj: Array[Array[Int]] = keys.map { k =>
+      words(k).toArray.sorted.flatMap { n =>
+        index.get(n).filter(ni => keys(ni) != k && degree(ni) != 0)
+      }
+    }
+    val n = keys.length
+    var score = new Array[Double](n)
     var it = 0
     var done = false
     while (it < maxIterates && !done) {
       var maxDiff = 0.0
-      val m = mutable.LinkedHashMap[String, Double]()
-      for (word <- keys) {
+      val m = new Array[Double](n)
+      var i = 0
+      while (i < n) {
         var v = 1 - d
-        for (neighbor <- words(word).toSeq.sorted) {
-          val size = words.getOrElse(neighbor, Set.empty).size
-          if (word != neighbor && size != 0)
-            v += d / size * score.getOrElse(neighbor, 0.0)
+        val neighbors = adj(i)
+        var j = 0
+        while (j < neighbors.length) {
+          val ni = neighbors(j)
+          v += d / degree(ni) * score(ni)
+          j += 1
         }
-        m(word) = v
-        maxDiff = math.max(maxDiff, math.abs(v - score.getOrElse(word, 0.0)))
+        m(i) = v
+        maxDiff = math.max(maxDiff, math.abs(v - score(i)))
+        i += 1
       }
-      score = m.toMap
+      score = m
       it += 1
       if (maxDiff <= minDifference) done = true
     }
-    firstN(score, numKeywords)
+    firstN(keys.indices.map(i => keys(i) -> score(i)).toMap, numKeywords)
   }
 
   /** `Utils.firstN` (impl absent; called TextRank.java:217) — frozen spec:
