@@ -25,20 +25,42 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
-  /** One minhash: min over shingles of md5(seed || "_" || shingle).
-    * String-min of hex digests — identical in any engine with md5.
+  /** All minhash signatures in one pass: numHashes/2 seeded digests per
+    * shingle, each md5 split into two 64-bit hex slices (chars 1-16 and
+    * 17-32) → numHashes independent min-hashes at half the digest work.
+    * String-min of hex slices — identical in any engine with md5 (the DuckDB
+    * oracle computes `min(substr(md5(seed || '_' || s), off, 16))`).
+    * Single-pass UDF so the digest is computed once per (shingle, seed),
+    * not once per signature column.
     */
-  def minhash(shinglesCol: Column, seed: Int): Column =
-    array_min(transform(shinglesCol,
-      s => md5(concat(lit(seed.toString), lit("_"), s).cast("binary"))))
+  private def signatureVector(shingles: Seq[String], numHashes: Int): Seq[String] = {
+    val numSeeds = numHashes / 2
+    val mins = Array.fill[String](numHashes)(null)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (s <- shingles; seed <- 0 until numSeeds) {
+      md.reset()
+      val hex = md.digest(s"${seed}_$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val lo = hex.substring(0, 16)
+      val hi = hex.substring(16, 32)
+      val i = 2 * seed
+      if (mins(i) == null || lo < mins(i)) mins(i) = lo
+      if (mins(i + 1) == null || hi < mins(i + 1)) mins(i + 1) = hi
+    }
+    mins.toSeq
+  }
 
-  /** (doc_id, sig0..sig{numHashes-1}) minhash signature table. */
+  /** (doc_id, sig0..sig{numHashes-1}) minhash signature table.
+    * numHashes must be even.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: Column,
                         shingleSize: Int, numHashes: Int): DataFrame = {
-    val withSh = docs.select(col(idCol),
-      shingles(Tokenizer.tokens(textCol), shingleSize).as("_sh"))
-    val sigCols = (0 until numHashes).map(i => minhash(col("_sh"), i).as(s"sig$i"))
-    withSh.select(col(idCol) +: sigCols: _*)
+    require(numHashes % 2 == 0, "numHashes must be even (two slices per digest)")
+    val sigUdf = udf((sh: Seq[String]) => signatureVector(sh, numHashes))
+    val withSigs = docs.select(col(idCol),
+      sigUdf(shingles(Tokenizer.tokens(textCol), shingleSize)).as("_sigs"))
+    val sigCols = (0 until numHashes).map(i => col("_sigs")(i).as(s"sig$i"))
+    withSigs.select(col(idCol) +: sigCols: _*)
   }
 
   /** LSH candidate pairs: docs agreeing on any band of `bandSize` consecutive

@@ -132,8 +132,11 @@ object ExtQueries {
   private def shingleExpr(t: String): String =
     s"CASE WHEN len($t) < $SH THEN [] ELSE list_transform(range(1, len($t) - ${SH - 2}), si -> array_to_string(($t)[si:si+${SH - 1}], ' ')) END"
 
-  private val sigSelect = (0 until NH).map(i =>
-    s"list_min(list_transform(sh, ss -> md5('${i}_' || ss))) AS sig$i").mkString(", ")
+  private val sigSelect = (0 until NH).map { i =>
+    val seed = i / 2
+    val off = if (i % 2 == 0) 1 else 17
+    s"list_min(list_transform(sh, ss -> substr(md5('${seed}_' || ss), $off, 16))) AS sig$i"
+  }.mkString(", ")
 
   private val shCte =
     s"""docsh AS (SELECT doc_id, ${shingleExpr(toks)} AS sh FROM documents),
