@@ -33,16 +33,30 @@ object Dedup {
     * Single-pass UDF so the digest is computed once per (shingle, seed),
     * not once per signature column.
     */
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hexSlice(bytes: Array[Byte], from: Int, until: Int): String = {
+    val out = new Array[Char]((until - from) * 2)
+    var i = from
+    var j = 0
+    while (i < until) {
+      out(j) = HEX((bytes(i) >> 4) & 0xf)
+      out(j + 1) = HEX(bytes(i) & 0xf)
+      i += 1
+      j += 2
+    }
+    new String(out)
+  }
+
   private def signatureVector(shingles: Seq[String], numHashes: Int): Seq[String] = {
     val numSeeds = numHashes / 2
     val mins = Array.fill[String](numHashes)(null)
     val md = java.security.MessageDigest.getInstance("MD5")
     for (s <- shingles; seed <- 0 until numSeeds) {
       md.reset()
-      val hex = md.digest(s"${seed}_$s".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val lo = hex.substring(0, 16)
-      val hi = hex.substring(16, 32)
+      val digest = md.digest(s"${seed}_$s".getBytes("UTF-8"))
+      val lo = hexSlice(digest, 0, 8)
+      val hi = hexSlice(digest, 8, 16)
       val i = 2 * seed
       if (mins(i) == null || lo < mins(i)) mins(i) = lo
       if (mins(i + 1) == null || hi < mins(i + 1)) mins(i + 1) = hi
