@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Ops
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Date
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def datesDf = (1 to 28).map(i => Date.valueOf(f"2024-01-$i%02d")).toDF("d")
+
+  test("P3 dateZone direction 0: inclusive past window [today-n, today]") {
+    val got = datesDf.filter(Ops.dateZone($"d", Date.valueOf("2024-01-10"), 3, 0))
+      .collect().map(_.getDate(0).toString).sorted
+    assert(got === Array("2024-01-07", "2024-01-08", "2024-01-09", "2024-01-10"))
+  }
+
+  test("P3 dateZone direction 1: inclusive future window [today, today+n]") {
+    val got = datesDf.filter(Ops.dateZone($"d", Date.valueOf("2024-01-10"), 2, 1))
+      .collect().map(_.getDate(0).toString).sorted
+    assert(got === Array("2024-01-10", "2024-01-11", "2024-01-12"))
+  }
+
+  test("P4 dateLoopFilter: past gap clamped to loop bounds") {
+    // gap=5 around today=01-10, loop [01-08, 01-20] -> [max(01-08, 01-05), min(01-10, 01-20)]
+    val got = datesDf.filter(Ops.dateLoopFilter($"d", 5,
+        Date.valueOf("2024-01-08"), Date.valueOf("2024-01-20"), Date.valueOf("2024-01-10")))
+      .collect().map(_.getDate(0).toString).sorted
+    assert(got === Array("2024-01-08", "2024-01-09", "2024-01-10"))
+  }
+
+  test("A1 distinctUsersPerDay: one row per (date, userId)") {
+    val clicks = Seq(
+      (1L, 10L, Date.valueOf("2024-01-01"), 1),
+      (1L, 11L, Date.valueOf("2024-01-01"), 1), // same user same day
+      (1L, 10L, Date.valueOf("2024-01-02"), 1),
+      (2L, 10L, Date.valueOf("2024-01-01"), 1)).toDF("userId", "newsId", "date", "count")
+    val got = Ops.distinctUsersPerDay(clicks).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    assert(got === Set(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-02", 1L)))
+  }
+
+  test("property: topKPerGroup == per-group sorted prefix (T1-T3 contract)") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 4)
+        v <- Gen.choose(-100, 100)
+        id <- Gen.choose(0, 1000000)
+      } yield (g, v, id))
+      k <- Gen.choose(1, 5)
+    } yield (rows.distinctBy(_._3), k)
+
+    val prop = Prop.forAll(gen) { case (rows, k) =>
+      val df = rows.toDF("g", "v", "id")
+      val got = Ops.topKPerGroup(df, Seq("g"), Seq(col("v").desc, col("id").asc), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toList
+      val expected = rows.groupBy(_._1).toList.flatMap { case (g, grp) =>
+        grp.sortBy(t => (-t._2, t._3)).take(k).zipWithIndex
+          .map { case ((_, v, id), i) => (g, v, id, i + 1) }
+      }
+      got.sortBy(t => (t._1, t._4)) == expected.sortBy(t => (t._1, t._4))
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
