@@ -78,6 +78,11 @@ object ExtQueries {
     "q36_streaming_hot" -> ((s, d) =>
       graft.streaming.StreamingHotTopics.dailyClickCounts(s, d)),
 
+    // Stateful streaming (mapGroupsWithState) per-user click profiles —
+    // hash-checked against the batch-equivalent oracle.
+    "q41_streaming_profiles" -> ((s, d) =>
+      graft.streaming.StreamingUserProfiles.userClickProfiles(s, d)),
+
     // F6 weighted fuzzy-overlap cosine (CosineSimilarity.compute) over
     // consecutive-doc TF-IDF keyword profiles.
     "q37_sim_weighted" -> ((s, d) => {
@@ -256,6 +261,11 @@ object ExtQueries {
       """SELECT CAST(ts AS DATE) AS day, event_id % 500 AS newsId,
         | count(*) AS clicks
         |FROM events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin,
+
+    "q41_streaming_profiles" ->
+      """SELECT user_id AS userId, count(*) AS n_clicks,
+        | count(DISTINCT event_id % 500) AS n_distinct_news
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
 
     "q37_sim_weighted" ->
       s"""WITH toksrc AS (SELECT doc_id, unnest($toks) AS word FROM documents),

@@ -70,6 +70,18 @@ class PlanAndStreamSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bit-identical
   }
 
+  test("stateful streaming user profiles equal the batch aggregation") {
+    val streamed = graft.streaming.StreamingUserProfiles
+      .userClickProfiles(spark, sf, queryName = "stream_profiles_test")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.io.Tables.clicks(spark, sf)
+      .groupBy($"userId")
+      .agg(count(lit(1)).as("n"), countDistinct($"newsId").as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming hot topics equals the batch aggregation") {
     val streamed = graft.streaming.StreamingHotTopics
       .dailyClickCounts(spark, sf, queryName = "stream_hot_test")
