@@ -101,8 +101,12 @@ object Dedup {
     */
   def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: Column,
               shingleSize: Int, roundTo: Int = 6): DataFrame = {
+    // The exploded shingle set feeds three consumers (both pair sides +
+    // sizes); persist so tokenize+shingle runs once per job, not three times.
+    // Bounded: |docs| · shingles-per-doc rows of short strings.
     val sh = docs.select(col(idCol).as("_id"),
         explode(array_distinct(shingles(Tokenizer.tokens(textCol), shingleSize))).as("_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
     // Shingle equality is part of the join condition (hash join on
     // (doc, shingle)) — NOT a post-join filter, which would cross every

@@ -34,8 +34,12 @@ object RecQueries {
     */
   private def profiles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
+    // toks feeds news tf + user-profile tokens; tf feeds news scoring + df —
+    // persist both so tokenize-explode and the tf aggregation run once.
     val toks = docs.select(col("doc_id"), explode(Tokenizer.tokens(col("text"))).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
 
