@@ -83,6 +83,27 @@ object ExtQueries {
     "q41_streaming_profiles" -> ((s, d) =>
       graft.streaming.StreamingUserProfiles.userClickProfiles(s, d)),
 
+    // Token budgeting: whitespace tokens + a BPE-ish subword estimate
+    // (ceil(len/4) units per word — deterministic stand-in for a real BPE
+    // vocab, which isn't expressible cross-engine).
+    "q42_token_budget" -> ((s, d) => {
+      val toks = graft.text.Tokenizer.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("ws_tokens"),
+        aggregate(toks, lit(0L),
+          (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long")).as("subword_tokens"),
+        col("n_chars"))
+    }),
+
+    // Embedding-cosine near-duplicates: LSH-bucketed pairs above threshold
+    // (0.3 ~ the 99.9th percentile of this random corpus; a real corpus
+    // would use ~0.95).
+    "q43_embed_neardup" -> ((s, d) =>
+      Ann.lshPairs(Tables.embeddings(s, d), PLANES, DIM)
+        .filter(col("cosine") >= 0.3)
+        .select(col("a_id"), col("b_id"), col("cosine"))),
+
     // F6 weighted fuzzy-overlap cosine (CosineSimilarity.compute) over
     // consecutive-doc TF-IDF keyword profiles.
     "q37_sim_weighted" -> ((s, d) => {
@@ -266,6 +287,25 @@ object ExtQueries {
       """SELECT user_id AS userId, count(*) AS n_clicks,
         | count(DISTINCT event_id % 500) AS n_distinct_news
         |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+
+    "q42_token_budget" ->
+      s"""SELECT doc_id, len($toks) AS ws_tokens,
+         | list_sum(list_transform($toks,
+         |   w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS subword_tokens,
+         | n_chars
+         |FROM documents""".stripMargin,
+
+    "q43_embed_neardup" ->
+      s"""WITH wb AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    a.embedding AS qe, b.embedding AS ce
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT a_id, b_id,
+         |    round($dotList / (${normList("qe")} * ${normList("ce")}), 6) AS cosine
+         |  FROM p)
+         |SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.3""".stripMargin,
 
     "q37_sim_weighted" ->
       s"""WITH toksrc AS (SELECT doc_id, unnest($toks) AS word FROM documents),
