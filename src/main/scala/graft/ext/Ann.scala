@@ -49,11 +49,18 @@ object Ann {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("_qe"))
-    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("_ce"))
+    import graft.functions.VectorExpressions.{floatVecDot, floatVecNormSq}
+    // Norms are per-vector, so compute them BEFORE the Q×N join — the naive
+    // form re-derives ‖q‖ N times and ‖c‖ Q times inside the pair loop.
+    // Same sqrt/accumulation order ⇒ bit-identical cosines.
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("_qe"),
+      sqrt(floatVecNormSq(col("embedding"))).as("_qn"))
+    val c = candidates.select(col("vec_id").as("c_id"), col("embedding").as("_ce"),
+      sqrt(floatVecNormSq(col("embedding"))).as("_cn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)
     broadcast(q).crossJoin(c)
-      .withColumn("cosine", round(cosineNative(col("_qe"), col("_ce")), roundTo))
+      .withColumn("cosine", round(
+        floatVecDot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")), roundTo))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "c_id", "cosine", "rn")
@@ -93,13 +100,18 @@ object Ann {
     * an equi-join on the bucket key; no cross product.
     */
   def lshPairs(vectors: DataFrame, numPlanes: Int, dim: Int, roundTo: Int = 6): DataFrame = {
+    import graft.functions.VectorExpressions.{floatVecDot, floatVecNormSq}
     val withB = vectors.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
-    val a = withB.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("_ae"))
-    val b = withB.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("_be"))
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"),
+      sqrt(floatVecNormSq(col("embedding"))).as("_n"))
+    val a = withB.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("_ae"), col("_n").as("_an"))
+    val b = withB.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("_be"), col("_n").as("_bn"))
     a.join(b, "bucket")
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", round(cosineNative(col("_ae"), col("_be")), roundTo))
+      .withColumn("cosine", round(
+        floatVecDot(col("_ae"), col("_be")) / (col("_an") * col("_bn")), roundTo))
       .select("bucket", "a_id", "b_id", "cosine")
   }
 }

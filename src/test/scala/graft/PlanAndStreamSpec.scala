@@ -70,6 +70,28 @@ class PlanAndStreamSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bit-identical
   }
 
+  test("GraftExtensions: SQL function registration + strength-reduction rule") {
+    graft.functions.GraftExtensions.installFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "float_vec_norm_sq(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n")
+      .collect().head
+    assert(viaSql.getDouble(0) === 11.0)
+    assert(viaSql.getDouble(1) === 25.0)
+
+    // rule: dot(x, x) -> norm_sq(x); sqrt(normsq)*sqrt(normsq) -> normsq
+    import graft.functions.VectorExpressions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
+    val selfDot = e.select(floatVecDot($"embedding", $"embedding").as("s"),
+      (sqrt(floatVecNormSq($"embedding")) * sqrt(floatVecNormSq($"embedding"))).as("p"))
+    val optimized = graft.functions.VectorStrengthReduction(selfDot.queryExecution.analyzed)
+    val str = optimized.toString
+    assert(!str.contains("float_vec_dot"))
+    assert(!str.toLowerCase.contains("sqrt"))
+    assert(str.contains("float_vec_norm_sq"))
+  }
+
   test("stateful streaming user profiles equal the batch aggregation") {
     val streamed = graft.streaming.StreamingUserProfiles
       .userClickProfiles(spark, sf, queryName = "stream_profiles_test")
