@@ -63,7 +63,10 @@ object RecQueries {
         userScored.select(col("userId"), col("word"), col("value")),
         Seq("userId"), Seq(col("value").desc, col("word").asc), 8)
       .select(col("userId"), col("word"), col("value"))
-    (newsKwDated, userKw)
+    // both profiles feed several plan branches (scoring, sizes, date
+    // lookups) — persist so the tf-idf chain runs once per query
+    (newsKwDated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      userKw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   val queries: Map[String, Q] = Map(

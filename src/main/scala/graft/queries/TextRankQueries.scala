@@ -42,12 +42,16 @@ object TextRankQueries {
     "q40_textrank_rec" -> ((s, d) => {
       val news = Tables.news(s, d)
       val clicks = Tables.clicks(s, d)
+      // persist: the keyword profiles feed multiple plan branches, and the
+      // TextRank UDF over every document must not re-run per branch
       val newsKw = TextRankKeywords.newsKeywords(news, scene)
         .join(news.select(col("id"), col("date")), "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val userTweets = clicks.select(col("userId"), col("newsId"))
         .join(news.select(col("id"), col("content")), col("newsId") === col("id"))
         .select(col("userId"), col("content"))
       val userKw = TextRankKeywords.userKeywords(userTweets, scene)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene,
         limit = Some(scene.numRecommendations), scoreRound = Some(6))
     })
