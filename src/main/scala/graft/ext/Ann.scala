@@ -96,6 +96,59 @@ object Ann {
   def lshBuckets(vectors: DataFrame, numPlanes: Int, dim: Int): DataFrame =
     vectors.select(col("vec_id"), lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
 
+  /** Squared L2 distance as an ordered fold (deterministic double semantics). */
+  def dist2Col(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF coarse assignment: each vector goes to its nearest centroid
+    * (squared L2, ties centroid-id asc). centroids: (c_id, c_emb) — a small
+    * broadcast table; at scale these come from a sampled k-means, here from
+    * a deterministic seed set so the oracle reproduces them. Returns
+    * (vec_id, cell, dist2).
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("c_id").asc)
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("c_emb"))))
+      .withColumn("dist2", round(dist2Col(col("embedding"), col("c_emb")), roundTo))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("dist2"))
+  }
+
+  /** IVF ANN: probe the `nprobe` nearest cells of each query, rank
+    * candidates assigned to those cells by cosine. The candidate join is an
+    * equi-join on `cell` — expected O(Q·N·nprobe/nlist) pair evaluations
+    * instead of O(Q·N).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+              nprobe: Int, k: Int, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{floatVecDot, floatVecNormSq}
+    val cells = ivfAssign(candidates, centroids, roundTo)
+      .join(candidates.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id").as("c_id2"), col("cell"), col("embedding").as("_ce"),
+        sqrt(floatVecNormSq(col("embedding"))).as("_cn"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("c_id").asc)
+    val probed = queries.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("c_emb"))))
+      .withColumn("dist2", round(dist2Col(col("embedding"), col("c_emb")), roundTo))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"), col("embedding").as("_qe"),
+        sqrt(floatVecNormSq(col("embedding"))).as("_qn"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id2").asc)
+    probed.join(cells, "cell")
+      .withColumn("cosine", round(
+        floatVecDot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")), roundTo))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id2").as("c_id"), col("cosine"), col("rn"))
+  }
+
   /** Bucketed ANN: cosine for pairs sharing a bucket (a < b) — the join is
     * an equi-join on the bucket key; no cross product.
     */

@@ -104,6 +104,28 @@ object ExtQueries {
         .filter(col("cosine") >= 0.3)
         .select(col("a_id"), col("b_id"), col("cosine"))),
 
+    // IVF coarse quantization: nearest-centroid cell assignment (centroids =
+    // a deterministic seed set so the oracle reproduces them; at scale they
+    // come from sampled k-means).
+    "q44_ivf_cells" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      Ann.ivfAssign(e, cent)
+    }),
+
+    // IVF ANN: probe the 2 nearest cells per query, rank in-cell candidates
+    // by cosine — the O(Q·N/nlist) scale path next to q30's exact scan.
+    "q45_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      Ann.ivfTopK(
+        e.filter(col("vec_id").between(8, 17)),
+        e.filter(col("vec_id") >= 18),
+        cent, nprobe = 2, k = 3)
+    }),
+
     // F6 weighted fuzzy-overlap cosine (CosineSimilarity.compute) over
     // consecutive-doc TF-IDF keyword profiles.
     "q37_sim_weighted" -> ((s, d) => {
@@ -195,6 +217,9 @@ object ExtQueries {
 
   private val dotList =
     "list_sum(list_transform(list_zip(qe, ce), zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))"
+  private def dist2List(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), dp -> " +
+      "(CAST(dp[1] AS DOUBLE) - CAST(dp[2] AS DOUBLE)) * (CAST(dp[1] AS DOUBLE) - CAST(dp[2] AS DOUBLE))))"
   private def normList(c: String): String =
     s"sqrt(list_sum(list_transform($c, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))))"
 
@@ -306,6 +331,48 @@ object ExtQueries {
          |    round($dotList / (${normList("qe")} * ${normList("ce")}), 6) AS cosine
          |  FROM p)
          |SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.3""".stripMargin,
+
+    "q44_ivf_cells" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |d AS (
+         |  SELECT e.vec_id, c.c_id,
+         |    round(${dist2List("e.embedding", "c.c_emb")}, 6) AS dist2
+         |  FROM embeddings e CROSS JOIN cent c)
+         |SELECT vec_id, c_id AS cell, dist2 FROM (
+         |  SELECT vec_id, c_id, dist2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn
+         |  FROM d) t WHERE rn = 1""".stripMargin,
+
+    "q45_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |cd AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    round(${dist2List("e.embedding", "c.c_emb")}, 6) AS dist2
+         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 18),
+         |cells AS (
+         |  SELECT vec_id AS c_id2, c_id AS cell, embedding AS ce FROM (
+         |    SELECT vec_id, embedding, c_id, dist2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn
+         |    FROM cd) t WHERE rn = 1),
+         |qd AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    round(${dist2List("e.embedding", "c.c_emb")}, 6) AS dist2
+         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id BETWEEN 8 AND 17),
+         |probed AS (
+         |  SELECT vec_id AS q_id, c_id AS cell, embedding AS qe FROM (
+         |    SELECT vec_id, embedding, c_id, dist2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn
+         |    FROM qd) t WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT p.q_id, cl.c_id2,
+         |    round($dotList / (${normList("qe")} * ${normList("ce")}), 6) AS cosine
+         |  FROM probed p JOIN cells cl ON p.cell = cl.cell)
+         |SELECT q_id, c_id2 AS c_id, cosine, rn FROM (
+         |  SELECT q_id, c_id2, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id2) AS rn
+         |  FROM pairs) t WHERE rn <= 3""".stripMargin,
 
     "q37_sim_weighted" ->
       s"""WITH toksrc AS (SELECT doc_id, unnest($toks) AS word FROM documents),
