@@ -111,6 +111,17 @@ object RecQueries {
         limit = Some(5), scoreRound = Some(4))
     }),
 
+    // J3/eval: precision of the content-based rec lists (q23) against
+    // same-day clicks — the reference's precisionStats over E1 output.
+    "q46_precision_rec" -> ((s, d) => {
+      val (newsKw, userKw) = profiles(s, d)
+      val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance,
+        numRecommendations = 5)
+      val recs = RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
+        limit = Some(5), scoreRound = Some(4))
+      PrecisionEval.precisions(recs, Tables.clicks(s, d))
+    }),
+
     // J3/eval: precision of the hot-topics lists against same-day clicks.
     "q24_precision_hot" -> ((s, d) => {
       val clicks = Tables.clicks(s, d)
@@ -160,6 +171,30 @@ object RecQueries {
        |    SELECT userId, word, value,
        |      row_number() OVER (PARTITION BY userId ORDER BY value DESC, word) AS rn
        |    FROM user_scored) t WHERE rn <= 8)""".stripMargin
+
+  /** Shared CTE chain through the ranked (day, user, news, rn) pairs of the
+    * all-days dot-product recommendation run — consumed by the q23 list
+    * output and the q46 precision evaluation.
+    */
+  private val rankedCte = prelude +
+    """,
+      |days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
+      |  INTERVAL 1 DAY))::DATE AS day),
+      |active AS (SELECT DISTINCT date AS day, userId FROM clicks
+      |  WHERE date BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'),
+      |cands AS (
+      |  SELECT d.day, nk.id, nk.word, nk.value
+      |  FROM news_kw nk JOIN news_date nd USING (id) JOIN days d
+      |    ON nd.date BETWEEN d.day AND d.day + 7),
+      |scores AS (
+      |  SELECT a.day, u.userId, c.id AS newsId, round(sum(u.value * c.value), 4) AS score
+      |  FROM user_kw u JOIN active a USING (userId)
+      |  JOIN cands c ON c.day = a.day AND c.word = u.word
+      |  GROUP BY a.day, u.userId, c.id),
+      |ranked AS (
+      |  SELECT day, userId, newsId,
+      |    row_number() OVER (PARTITION BY day, userId ORDER BY score DESC, newsId) AS rn
+      |  FROM scores WHERE score > 0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q19_hot_topics" ->
@@ -223,27 +258,23 @@ object RecQueries {
         |    row_number() OVER (PARTITION BY userId ORDER BY score DESC, newsId) AS rn
         |  FROM scores WHERE score > 0) t WHERE rn <= 5""".stripMargin),
 
-    "q23_rec_lists" -> (prelude +
-      """,
-        |days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
-        |  INTERVAL 1 DAY))::DATE AS day),
-        |active AS (SELECT DISTINCT date AS day, userId FROM clicks
-        |  WHERE date BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'),
-        |cands AS (
-        |  SELECT d.day, nk.id, nk.word, nk.value
-        |  FROM news_kw nk JOIN news_date nd USING (id) JOIN days d
-        |    ON nd.date BETWEEN d.day AND d.day + 7),
-        |scores AS (
-        |  SELECT a.day, u.userId, c.id AS newsId, round(sum(u.value * c.value), 4) AS score
-        |  FROM user_kw u JOIN active a USING (userId)
-        |  JOIN cands c ON c.day = a.day AND c.word = u.word
-        |  GROUP BY a.day, u.userId, c.id),
-        |ranked AS (
-        |  SELECT day, userId, newsId,
-        |    row_number() OVER (PARTITION BY day, userId ORDER BY score DESC, newsId) AS rn
-        |  FROM scores WHERE score > 0)
+    "q23_rec_lists" -> (rankedCte +
+      """
         |SELECT userId, day AS date, list(newsId ORDER BY rn) AS news
         |FROM ranked WHERE rn <= 5 GROUP BY userId, day""".stripMargin),
+
+    "q46_precision_rec" -> (rankedCte +
+      """,
+        |clicked AS (SELECT DISTINCT userId, date, newsId FROM clicks),
+        |joined AS (
+        |  SELECT r.day AS date,
+        |    CASE WHEN c.newsId IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM ranked r LEFT JOIN clicked c
+        |    ON r.userId = c.userId AND r.day = c.date AND r.newsId = c.newsId
+        |  WHERE r.rn <= 5)
+        |SELECT date, sum(hit) AS n_hits, count(*) AS n_recommended,
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS precision
+        |FROM joined GROUP BY date""".stripMargin),
 
     "q24_precision_hot" ->
       """WITH clicks AS (

@@ -81,6 +81,33 @@ class ExtSpec extends AnyFunSuite {
     assert(b(1L).length === 4 && b(1L).forall(c => c == '0' || c == '1'))
   }
 
+  test("IVF with nprobe = nlist equals brute force on the same candidates") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cent = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val queries = e.filter($"vec_id".between(4, 8))
+    val cands = e.filter($"vec_id" > 8 && $"vec_id" < 60)
+    val exact = Ann.bruteForceTopK(queries, cands, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val ivfAll = Ann.ivfTopK(queries, cands, cent, nprobe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(ivfAll === exact) // probing every cell = exhaustive search
+    // partial probing returns a subset ranking (recall < 1 allowed, shape same)
+    val ivf1 = Ann.ivfTopK(queries, cands, cent, nprobe = 1, k = 3)
+      .collect().groupBy(_.getLong(0))
+    assert(ivf1.nonEmpty)
+    ivf1.values.foreach(rows => assert(rows.length <= 3))
+  }
+
+  test("IVF assignment: centroid vectors map to their own cell at distance 0") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cent = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val own = Ann.ivfAssign(e.filter($"vec_id" < 4), cent)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    own.foreach { case (v, cell, d) => assert(v === cell && d === 0.0) }
+  }
+
   test("langId: marker argmax with lex tie-break and 'und' fallback") {
     val docs = Seq(
       (1L, "the cat and the dog is here"), // en markers
