@@ -111,6 +111,27 @@ object RecQueries {
         limit = Some(5), scoreRound = Some(4))
     }),
 
+    // T1 via the partial-combining TopK Aggregator instead of a window —
+    // same ranking contract, map-side-combined shuffle; under the same
+    // oracle as the window form.
+    "q47_hot_topics_agg" -> ((s, d) => {
+      import graft.functions.TopKAggregator
+      val contributesTo = explode(sequence(
+        greatest(col("date"), lit(scene.fromDate)),
+        least(date_add(col("date"), scene.numDays), lit(scene.toDate)),
+        expr("interval 1 day")))
+      val counts = Tables.clicks(s, d)
+        .filter(col("date").between(date_sub(lit(scene.fromDate), scene.numDays), lit(scene.toDate)))
+        .withColumn("day", contributesTo)
+        .groupBy(col("day"), col("newsId"))
+        .agg(sum(col("count")).as("clicks"))
+      counts.groupBy(col("day"))
+        .agg(TopKAggregator.topK(scene.numRecommendations)(
+          col("clicks").cast("double"), col("newsId")).as("ids"))
+        .select(col("day"), posexplode(col("ids")).as(Seq("pos", "newsId")))
+        .select(col("day"), col("newsId"), (col("pos") + 1).as("rn"))
+    }),
+
     // J3/eval: precision of the content-based rec lists (q23) against
     // same-day clicks — the reference's precisionStats over E1 output.
     "q46_precision_rec" -> ((s, d) => {
@@ -218,6 +239,23 @@ object RecQueries {
       """SELECT CAST(ts AS DATE) AS date,
         | list_sort(list(DISTINCT user_id)) AS users
         |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+
+    "q47_hot_topics_agg" ->
+      """WITH clicks AS (
+        |  SELECT user_id AS userId, event_id % 500 AS newsId,
+        |         CAST(ts AS DATE) AS date, 1 AS count
+        |  FROM events WHERE event_type = 'click'),
+        |days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
+        |  INTERVAL 1 DAY))::DATE AS day),
+        |counts AS (
+        |  SELECT d.day, c.newsId, sum(c.count) AS clicks
+        |  FROM clicks c JOIN days d
+        |    ON c.date BETWEEN d.day - 7 AND d.day
+        |  GROUP BY d.day, c.newsId)
+        |SELECT day, newsId, rn FROM (
+        |  SELECT day, newsId,
+        |    row_number() OVER (PARTITION BY day ORDER BY clicks DESC, newsId) AS rn
+        |  FROM counts) t WHERE rn <= 10""".stripMargin,
 
     "q21_rec_dot" -> (prelude +
       """,
