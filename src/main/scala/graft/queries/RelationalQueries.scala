@@ -140,6 +140,27 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // The SQL API surface: the same star aggregation declared via
+    // spark.sql over registered temp views (Catalyst path identical).
+    "q48_sql_surface" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |  count(*) AS n_lines
+          |FROM g_lineitem JOIN g_orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    // JSON payload extraction (events.props) — typed bucket aggregation.
+    "q49_json_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    }),
+
     // Running window aggregate (rows-frame) with a total order → deterministic.
     "q12_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -231,6 +252,18 @@ object RelationalQueries {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q48_sql_surface" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q49_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q12_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
