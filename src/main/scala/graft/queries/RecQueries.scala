@@ -3,7 +3,7 @@ package graft.queries
 import graft.io.Tables
 import graft.model.{Scene, SimilarityAlgorithm}
 import graft.ops.Ops
-import graft.pipelines.{HotTopicsPipeline, PrecisionEval, RecommendPipeline}
+import graft.pipelines.{AlsRecommender, HotTopicsPipeline, PrecisionEval, RecommendPipeline}
 import graft.text.Tokenizer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -143,6 +143,19 @@ object RecQueries {
       PrecisionEval.precisions(recs, Tables.clicks(s, d))
     }),
 
+    // MLlib ALS collaborative filtering (north-star extension; no SQL oracle
+    // — iterative MF isn't expressible, rows-only + spec-checked).
+    "q50_als_recommend" -> ((s, d) =>
+      AlsRecommender.recommend(Tables.clicks(s, d), k = 5)),
+
+    // Streaming ranked hot topics: the streaming daily counts (q36 source)
+    // ranked per day — streaming ingestion feeding the same ranking contract.
+    "q51_streaming_ranked" -> ((s, d) => {
+      val counts = graft.streaming.StreamingHotTopics.dailyClickCounts(s, d, "stream_ranked")
+      Ops.topKPerGroup(counts, Seq("day"),
+        Seq(col("clicks").desc, col("newsId").asc), 10)
+    }),
+
     // J3/eval: precision of the hot-topics lists against same-day clicks.
     "q24_precision_hot" -> ((s, d) => {
       val clicks = Tables.clicks(s, d)
@@ -239,6 +252,16 @@ object RecQueries {
       """SELECT CAST(ts AS DATE) AS date,
         | list_sort(list(DISTINCT user_id)) AS users
         |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+
+    "q51_streaming_ranked" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_id % 500 AS newsId,
+        |    count(*) AS clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT day, newsId, clicks, rn FROM (
+        |  SELECT day, newsId, clicks,
+        |    row_number() OVER (PARTITION BY day ORDER BY clicks DESC, newsId) AS rn
+        |  FROM c) t WHERE rn <= 10""".stripMargin,
 
     "q47_hot_topics_agg" ->
       """WITH clicks AS (
