@@ -161,6 +161,15 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
     }),
 
+    // Hierarchical aggregate (ROLLUP) — subtotal + grand-total rows in one
+    // pass (engine-completeness beyond the reference's flat groupBys).
+    "q52_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     // Running window aggregate (rows-frame) with a total order → deterministic.
     "q12_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -264,6 +273,11 @@ object RelationalQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
         | count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q52_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q12_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
