@@ -52,6 +52,43 @@ object Ops {
     dateCol.between(lo, hi)
   }
 
+  /** As-of join: for each left row, the latest right row with
+    * `rightTime <= leftTime` on the same key (DuckDB/kdb ASOF JOIN
+    * semantics, inner variant). Spark lacks the operator; rather than a
+    * custom SparkPlan, this composes built-ins the scale-correct way
+    * (spark_guide preference (a)): union both sides tagged, one window
+    * sort per key carrying the right columns forward with
+    * `last(ignoreNulls)`, keep left rows. One shuffle on the key, an
+    * in-partition sort — no range join, no per-row subquery.
+    *
+    * Requirements: left/right column names disjoint; at most one right row
+    * per (key, time) (pre-aggregate otherwise — ties at equal time are
+    * matched, right-before-left).
+    *
+    * @param valueCols right columns to carry onto matching left rows
+    */
+  def asOfJoin(left: DataFrame, leftKey: String, leftTime: String,
+               right: DataFrame, rightKey: String, rightTime: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lSel = left.select(
+      Seq(col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"), lit(1).as("_tag")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as("_r_" + c)) ++
+        leftCols.map(col): _*)
+    val rSel = right.select(
+      Seq(col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"), lit(0).as("_tag")) ++
+        valueCols.map(c => col(c).as("_r_" + c)) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(lSel.unionByName(rSel)) { (df, c) =>
+      df.withColumn("_f_" + c, last(col("_r_" + c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_tag") === 1 && col("_f_" + valueCols.head).isNotNull)
+      .select(leftCols.map(col) ++ valueCols.map(c => col("_f_" + c).as(c)): _*)
+  }
+
   /** Per-date distinct user set (reference A1 `generateUniqueUsers`:
     * groupBy(date) + manual contains-dedup into a list,
     * /root/reference/TextRank.java:321-340). Normalized form — one row per

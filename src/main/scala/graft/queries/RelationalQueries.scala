@@ -170,6 +170,21 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // As-of join: each event matched to the user's latest order at-or-before
+    // the event time (union+window formulation; DuckDB native ASOF JOIN as
+    // the oracle).
+    "q53_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .groupBy((col("o_custkey") % 1500).as("k"), col("o_orderdate").as("t"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      Ops.asOfJoin(ev, "user_id", "ts", ord, "k", "t",
+          Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
     // Running window aggregate (rows-frame) with a total order → deterministic.
     "q12_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -278,6 +293,16 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q53_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey % 1500 AS k, o_orderdate AS t,
+        |    max(o_orderkey) AS o_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey,
+        |  round(o.o_totalprice, 2) AS o_totalprice
+        |FROM events e ASOF JOIN o ON e.user_id = o.k AND e.ts >= o.t""".stripMargin,
 
     "q12_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

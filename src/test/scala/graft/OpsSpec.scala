@@ -51,6 +51,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-02", 1L)))
   }
 
+  test("asOfJoin: latest right row at-or-before left time per key, inner semantics") {
+    val trades = Seq(
+      (1L, "2024-01-01 10:00:00", 100L),
+      (1L, "2024-01-01 12:00:00", 101L),
+      (2L, "2024-01-01 09:00:00", 200L), // before any quote for key 2
+      (3L, "2024-01-01 10:00:00", 300L)  // key with no quotes at all
+    ).toDF("k", "t", "trade_id")
+      .withColumn("t", to_timestamp($"t"))
+    val quotes = Seq(
+      (1L, "2024-01-01 09:30:00", 9.5),
+      (1L, "2024-01-01 10:00:00", 10.0), // equal-time: matches the 10:00 trade
+      (1L, "2024-01-01 11:00:00", 11.0),
+      (2L, "2024-01-01 09:30:00", 2.0)
+    ).toDF("qk", "qt", "price")
+      .withColumn("qt", to_timestamp($"qt"))
+
+    val got = Ops.asOfJoin(trades, "k", "t", quotes, "qk", "qt", Seq("price"))
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got === Map(
+      100L -> 10.0, // equal timestamp matched (>= semantics)
+      101L -> 11.0  // latest earlier quote
+      // 200 (no earlier quote) and 300 (no quotes) dropped: inner as-of
+    ))
+  }
+
   test("property: topKPerGroup == per-group sorted prefix (T1-T3 contract)") {
     val gen = for {
       n <- Gen.choose(0, 60)
