@@ -80,6 +80,37 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(counts("news") === 2.0)
   }
 
+  test("staged round-trip (reference E1a -> E1): keywords written, reloaded, recommend unchanged") {
+    // The reference materializes keyword stages to files and re-reads them
+    // (S4/K1, TF_IDF.java:76-81,156,176). Same lifecycle here via the dual
+    // writer + parquet reload; recommendations must equal the direct run.
+    val news = CsvSources.loadNews(spark, fixture("news.csv")).toDF()
+    val clicks = CsvSources.loadClicks(spark, fixture("clicks.csv")).toDF()
+    val tweets = CsvSources.loadTweets(spark, fixture("tweets.csv")).toDF()
+      .withColumn("tweetId", monotonically_increasing_id())
+    val base = java.nio.file.Files.createTempDirectory("graft_stage").toString
+
+    val newsKw = TfIdfKeywords.newsKeywords(news, Seq(col("content") -> 1.0), 5)
+      .join(news.select(col("id"), col("date")), "id")
+    val userKw = TfIdfKeywords.userKeywords(
+      tweets.select("tweetId", "userId", "content"), 5, 5)
+    graft.io.Writers.writeDual(newsKw, concat_ws("|", col("id"), col("word")),
+      s"$base/news_kw", s"$base/news_kw_txt")
+    graft.io.Writers.writeDual(userKw, concat_ws("|", col("userId"), col("word")),
+      s"$base/user_kw", s"$base/user_kw_txt")
+
+    val scene = Scene(numDays = 3, fromDate = d("2024-01-01"), toDate = d("2024-01-03"),
+      numRecommendations = 3, similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance)
+    def run(nk: org.apache.spark.sql.DataFrame, uk: org.apache.spark.sql.DataFrame) =
+      RecommendPipeline.recommendAll(uk, nk, clicks, scene, Some(3))
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getSeq[Long](2)).toMap
+
+    val direct = run(newsKw, userKw)
+    val staged = run(spark.read.parquet(s"$base/news_kw"), spark.read.parquet(s"$base/user_kw"))
+    assert(staged === direct)
+    assert(direct.nonEmpty)
+  }
+
   test("golden: end-to-end recommend on fixtures ranks the spark news first for the spark user") {
     val news = CsvSources.loadNews(spark, fixture("news.csv")).toDF()
     val clicks = CsvSources.loadClicks(spark, fixture("clicks.csv")).toDF()
