@@ -27,12 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object RecommendPipeline {
 
-  /** Scored (date, userId, newsId, score) for every active (user, day) ×
-    * candidate news pair with score > 0.
-    *
-    * @param userKw  (userId, word, value) — user-profile keywords
-    * @param newsKw  (id, date, word, value) — news keywords
-    * @param clicks  (userId, newsId, date, count)
+  /** Active (day, userId) pairs within the scene range (reference A1 +
+    * per-day filter).
     */
   private def activeUsersOf(clicks: DataFrame, scene: Scene): DataFrame =
     Ops.distinctUsersPerDay(clicks)
@@ -100,6 +96,10 @@ object RecommendPipeline {
 
   /** Scored (date, userId, newsId, score) for every active (user, day) ×
     * candidate news pair with score > 0.
+    *
+    * @param userKw  (userId, word, value) — user-profile keywords
+    * @param newsKw  (id, date, word, value) — news keywords
+    * @param clicks  (userId, newsId, date, count)
     */
   def scoredPairs(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
                   scene: Scene, scoreRound: Option[Int] = None): DataFrame = {
