@@ -64,6 +64,36 @@ class PipelineSpec extends AnyFunSuite {
     inv.foreach { case (k, v) => assert(math.abs(v - cross(k)) < 1e-12) }
   }
 
+  test("randomized parity: inverted scorers == cross+reference-UDF on generated profiles") {
+    val rnd = new scala.util.Random(7) // fixed seed — deterministic test
+    val vocab = ('a' to 'p').map(_.toString)
+    (1 to 5).foreach { _ =>
+      val users = (1L to 6L).flatMap { u =>
+        rnd.shuffle(vocab).take(1 + rnd.nextInt(5)).map(w => (u, w, rnd.nextInt(100) / 10.0 + 0.1))
+      }
+      val news = (10L to 18L).flatMap { n =>
+        rnd.shuffle(vocab).take(1 + rnd.nextInt(5)).map(w => (n, w, rnd.nextInt(100) / 10.0 + 0.1))
+      }
+      val uDf = users.toDF("userId", "word", "value")
+      val nDf = news.toDF("id", "word", "value")
+      val invDot = Scoring.invertedDot(uDf, "userId", nDf, "id").filter(col("score") > 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val crossDot = Scoring.crossScore(nested(uDf, "userId"), "userId",
+          nested(nDf, "id"), "id", Similarities.dotCol)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(invDot.keySet === crossDot.keySet)
+      invDot.foreach { case (k, v) => assert(math.abs(v - crossDot(k)) < 1e-9) }
+
+      val invCos = Scoring.invertedCosineX(uDf.select("userId", "word"), "userId",
+          nDf.select("id", "word"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val crossCos = Scoring.crossScore(nested(uDf, "userId"), "userId",
+          nested(nDf, "id"), "id", Similarities.calculateXCol)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(invCos === crossCos)
+    }
+  }
+
   // --- HotTopics (E3) on a hand-checkable fixture.
 
   test("HotTopicsPipeline: window sum + per-day top-k + ranked list") {
