@@ -22,16 +22,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object VectorExpressions {
 
-  /** Σ a_i·b_i over two array<float> columns, double accumulator. */
+  /** Σ a_i·b_i over two array<float> columns, double accumulator.
+    * Null on input null or on length mismatch — exactly the
+    * `aggregate(zip_with(a, b, _*_), ...)` fold form, whose zip_with
+    * null-pads the shorter array and so folds a null product into a null sum.
+    */
   case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // unequal lengths → null, even for non-null inputs
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "float_vec_dot"
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -47,12 +53,16 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
 

@@ -63,7 +63,10 @@ object Ops {
     *
     * Requirements: left/right column names disjoint; at most one right row
     * per (key, time) (pre-aggregate otherwise — ties at equal time are
-    * matched, right-before-left).
+    * matched, right-before-left). Right value columns may be null: the whole
+    * right row is carried as ONE struct (a single `last(ignoreNulls)`), so a
+    * null in any individual value column can neither mix columns from
+    * different right rows nor drop a genuine match.
     *
     * @param valueCols right columns to carry onto matching left rows
     */
@@ -71,22 +74,22 @@ object Ops {
                right: DataFrame, rightKey: String, rightTime: String,
                valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rStruct = struct(valueCols.map(col): _*)
     val lSel = left.select(
-      Seq(col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"), lit(1).as("_tag")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as("_r_" + c)) ++
+      Seq(col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"), lit(1).as("_tag"),
+        lit(null).cast(right.select(rStruct).schema.head.dataType).as("_r")) ++
         leftCols.map(col): _*)
     val rSel = right.select(
-      Seq(col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"), lit(0).as("_tag")) ++
-        valueCols.map(c => col(c).as("_r_" + c)) ++
+      Seq(col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"), lit(0).as("_tag"),
+        rStruct.as("_r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(lSel.unionByName(rSel)) { (df, c) =>
-      df.withColumn("_f_" + c, last(col("_r_" + c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_tag") === 1 && col("_f_" + valueCols.head).isNotNull)
-      .select(leftCols.map(col) ++ valueCols.map(c => col("_f_" + c).as(c)): _*)
+    val filled = lSel.unionByName(rSel)
+      .withColumn("_f", last(col("_r"), ignoreNulls = true).over(w))
+    filled.filter(col("_tag") === 1 && col("_f").isNotNull)
+      .select(leftCols.map(col) ++ valueCols.map(c => col("_f")(c).as(c)): _*)
   }
 
   /** Per-date distinct user set (reference A1 `generateUniqueUsers`:

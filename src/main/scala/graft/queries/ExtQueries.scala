@@ -315,8 +315,8 @@ object ExtQueries {
 
     "q42_token_budget" ->
       s"""SELECT doc_id, len($toks) AS ws_tokens,
-         | list_sum(list_transform($toks,
-         |   w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS subword_tokens,
+         | CAST(list_sum(list_transform($toks,
+         |   w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_tokens,
          | n_chars
          |FROM documents""".stripMargin,
 

@@ -74,11 +74,13 @@ object RecQueries {
     "q19_hot_topics" -> ((s, d) =>
       HotTopicsPipeline.topicsPerDay(Tables.clicks(s, d), scene)),
 
-    // A1 generateUniqueUsers in its reference shape: per-date user list.
+    // A1 generateUniqueUsers in its reference shape: per-date user list
+    // (rendered comma-joined — the external comparator can't sort raw array
+    // columns; both engines stringify the identically-sorted list).
     "q20_unique_users" -> ((s, d) =>
       Tables.clicks(s, d)
         .groupBy(col("date"))
-        .agg(sort_array(collect_set(col("userId"))).as("users"))),
+        .agg(concat_ws(",", sort_array(collect_set(col("userId")))).as("users"))),
 
     // E1 single-day slice, dot-product mode (F8): scored top-5 per user.
     "q21_rec_dot" -> ((s, d) => {
@@ -109,6 +111,7 @@ object RecQueries {
         numRecommendations = 5)
       RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
         limit = Some(5), scoreRound = Some(4))
+        .withColumn("news", concat_ws(",", col("news")))
     }),
 
     // T1 via the partial-combining TopK Aggregator instead of a window —
@@ -239,7 +242,7 @@ object RecQueries {
         |days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
         |  INTERVAL 1 DAY))::DATE AS day),
         |counts AS (
-        |  SELECT d.day, c.newsId, sum(c.count) AS clicks
+        |  SELECT d.day, c.newsId, CAST(sum(c.count) AS BIGINT) AS clicks
         |  FROM clicks c JOIN days d
         |    ON c.date BETWEEN d.day - 7 AND d.day
         |  GROUP BY d.day, c.newsId)
@@ -250,7 +253,7 @@ object RecQueries {
 
     "q20_unique_users" ->
       """SELECT CAST(ts AS DATE) AS date,
-        | list_sort(list(DISTINCT user_id)) AS users
+        | array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
         |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
 
     "q51_streaming_ranked" ->
@@ -321,7 +324,8 @@ object RecQueries {
 
     "q23_rec_lists" -> (rankedCte +
       """
-        |SELECT userId, day AS date, list(newsId ORDER BY rn) AS news
+        |SELECT userId, day AS date,
+        |  array_to_string(list(newsId ORDER BY rn), ',') AS news
         |FROM ranked WHERE rn <= 5 GROUP BY userId, day""".stripMargin),
 
     "q46_precision_rec" -> (rankedCte +
@@ -333,7 +337,7 @@ object RecQueries {
         |  FROM ranked r LEFT JOIN clicked c
         |    ON r.userId = c.userId AND r.day = c.date AND r.newsId = c.newsId
         |  WHERE r.rn <= 5)
-        |SELECT date, sum(hit) AS n_hits, count(*) AS n_recommended,
+        |SELECT date, CAST(sum(hit) AS BIGINT) AS n_hits, count(*) AS n_recommended,
         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS precision
         |FROM joined GROUP BY date""".stripMargin),
 
@@ -361,7 +365,7 @@ object RecQueries {
         |  SELECT r.date, CASE WHEN c.newsId IS NULL THEN 0 ELSE 1 END AS hit
         |  FROM recs r LEFT JOIN clicked c
         |    ON r.userId = c.userId AND r.date = c.date AND r.newsId = c.newsId)
-        |SELECT date, sum(hit) AS n_hits, count(*) AS n_recommended,
+        |SELECT date, CAST(sum(hit) AS BIGINT) AS n_hits, count(*) AS n_recommended,
         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS precision
         |FROM joined GROUP BY date""".stripMargin
   )

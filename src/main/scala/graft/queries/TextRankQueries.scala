@@ -54,6 +54,9 @@ object TextRankQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene,
         limit = Some(scene.numRecommendations), scoreRound = Some(6))
+        // comma-joined list: the external comparator sorts the output frame
+        // and can't lexsort raw array columns
+        .withColumn("news", concat_ws(",", col("news")))
     })
   )
 

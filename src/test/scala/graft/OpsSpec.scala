@@ -76,6 +76,33 @@ class OpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("asOfJoin: null right value columns carry as one row (no cross-row mixing)") {
+    // DuckDB ASOF semantics: the matched right ROW is carried whole. A null
+    // in one value column must not pull that column from an older row, and a
+    // null in the first value column must not drop the match.
+    val trades = Seq(
+      (1L, "2024-01-01 10:00:00", 100L),
+      (1L, "2024-01-01 12:00:00", 101L)
+    ).toDF("k", "t", "trade_id")
+      .withColumn("t", to_timestamp($"t"))
+    val quotes = Seq(
+      (1L, "2024-01-01 09:00:00", Some(9.0), Some(90L)),
+      (1L, "2024-01-01 09:30:00", None, Some(95L)),    // null price: still the match for 10:00
+      (1L, "2024-01-01 11:00:00", Some(11.0), None)    // null size: still the match for 12:00
+    ).toDF("qk", "qt", "price", "qsize")
+      .withColumn("qt", to_timestamp($"qt"))
+
+    val got = Ops.asOfJoin(trades, "k", "t", quotes, "qk", "qt", Seq("price", "qsize"))
+      .collect()
+      .map(r => r.getLong(2) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+         Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got === Map(
+      100L -> (None, Some(95L)),     // whole 09:30 row — price NOT taken from 09:00
+      101L -> (Some(11.0), None)     // whole 11:00 row — size NOT taken from 09:30
+    ))
+  }
+
   test("property: topKPerGroup == per-group sorted prefix (T1-T3 contract)") {
     val gen = for {
       n <- Gen.choose(0, 60)

@@ -70,6 +70,18 @@ class PlanAndStreamSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bit-identical
   }
 
+  test("FloatVecDot: length mismatch yields null, matching the fold form") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f, 2.0f, 5.0f), Array(3.0f, 4.0f)) // unequal lengths
+    ).toDF("x", "y")
+    val rows = df.select(
+      graft.functions.VectorExpressions.floatVecDot($"x", $"y").as("native"),
+      Ann.dotCol($"x", $"y").as("fold")).collect()
+    assert(rows(0).getDouble(0) === 11.0 && rows(0).getDouble(1) === 11.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // both null on mismatch
+  }
+
   test("GraftExtensions: SQL function registration + strength-reduction rule") {
     graft.functions.GraftExtensions.installFunctions(spark)
     val viaSql = spark.sql(
