@@ -17,7 +17,13 @@ object Bench {
     // absorb one-time initialization (no query data is cached by this).
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local profiling (driver leaves unset)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a count()
       // would let Catalyst prune projection-heavy work out of the measurement)

@@ -20,9 +20,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q19_hot_topics")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextQueries.queries ++ RecQueries.queries ++
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val raw = RelationalQueries.queries ++ TextQueries.queries ++ RecQueries.queries ++
       ExtQueries.queries ++ TextRankQueries.queries
+    // Scope boundary: entering a query releases the previous query's
+    // scoped caches (graft.runtime.Stage) — queries run sequentially under
+    // the driver contract.
+    raw.map { case (name, fn) =>
+      name -> ((s: SparkSession, d: String) => {
+        graft.runtime.Stage.newQueryScope()
+        fn(s, d)
+      })
+    }
+  }
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ RecQueries.oracle ++

@@ -96,6 +96,15 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Exploded DISTINCT shingle rows (_id, _s) per document — the input both
+    * the candidate-pair Jaccard and the pair-set Jaccard consume. Exposed so
+    * callers can persist/share one materialization across queries.
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: Column,
+                  shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("_id"),
+      explode(array_distinct(shingles(Tokenizer.tokens(textCol), shingleSize))).as("_s"))
+
   /** Exact shingle-set Jaccard for given (doc_a, doc_b) candidate pairs:
     * explode distinct shingles per doc, equi-join, count; |A∩B|/(|A|+|B|-|A∩B|).
     */
@@ -104,9 +113,15 @@ object Dedup {
     // The exploded shingle set feeds three consumers (both pair sides +
     // sizes); persist so tokenize+shingle runs once per job, not three times.
     // Bounded: |docs| · shingles-per-doc rows of short strings.
-    val sh = docs.select(col(idCol).as("_id"),
-        explode(array_distinct(shingles(Tokenizer.tokens(textCol), shingleSize))).as("_s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.runtime.Stage.scopedPersist(
+      shingleRows(docs, idCol, textCol, shingleSize))
+    jaccardOnShingles(pairs, sh, roundTo)
+  }
+
+  /** Jaccard over a prebuilt (and typically persisted/shared) shingle-row
+    * table from [[shingleRows]].
+    */
+  def jaccardOnShingles(pairs: DataFrame, sh: DataFrame, roundTo: Int = 6): DataFrame = {
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
     // Shingle equality is part of the join condition (hash join on
     // (doc, shingle)) — NOT a post-join filter, which would cross every

@@ -20,15 +20,32 @@ object ExtQueries {
   private val PLANES = 8
   private val DIM = 64
 
+  /** Minhash signatures / distinct shingle rows as shared stages (one
+    * materialization per session+dataset — the dedup analogue of the
+    * reference's staged keyword files): q25+q26 share the signatures,
+    * q26+q27 share the shingle table.
+    */
+  private def sharedSigs(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s"minhash-sigs:$SH:$NH:${System.identityHashCode(s)}:$d") {
+      graft.runtime.Stage.persistShared(
+        Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", col("text"), SH, NH))
+    }
+
+  private def sharedShingles(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s"shingle-rows:$SH:${System.identityHashCode(s)}:$d") {
+      graft.runtime.Stage.persistShared(
+        Dedup.shingleRows(Tables.documents(s, d), "doc_id", col("text"), SH))
+    }
+
   val queries: Map[String, Q] = Map(
-    "q25_minhash_sig" -> ((s, d) =>
-      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", col("text"), SH, NH)),
+    "q25_minhash_sig" -> ((s, d) => sharedSigs(s, d)),
 
     "q26_lsh_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"), SH, NH)
-      val cands = Dedup.lshCandidates(sigs, "doc_id", NH, BAND)
-      Dedup.jaccard(cands, docs, "doc_id", col("text"), SH)
+      // candidate pairs feed two plan branches of the jaccard (base + inter)
+      // — scoped-persist so the band self-join runs once
+      val cands = graft.runtime.Stage.scopedPersist(
+        Dedup.lshCandidates(sharedSigs(s, d), "doc_id", NH, BAND))
+      Dedup.jaccardOnShingles(cands, sharedShingles(s, d))
     }),
 
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
@@ -38,7 +55,7 @@ object ExtQueries {
       val pairs = ids.select(col("doc_id").as("doc_a"))
         .join(ids.select(col("doc_id").as("doc_b")),
           col("doc_b") === col("doc_a") + 1)
-      Dedup.jaccard(pairs, Tables.documents(s, d), "doc_id", col("text"), SH)
+      Dedup.jaccardOnShingles(pairs, sharedShingles(s, d))
     }),
 
     // SimHash fingerprints (UDF bit arithmetic — unit-tested, no SQL oracle).
@@ -74,9 +91,10 @@ object ExtQueries {
 
     // Structured Streaming daily click counts (tumbling 1-day window +
     // watermark, memory sink driven to completion) — hash-checked against
-    // the same batch oracle.
+    // the same batch oracle. The ingested count table is shared with q51's
+    // ranking (one streaming run, two consumers).
     "q36_streaming_hot" -> ((s, d) =>
-      graft.streaming.StreamingHotTopics.dailyClickCounts(s, d)),
+      graft.streaming.StreamingHotTopics.sharedDailyClickCounts(s, d)),
 
     // Stateful streaming (mapGroupsWithState) per-user click profiles —
     // hash-checked against the batch-equivalent oracle.
@@ -166,13 +184,17 @@ object ExtQueries {
     })
   )
 
-  /** Per-doc TF-IDF top-8 keywords (id, word, value, rn) — shared by the
-    * similarity-variant queries; weights rounded 6 as everywhere.
+  /** Per-doc TF-IDF top-8 keywords (id, word, value, rn) — one shared
+    * materialization for the similarity-variant queries (q37, q38); weights
+    * rounded 6 as everywhere.
     */
   private def docKeywords(s: SparkSession, d: String): DataFrame =
-    graft.text.TfIdf.topKeywords(Tables.documents(s, d), "doc_id",
-      Seq(col("text") -> 1.0), k = 8, roundTo = 6)
-      .select(col("doc_id").as("id"), col("word"), col("score").as("value"), col("rn"))
+    graft.runtime.Stage.shared(s"doc-kw8:${System.identityHashCode(s)}:$d") {
+      graft.runtime.Stage.persistShared(
+        graft.text.TfIdf.topKeywords(Tables.documents(s, d), "doc_id",
+          Seq(col("text") -> 1.0), k = 8, roundTo = 6)
+          .select(col("doc_id").as("id"), col("word"), col("score").as("value"), col("rn")))
+    }
 
   // ---- DuckDB oracles ----
 

@@ -31,15 +31,28 @@ object RecQueries {
     * returns (newsKw (id, date, word, value), userKw (userId, word, value)).
     * Weights rounded to 6 so every downstream arithmetic sees identical
     * operands in Spark and DuckDB.
+    *
+    * Memoized per (session, dataset) via [[graft.runtime.Stage]]: the
+    * reference materializes these exact profiles to files once and re-reads
+    * them in every consumer stage (TF_IDF.java:109,127,156,176); here the
+    * first consumer query materializes the persisted DataFrames and
+    * q21/q22/q23/q46 all reuse them.
     */
-  private def profiles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def profiles(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.runtime.Stage.shared(s"rec-profiles:${System.identityHashCode(s)}:$d") {
+      buildProfiles(s, d)
+    }
+
+  private def buildProfiles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.runtime.Stage
     val docs = Tables.documents(s, d)
     // toks feeds news tf + user-profile tokens; tf feeds news scoring + df —
-    // persist both so tokenize-explode and the tf aggregation run once.
-    val toks = docs.select(col("doc_id"), explode(Tokenizer.tokens(col("text"))).as("word"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist both so tokenize-explode and the tf aggregation run once while
+    // the profiles materialize (scoped: dead weight once they have).
+    val toks = Stage.scopedPersist(
+      docs.select(col("doc_id"), explode(Tokenizer.tokens(col("text"))).as("word")))
+    val tf = Stage.scopedPersist(
+      toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
 
@@ -64,10 +77,23 @@ object RecQueries {
         Seq("userId"), Seq(col("value").desc, col("word").asc), 8)
       .select(col("userId"), col("word"), col("value"))
     // both profiles feed several plan branches (scoring, sizes, date
-    // lookups) — persist so the tf-idf chain runs once per query
-    (newsKwDated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      userKw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // lookups) across four queries — session-lifetime persist
+    (Stage.persistShared(newsKwDated), Stage.persistShared(userKw))
   }
+
+  /** The q23/q46-shared all-days dot-product recommendation run (the E1
+    * output table both the list query and its precision evaluation consume)
+    * — built and persisted once per (session, dataset).
+    */
+  private def recDotLists(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s"rec-dot-lists:${System.identityHashCode(s)}:$d") {
+      val (newsKw, userKw) = profiles(s, d)
+      val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance,
+        numRecommendations = 5)
+      graft.runtime.Stage.persistShared(
+        RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
+          limit = Some(5), scoreRound = Some(4)))
+    }
 
   val queries: Map[String, Q] = Map(
     // E3: the HotTopics pipeline over the clicks mapping.
@@ -105,14 +131,8 @@ object RecQueries {
     }),
 
     // E1 all days: reference-shaped ranked news lists per (user, date).
-    "q23_rec_lists" -> ((s, d) => {
-      val (newsKw, userKw) = profiles(s, d)
-      val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance,
-        numRecommendations = 5)
-      RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
-        limit = Some(5), scoreRound = Some(4))
-        .withColumn("news", concat_ws(",", col("news")))
-    }),
+    "q23_rec_lists" -> ((s, d) =>
+      recDotLists(s, d).withColumn("news", concat_ws(",", col("news")))),
 
     // T1 via the partial-combining TopK Aggregator instead of a window —
     // same ranking contract, map-side-combined shuffle; under the same
@@ -136,25 +156,21 @@ object RecQueries {
     }),
 
     // J3/eval: precision of the content-based rec lists (q23) against
-    // same-day clicks — the reference's precisionStats over E1 output.
-    "q46_precision_rec" -> ((s, d) => {
-      val (newsKw, userKw) = profiles(s, d)
-      val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance,
-        numRecommendations = 5)
-      val recs = RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
-        limit = Some(5), scoreRound = Some(4))
-      PrecisionEval.precisions(recs, Tables.clicks(s, d))
-    }),
+    // same-day clicks — the reference's precisionStats over E1 output
+    // (evaluates the SAME materialized run the list query emits, exactly as
+    // the reference's precisionStats reads back the written recs files).
+    "q46_precision_rec" -> ((s, d) =>
+      PrecisionEval.precisions(recDotLists(s, d), Tables.clicks(s, d))),
 
     // MLlib ALS collaborative filtering (north-star extension; no SQL oracle
     // — iterative MF isn't expressible, rows-only + spec-checked).
     "q50_als_recommend" -> ((s, d) =>
       AlsRecommender.recommend(Tables.clicks(s, d), k = 5)),
 
-    // Streaming ranked hot topics: the streaming daily counts (q36 source)
-    // ranked per day — streaming ingestion feeding the same ranking contract.
+    // Streaming ranked hot topics: the streaming daily counts (the same
+    // shared streaming-ingestion table q36 emits) ranked per day.
     "q51_streaming_ranked" -> ((s, d) => {
-      val counts = graft.streaming.StreamingHotTopics.dailyClickCounts(s, d, "stream_ranked")
+      val counts = graft.streaming.StreamingHotTopics.sharedDailyClickCounts(s, d)
       Ops.topKPerGroup(counts, Seq("day"),
         Seq(col("clicks").desc, col("newsId").asc), 10)
     }),

@@ -30,28 +30,37 @@ object TextRankQueries {
     numRecommendations = 5,
     similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance)
 
+  /** Per-document TextRank keyword table, shared by q39 (direct output) and
+    * q40 (scoring input) — one run of the power-iteration UDF over the
+    * corpus per session+dataset (the reference writes this exact table to
+    * files once, TextRank.java:68-73, and re-reads it at :224).
+    */
+  private def sharedNewsKw(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s"textrank-news-kw:${System.identityHashCode(s)}:$d") {
+      graft.runtime.Stage.persistShared(
+        TextRankKeywords.newsKeywords(Tables.news(s, d), scene))
+    }
+
   val queries: Map[String, Q] = Map(
     // E2 keyword stage: per-document TextRank over the window co-occurrence
     // graph (the graph never crosses a row — a UDF, not GraphX).
     "q39_textrank_kw" -> ((s, d) =>
-      TextRankKeywords.newsKeywords(Tables.news(s, d), scene)
-        .withColumn("value", round(col("value"), 6))),
+      sharedNewsKw(s, d).withColumn("value", round(col("value"), 6))),
 
     // E2 end-to-end: clique-graph user profiles from clicked documents'
     // texts, dot-product scoring, per-(day,user) ranked lists.
     "q40_textrank_rec" -> ((s, d) => {
       val news = Tables.news(s, d)
       val clicks = Tables.clicks(s, d)
-      // persist: the keyword profiles feed multiple plan branches, and the
-      // TextRank UDF over every document must not re-run per branch
-      val newsKw = TextRankKeywords.newsKeywords(news, scene)
-        .join(news.select(col("id"), col("date")), "id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // scoped persist: the keyword profiles feed multiple plan branches, and
+      // the TextRank UDF over every document must not re-run per branch
+      val newsKw = graft.runtime.Stage.scopedPersist(
+        sharedNewsKw(s, d).join(news.select(col("id"), col("date")), "id"))
       val userTweets = clicks.select(col("userId"), col("newsId"))
         .join(news.select(col("id"), col("content")), col("newsId") === col("id"))
         .select(col("userId"), col("content"))
-      val userKw = TextRankKeywords.userKeywords(userTweets, scene)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val userKw = graft.runtime.Stage.scopedPersist(
+        TextRankKeywords.userKeywords(userTweets, scene))
       RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene,
         limit = Some(scene.numRecommendations), scoreRound = Some(6))
         // comma-joined list: the external comparator sorts the output frame

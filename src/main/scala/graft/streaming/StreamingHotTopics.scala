@@ -62,4 +62,15 @@ object StreamingHotTopics {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** The daily-count table as a shared stage: one streaming ingestion run
+    * per (session, dataset), reused by every consumer (q36 raw counts, q51
+    * ranking) — the streaming analogue of the reference's materialized
+    * DAILY_STATS input (/root/reference/HotTopics.java:34).
+    */
+  def sharedDailyClickCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.runtime.Stage.shared(
+      s"stream-daily-counts:${System.identityHashCode(spark)}:$dir") {
+      graft.runtime.Stage.persistShared(dailyClickCounts(spark, dir, "stream_counts"))
+    }
 }
