@@ -119,38 +119,55 @@ object RecommendPipeline {
                    scoreRound: Option[Int] = None): DataFrame = {
     val activeUsers = activeUsersOf(clicks, scene)
     val scores = pairScores(userKw, newsKw, activeUsers, scene, scoreRound)
-    val perDay = limit match {
+    limit match {
       case Some(k) =>
         // Hierarchical top-k: a day's candidate set is the union of the
         // numDays+1 news publication dates it covers, and scores are
         // day-invariant — so the global per-(day,user) top-k is contained in
         // the union of per-(user, news-date) top-k's. Pre-ranking per news
         // date cuts the day-exploded ranking input by ~candidates/k before
-        // the expensive window, without changing results.
+        // the second window, without changing results.
+        //
+        // Ranking shape, measured: both levels are window row_number —
+        // shuffle on the group key + in-partition sort. The typed TopK
+        // Aggregator variant (q47's huge-group path) is WORSE here: with
+        // many small (user, date) groups Spark's ObjectHashAggregate falls
+        // back to sort-based aggregation past 128 distinct keys, paying the
+        // same sort plus typed-buffer serialization (benchmarked 3x slower
+        // at sf0.1). Window for many-small-groups, Aggregator for
+        // few-huge-groups.
         val withDate = scores.join(newsKw.select("id", "date").distinct(), "id")
         val pre = Ops.topKPerGroup(withDate, Seq("userId", "date"),
           Seq(col("score").desc, col("id").asc), k, rankCol = "_prn")
           .drop("_prn")
         // news dates here are already within [from, to+numDays] (pairScores
         // pre-filter), so the sequence bounds are always valid
-        pre.withColumn("day", explode(sequence(
+        val perDay = pre.withColumn("day", explode(sequence(
             greatest(date_sub(col("date"), scene.numDays), lit(scene.fromDate)),
             least(col("date"), lit(scene.toDate)),
             expr("interval 1 day"))))
           .join(activeUsers, Seq("day", "userId"), "left_semi")
           .select(col("day").as("date"), col("userId"), col("id").as("newsId"), col("score"))
+        val ranked = Ops.topKPerGroup(perDay, Seq("date", "userId"),
+          Seq(col("score").desc, col("newsId").asc), k)
+        ranked
+          .groupBy(col("userId"), col("date"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("rn"), col("newsId")))),
+            x => x("newsId")).as("news"))
       case None =>
-        scores.join(newsDaysOf(newsKw, scene), "id")
+        // T2 unbounded collect: no cut, so rank with the window form and
+        // gather the full ordered list.
+        val perDay = scores.join(newsDaysOf(newsKw, scene), "id")
           .join(activeUsers, Seq("day", "userId"), "left_semi")
           .select(col("day").as("date"), col("userId"), col("id").as("newsId"), col("score"))
+        val ranked = Ops.topKPerGroup(perDay, Seq("date", "userId"),
+          Seq(col("score").desc, col("newsId").asc), Int.MaxValue)
+        ranked
+          .groupBy(col("userId"), col("date"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("rn"), col("newsId")))),
+            x => x("newsId")).as("news"))
     }
-    val ranked = Ops.topKPerGroup(perDay, Seq("date", "userId"),
-      Seq(col("score").desc, col("newsId").asc),
-      limit.getOrElse(Int.MaxValue))
-    ranked
-      .groupBy(col("userId"), col("date"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("rn"), col("newsId")))),
-        x => x("newsId")).as("news"))
   }
 }
