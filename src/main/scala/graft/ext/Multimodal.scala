@@ -60,4 +60,36 @@ object Multimodal {
   def documentBlobs(spark: SparkSession, dir: String): DataFrame =
     graft.io.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** One sampled "frame" of a video-like blob. `frame_off` is the byte
+    * offset a real demuxer would seek to; the digest stands in for the
+    * decoded frame tensor.
+    */
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_off: Long,
+                      frame_digest: String)
+
+  /** Frame sampling over binary payloads: one blob row → `nFrames` frame
+    * rows (the media analogue of tokenize-explode; a generator, not an agg).
+    * Same stubbed-decode contract as [[extractFeatures]]: the seek/decode is
+    * a deterministic digest stand-in, the row fan-out, batching, and schema
+    * are the real plumbing. Iterator-to-iterator, no shuffle, payloads never
+    * hit the driver.
+    */
+  def sampleFrames(blobs: DataFrame, nFrames: Int): Dataset[FrameRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          (0 until nFrames).iterator.map { i =>
+            md5.reset()
+            val digest = md5.digest(bytes ++ s"#$i".getBytes("UTF-8"))
+            FrameRow(id, i, i.toLong * (bytes.length / nFrames),
+              hex(digest).take(16))
+          }
+        }
+      }
+  }
 }

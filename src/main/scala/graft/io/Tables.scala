@@ -38,7 +38,10 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // integral DIV, not `/`: Column `/` is double division, and epoch
+        // NANOS (~1.7e18) exceed double's 2^53 integer range — the float
+        // round-trip lands ±1µs off and breaks exact-timestamp oracles
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => raw
     }
   }

@@ -58,7 +58,8 @@ object ExtQueries {
       Dedup.jaccardOnShingles(pairs, sharedShingles(s, d))
     }),
 
-    // SimHash fingerprints (UDF bit arithmetic — unit-tested, no SQL oracle).
+    // SimHash fingerprints (UDF bit arithmetic; oracle reproduces the md5
+    // bit votes with hex-digit arithmetic + BIGINT shifts).
     "q28_simhash" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         Dedup.simhashUdf(col("text")).as("simhash"))),
@@ -88,6 +89,11 @@ object ExtQueries {
 
     "q35_multimodal" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.documentBlobs(s, d)).toDF()),
+
+    // Frame sampling: binary blob → n frame rows (generator-shaped media
+    // op; stubbed decode, real fan-out/offset/schema plumbing).
+    "q61_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.documentBlobs(s, d), 3).toDF()),
 
     // Structured Streaming daily click counts (tumbling 1-day window +
     // watermark, memory sink driven to completion) — hash-checked against
@@ -315,6 +321,39 @@ object ExtQueries {
 
     "q34_fingerprint" ->
       s"SELECT doc_id, md5(array_to_string($toks, '|')) AS fingerprint FROM documents",
+
+    // Spark simhash32: per distinct token, h = first 4 md5 bytes (big-endian
+    // 32-bit); bit j of the fingerprint set iff Σ tf·(bit j of h ? 1 : -1)
+    // > 0; result is a SIGNED 32-bit int. Reproduced here with hex-digit
+    // arithmetic + BIGINT shifts, two's-complemented back at the end.
+    "q28_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |hv AS (
+         |  SELECT doc_id, tf,
+         |    list_sum(list_transform(range(8), hi ->
+         |      (strpos('0123456789abcdef', substr(md5(tok), CAST(hi + 1 AS INT), 1)) - 1)
+         |        * (1::BIGINT << CAST(4 * (7 - hi) AS INT)))) AS h
+         |  FROM tf),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN tf ELSE -tf END) AS v
+         |  FROM hv, range(32) t(j) GROUP BY 1, 2),
+         |acc AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END) AS u
+         |  FROM bits GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN coalesce(a.u, 0) >= 2147483648
+         |    THEN coalesce(a.u, 0) - 4294967296
+         |    ELSE coalesce(a.u, 0) END AS INT) AS simhash
+         |FROM documents d LEFT JOIN acc a USING (doc_id)""".stripMargin,
+
+    "q61_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(i * (n_chars // 3) AS BIGINT) AS frame_off,
+        |  substr(md5(text || '#' || i), 1, 16) AS frame_digest
+        |FROM documents, range(3) t(i)""".stripMargin,
 
     "q35_multimodal" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,

@@ -185,6 +185,104 @@ object RelationalQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    // Gap-based sessionization (ops.Sessionize, lag/cumsum window form):
+    // 30-minute inactivity gap over the event stream, per-user session
+    // ordinals + per-session stats.
+    "q54_sessionize" -> ((s, d) =>
+      graft.ops.Sessionize.sessionStats(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", 1800L)),
+
+    // The same sessions via Spark's built-in session_window (state-store
+    // path in streaming; batch here) — its merge rule must reproduce the
+    // lag/cumsum form, so both run under equivalent oracles.
+    "q60_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("sw.start").as("t_start"),
+          (col("sw.end") - expr("INTERVAL 30 MINUTES")).as("t_end"),
+          col("n_events"))),
+
+    // Full CUBE over two dimensions (q52's ROLLUP sibling): all 4 grouping
+    // sets in one pass via Expand — no re-scan per set.
+    "q55_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // Range/interval join, decomposed for scale: pre-aggregate the probe
+    // side per day FIRST, then explode each interval into its member days
+    // and equi-join on day — the O(|intervals|·|days|) bucketed plan, never
+    // the O(N·M) theta join the BETWEEN predicate would naively produce.
+    "q56_range_join" -> ((s, d) => {
+      val iv = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            (col("o_orderkey") % 28).cast("int")).as("d0"))
+        .withColumn("d1", date_add(col("d0"), (col("o_orderkey") % 7).cast("int") + 1))
+      val evDay = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_ev"), round(sum(col("value")), 2).as("v"))
+      iv.withColumn("day", explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))))
+        .join(evDay, "day")
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("n_ev")).as("n_events"), round(sum(col("v")), 2).as("total_value"))
+    }),
+
+    // Exact nearest-rank percentiles: the value at ordered position
+    // ceil(p·n) per group (continuous interpolation of 2-decimal prices
+    // lands exactly on .005 halves, where engines' round() disagree —
+    // nearest-rank is an existing data value, unambiguous cross-engine).
+    "q57_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("p").asc)
+      val wn = Window.partitionBy(col("l_returnflag"))
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), round(col("l_extendedprice"), 2).as("p"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      def at(q: Double) = max(when(col("rn") === ceil(lit(q) * col("n")), col("p")))
+      ranked.groupBy(col("l_returnflag"))
+        .agg(at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"),
+          round(avg(col("p")), 2).as("mean"))
+    }),
+
+    // Skew-mitigation pattern: two-phase salted aggregation (salt on a
+    // uniform key → partial agg per (group, salt) → final agg per group).
+    // Same result as the direct groupBy — the oracle IS the direct form.
+    // At 100 TB this is how a 3-hot-group aggregation avoids 3 straggler
+    // reducers; l_quantity sums are integer-valued so re-association is
+    // exact.
+    "q58_salted_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("_salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("_salt"))
+        .agg(sum(col("l_quantity")).as("_pq"), count(lit(1)).as("_pn"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("_pq")), 2).as("sum_qty"), sum(col("_pn")).as("n"))),
+
+    // Window-function suite: lag/lead/ntile/rank with a unique total order
+    // per customer order history.
+    "q59_window_suite" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wp = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("qtile", ntile(4).over(w))
+        .withColumn("price_rank", rank().over(wp))
+        .select(col("o_orderkey"), col("o_custkey"), col("prev_price"),
+          col("next_date"), col("qtile"), col("price_rank"))
+    }),
+
     // Running window aggregate (rows-frame) with a total order → deterministic.
     "q12_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -309,6 +407,91 @@ object RelationalQueries {
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q54_sessionize" -> (sessionCte +
+      """
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+        |FROM s GROUP BY 1, 2""".stripMargin),
+
+    // session_window's merge rule == the gap rule: same sessions, keyed by
+    // their span instead of the ordinal.
+    "q60_session_window" -> (sessionCte +
+      """
+        |SELECT user_id, min(ts) AS t_start, max(ts) AS t_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin),
+
+    "q55_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q56_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    DATE '2024-01-01' + CAST(o_orderkey % 28 AS INT) AS d0,
+        |    DATE '2024-01-01' + CAST(o_orderkey % 28 AS INT)
+        |      + (CAST(o_orderkey % 7 AS INT) + 1) AS d1
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_ev,
+        |    round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1)
+        |SELECT o_orderkey, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  round(sum(v), 2) AS total_value
+        |FROM iv JOIN ev ON ev.day BETWEEN iv.d0 AND iv.d1
+        |GROUP BY o_orderkey""".stripMargin,
+
+    "q57_percentiles" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, round(l_extendedprice, 2) AS p FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, p,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY p) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM b)
+        |SELECT l_returnflag,
+        | max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN p END) AS p25,
+        | max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN p END) AS p50,
+        | max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN p END) AS p75,
+        | round(avg(p), 2) AS mean
+        |FROM r GROUP BY l_returnflag""".stripMargin,
+
+    // the oracle IS the unsalted direct aggregation
+    "q58_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q59_window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        | lead(o_orderdate, 1) OVER w AS next_date,
+        | ntile(4) OVER w AS qtile,
+        | rank() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
   )
+
+  /** Shared gap-sessionization CTE (30-min gap, epoch-µs comparison, ts
+    * truncated ns→µs to match the Spark reader).
+    */
+  private lazy val sessionCte =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |      THEN 1 ELSE 0 END AS nw
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM x)""".stripMargin
 }

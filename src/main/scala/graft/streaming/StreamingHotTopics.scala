@@ -43,7 +43,9 @@ object StreamingHotTopics {
       .parquet(dir)
 
     val clicks = stream
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integral DIV (see Tables.events): double division loses µs precision
+      // on epoch nanos
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .filter(col("event_type") === "click")
       .select((col("event_id") % 500).as("newsId"), col("ts"))
 

@@ -142,4 +142,14 @@ class ExtSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(blobs).collect().map(f => f.doc_id -> f).toMap
     assert(again(1L) === feats(1L))
   }
+
+  test("multimodal frame sampling: n-row fan-out, offsets stride bytes/n, digests differ per frame") {
+    val blobs = Seq((1L, "abcdefghij".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(blobs, 3).collect().sortBy(_.frame_idx)
+    assert(frames.length === 3)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 1, 2))
+    assert(frames.map(_.frame_off).toSeq === Seq(0L, 3L, 6L)) // 10/3 = 3 stride
+    assert(frames.map(_.frame_digest).distinct.length === 3) // idx feeds digest
+    assert(frames.forall(_.frame_digest.length === 16))
+  }
 }

@@ -103,6 +103,28 @@ class OpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("sessionize: gap >= threshold starts a new session (session_window merge rule)") {
+    val ts0 = 1700000000000000L // epoch micros
+    val gap = 1800L // seconds
+    val ev = Seq(
+      (1L, 10L, ts0),                          // s1
+      (1L, 11L, ts0 + 1799L * 1000000L),       // +1799s  < gap  -> s1
+      (1L, 12L, ts0 + 3599L * 1000000L),       // +1800s == gap  -> s2 (strict <)
+      (1L, 13L, ts0 + 7200L * 1000000L),       // +3601s         -> s3
+      (2L, 20L, ts0)                           // other key      -> own s1
+    ).toDF("k", "id", "us")
+      .withColumn("t", timestamp_micros($"us")).drop("us")
+    val got = graft.ops.Sessionize.sessionize(ev, "k", "t", "id", gap)
+      .select($"id", $"session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 3L, 20L -> 1L))
+
+    val stats = graft.ops.Sessionize.sessionStats(ev, "k", "t", "id", gap)
+      .filter($"k" === 1 && $"session_id" === 1)
+      .select($"n_events").collect()
+    assert(stats.head.getLong(0) === 2L)
+  }
+
   test("property: topKPerGroup == per-group sorted prefix (T1-T3 contract)") {
     val gen = for {
       n <- Gen.choose(0, 60)
