@@ -92,6 +92,20 @@ object Ops {
       .select(leftCols.map(col) ++ valueCols.map(c => col("_f")(c).as(c)): _*)
   }
 
+  /** Round-robin repartition to the session's default parallelism — put
+    * BEFORE a CPU-heavy per-row stage (digest/power-iteration UDFs).
+    *
+    * Why: a small parquet file is one row group = ONE scan partition, so
+    * without this the expensive map stage runs on a single core no matter
+    * how many executors exist. On a real multi-file 100 TB table the scan
+    * fans out naturally and this becomes a cheap no-op-ish rebalance; on a
+    * single-row-group input it is the difference between 1× and N× cores.
+    * The shuffle moves only the raw input rows (small), never the expensive
+    * stage's output.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Per-date distinct user set (reference A1 `generateUniqueUsers`:
     * groupBy(date) + manual contains-dedup into a list,
     * /root/reference/TextRank.java:321-340). Normalized form — one row per

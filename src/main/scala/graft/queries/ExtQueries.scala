@@ -28,13 +28,15 @@ object ExtQueries {
   private def sharedSigs(s: SparkSession, d: String): DataFrame =
     graft.runtime.Stage.shared(s"minhash-sigs:$SH:$NH:${System.identityHashCode(s)}:$d") {
       graft.runtime.Stage.persistShared(
-        Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", col("text"), SH, NH))
+        Dedup.minhashSignatures(graft.ops.Ops.fanOut(Tables.documents(s, d)),
+          "doc_id", col("text"), SH, NH))
     }
 
   private def sharedShingles(s: SparkSession, d: String): DataFrame =
     graft.runtime.Stage.shared(s"shingle-rows:$SH:${System.identityHashCode(s)}:$d") {
       graft.runtime.Stage.persistShared(
-        Dedup.shingleRows(Tables.documents(s, d), "doc_id", col("text"), SH))
+        Dedup.shingleRows(graft.ops.Ops.fanOut(Tables.documents(s, d)),
+          "doc_id", col("text"), SH))
     }
 
   val queries: Map[String, Q] = Map(
@@ -197,7 +199,7 @@ object ExtQueries {
   private def docKeywords(s: SparkSession, d: String): DataFrame =
     graft.runtime.Stage.shared(s"doc-kw8:${System.identityHashCode(s)}:$d") {
       graft.runtime.Stage.persistShared(
-        graft.text.TfIdf.topKeywords(Tables.documents(s, d), "doc_id",
+        graft.text.TfIdf.topKeywords(graft.ops.Ops.fanOut(Tables.documents(s, d)), "doc_id",
           Seq(col("text") -> 1.0), k = 8, roundTo = 6)
           .select(col("doc_id").as("id"), col("word"), col("score").as("value"), col("rn")))
     }

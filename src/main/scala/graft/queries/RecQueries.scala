@@ -50,7 +50,7 @@ object RecQueries {
     // persist both so tokenize-explode and the tf aggregation run once while
     // the profiles materialize (scoped: dead weight once they have).
     val toks = Stage.scopedPersist(
-      docs.select(col("doc_id"), explode(Tokenizer.tokens(col("text"))).as("word")))
+      Ops.fanOut(docs).select(col("doc_id"), explode(Tokenizer.tokens(col("text"))).as("word")))
     val tf = Stage.scopedPersist(
       toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))

@@ -73,9 +73,10 @@ object TextQueries {
         .select("word", "n", "rn")
     }),
 
-    // A5/A6: per-document top-5 TF-IDF keywords.
+    // A5/A6: per-document top-5 TF-IDF keywords (fanned out: single-row-group
+    // scan must not serialize the tokenize stage onto one core).
     "q18_tfidf_topk" -> ((s, d) => {
-      TfIdf.topKeywords(Tables.documents(s, d), "doc_id",
+      TfIdf.topKeywords(Ops.fanOut(Tables.documents(s, d)), "doc_id",
         Seq(col("text") -> 1.0), k = 5, roundTo = 6)
     })
   )

@@ -38,7 +38,7 @@ object TextRankQueries {
   private def sharedNewsKw(s: SparkSession, d: String): DataFrame =
     graft.runtime.Stage.shared(s"textrank-news-kw:${System.identityHashCode(s)}:$d") {
       graft.runtime.Stage.persistShared(
-        TextRankKeywords.newsKeywords(Tables.news(s, d), scene))
+        TextRankKeywords.newsKeywords(graft.ops.Ops.fanOut(Tables.news(s, d)), scene))
     }
 
   val queries: Map[String, Q] = Map(
