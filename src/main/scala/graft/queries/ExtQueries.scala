@@ -168,7 +168,9 @@ object ExtQueries {
 
     // F7/F9/F10/F12 rank-based similarity family (computeBoolean,
     // rankDistance + calculateMax normalization, rankMatchScore) over the
-    // rank-ordered keyword word lists. UDF-level (unit-tested); rows-only.
+    // rank-ordered keyword word lists. Keyword lists are DISTINCT words, so
+    // the reference's order-dependent bookkeeping collapses to closed forms
+    // the DuckDB oracle reproduces exactly (integer arithmetic throughout).
     "q38_rank_sim" -> ((s, d) => {
       val kw = docKeywords(s, d)
       val words = kw.groupBy(col("id"))
@@ -436,6 +438,61 @@ object ExtQueries {
          |  SELECT q_id, c_id2, cosine,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id2) AS rn
          |  FROM pairs) t WHERE rn <= 3""".stripMargin,
+
+    // Rank-similarity family over the ordered top-8 word lists. With
+    // distinct per-doc words (guaranteed: keywords come from distinct
+    // (doc, word) rows), the reference semantics collapse to:
+    //   F7  = |∩| / (s1·s2)
+    //   F9  = Σ_matched (s2(s1-i) - s1(s2-j))² + Σ_aonly (s2(s1-i))²
+    //       + Σ_bonly (s1(s2-j))²          (i, j = 0-based rank positions)
+    //   F10 = Σ_matched s2(s1-i) · s1(s2-j)
+    //   F12 = s1²·Σ_{u=1..s2} u² + s2²·Σ_{u=1..s1} u²
+    // — all integer-exact, verified against the quirk-pinned Scala in
+    // SimilaritiesSpec.
+    "q38_rank_sim" ->
+      s"""WITH toksrc AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toksrc GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scoredkw AS (
+         |  SELECT tf.doc_id, tf.word, round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score
+         |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+         |kw AS (SELECT doc_id, word, rn FROM (
+         |  SELECT doc_id, word,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+         |  FROM scoredkw) t WHERE rn <= 8),
+         |sz AS (SELECT doc_id, count(*) AS s FROM kw GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |psz AS (SELECT p.doc_a, p.doc_b, sa.s AS s1, sb.s AS s2
+         |  FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a
+         |  JOIN sz sb ON sb.doc_id = p.doc_b),
+         |ka AS (SELECT p.doc_a, p.doc_b, k.word, k.rn - 1 AS i
+         |  FROM pairs p JOIN kw k ON k.doc_id = p.doc_a),
+         |kb AS (SELECT p.doc_a, p.doc_b, k.word, k.rn - 1 AS j
+         |  FROM pairs p JOIN kw k ON k.doc_id = p.doc_b),
+         |m AS (SELECT coalesce(ka.doc_a, kb.doc_a) AS doc_a,
+         |        coalesce(ka.doc_b, kb.doc_b) AS doc_b, ka.i, kb.j
+         |  FROM ka FULL JOIN kb
+         |    ON ka.doc_a = kb.doc_a AND ka.doc_b = kb.doc_b AND ka.word = kb.word),
+         |agg AS (
+         |  SELECT m.doc_a, m.doc_b,
+         |    sum(CASE WHEN i IS NOT NULL AND j IS NOT NULL THEN 1 ELSE 0 END) AS n_common,
+         |    sum(CASE WHEN i IS NOT NULL AND j IS NOT NULL
+         |          THEN (s2*(s1-i) - s1*(s2-j)) * (s2*(s1-i) - s1*(s2-j))
+         |        WHEN i IS NOT NULL THEN s2*s2*(s1-i)*(s1-i)
+         |        ELSE s1*s1*(s2-j)*(s2-j) END) AS f9,
+         |    sum(CASE WHEN i IS NOT NULL AND j IS NOT NULL
+         |          THEN (s2*(s1-i)) * (s1*(s2-j)) ELSE 0 END) AS f10
+         |  FROM m JOIN psz USING (doc_a, doc_b)
+         |  GROUP BY 1, 2)
+         |SELECT a.doc_a, a.doc_b,
+         |  round(CAST(n_common AS DOUBLE) / (s1 * s2), 6) AS f7_boolean,
+         |  CAST(f9 AS INT) AS f9_rank_distance,
+         |  CAST(s1*s1 * ((s2*(s2+1)*(2*s2+1))//6)
+         |     + s2*s2 * ((s1*(s1+1)*(2*s1+1))//6) AS INT) AS f12_max,
+         |  CAST(f10 AS INT) AS f10_match_score
+         |FROM agg a JOIN psz USING (doc_a, doc_b)""".stripMargin,
 
     "q37_sim_weighted" ->
       s"""WITH toksrc AS (SELECT doc_id, unnest($toks) AS word FROM documents),
