@@ -193,17 +193,14 @@ object RelationalQueries {
         Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts")),
         "user_id", "ts", "event_id", 1800L)),
 
-    // The same sessions via Spark's built-in session_window (state-store
-    // path in streaming; batch here) — its merge rule must reproduce the
-    // lag/cumsum form, so both run under equivalent oracles.
+    // The same sessions via Spark's built-in session_window
+    // (streaming.StreamingSessions — identical code path batch/streaming;
+    // the streaming run is append+watermark, asserted ≡ batch in
+    // PlanAndStreamSpec). Its merge rule must reproduce the lag/cumsum
+    // form, so both run under equivalent oracles.
     "q60_session_window" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          col("sw.start").as("t_start"),
-          (col("sw.end") - expr("INTERVAL 30 MINUTES")).as("t_end"),
-          col("n_events"))),
+      graft.streaming.StreamingSessions.sessionAgg(
+        Tables.events(s, d).select(col("user_id"), col("ts")))),
 
     // Full CUBE over two dimensions (q52's ROLLUP sibling): all 4 grouping
     // sets in one pass via Expand — no re-scan per set.

@@ -116,6 +116,41 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session windows (append + watermark) equal the batch session aggregation") {
+    // Spark 4.1: MemoryStream lives in execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.io.Tables.events(spark, sf)
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)].collect().toSeq
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = graft.streaming.StreamingSessions.sessionAgg(
+      stream.toDF().toDF("user_id", "ts"))
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("stream_sessions_test").start()
+    try {
+      stream.addData(ev)
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past every
+      // real session, the second triggers the batch that emits them
+      val sentinel = (-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+      stream.addData(Seq(sentinel))
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel.copy(_2 = java.sql.Timestamp.valueOf("2030-01-02 00:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime) -> r.getLong(3)
+    val streamed = spark.table("stream_sessions_test")
+      .filter($"user_id" >= 0).collect().map(key).toMap
+    val batch = graft.streaming.StreamingSessions.sessionAgg(
+        graft.io.Tables.events(spark, sf).select($"user_id", $"ts"))
+      .collect().map(key).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming hot topics equals the batch aggregation") {
     val streamed = graft.streaming.StreamingHotTopics
       .dailyClickCounts(spark, sf, queryName = "stream_hot_test")
