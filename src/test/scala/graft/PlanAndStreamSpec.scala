@@ -57,6 +57,22 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(codegen.contains("WholeStageCodegen"))
   }
 
+  test("q56: range join executes as equi-join on day, never a nested-loop BETWEEN join") {
+    val p = plan("q56_range_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Generate explode")) // intervals exploded into member days
+  }
+
+  test("q54: sessionization is a single shuffle on the user key") {
+    val p = plan("q54_sessionize")
+    // window partitioning by user_id also satisfies the (user_id, session_id)
+    // group-by clustering (subset rule) — any second Exchange means the
+    // aggregation re-shuffled and the plan regressed
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
   test("native FloatVecDot == ordered-fold dot on real embeddings (codegen path)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val a = e.select($"vec_id", $"embedding".as("x"))
