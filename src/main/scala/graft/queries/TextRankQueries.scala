@@ -69,6 +69,239 @@ object TextRankQueries {
     })
   )
 
-  /** Not SQL-expressible (power iteration) — rows-only driver check. */
-  val oracle: Map[String, String] = Map.empty
+  /** Recursive-CTE oracles: the per-document window graph (WITH the
+    * backward-only walk and right=0 tail clamp — the loop condition
+    * `cursor <= right && cursor != index` TERMINATES at the index, so only
+    * positions before it are collected) and the power iteration are
+    * reproduced in DuckDB with ordered list_reduce folds — the same
+    * sorted-word summation order the Scala vote freezes — making the
+    * scores BIT-EXACT, not approximately equal. q40 adds the clique user
+    * graphs and the full recommend chain on top.
+    */
+  val oracle: Map[String, String] = Map(
+    "q39_textrank_kw" ->
+      s"""WITH RECURSIVE
+      |toklist AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tl
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(len(tl))) AS i, unnest(tl) AS tok, len(tl) AS n
+      |  FROM toklist),
+      |-- window-graph edges with the reference right=0 tail clamp:
+      |-- left = max(i-5, 0); right = i+5, clamped to 0 when i+5 >= n
+      |nbr AS (
+      |  SELECT DISTINCT p1.doc_id, p1.tok AS a, p2.tok AS b
+      |  FROM pos p1 JOIN pos p2
+      |    ON p2.doc_id = p1.doc_id
+      |   AND p2.i >= greatest(p1.i - 5, 0)
+      |   AND p2.i <= (CASE WHEN p1.i + 5 >= p1.n THEN 0 ELSE p1.i - 1 END)
+      |   AND p2.i != p1.i),
+      |nodes AS (
+      |  SELECT doc_id, tok AS word,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tok) - 1 AS idx
+      |  FROM (SELECT DISTINCT doc_id, tok FROM pos)),
+      |degn AS (SELECT doc_id, a AS word, count(*) AS deg FROM nbr GROUP BY 1, 2),
+      |degs AS (
+      |  SELECT n.doc_id, n.word, n.idx, coalesce(d.deg, 0) AS deg
+      |  FROM nodes n LEFT JOIN degn d ON d.doc_id = n.doc_id AND d.word = n.word),
+      |-- adjacency as neighbor indices, self-loops and zero-degree neighbors removed
+      |adjidx AS (
+      |  SELECT e.doc_id, na.idx AS ai, nb.idx AS bi
+      |  FROM nbr e
+      |  JOIN degs na ON na.doc_id = e.doc_id AND na.word = e.a
+      |  JOIN degs nb ON nb.doc_id = e.doc_id AND nb.word = e.b
+      |  WHERE e.b != e.a AND nb.deg != 0),
+      |adjl AS (SELECT doc_id, ai, list(bi ORDER BY bi) AS nbrs FROM adjidx GROUP BY 1, 2),
+      |docarr AS (
+      |  SELECT d.doc_id,
+      |    list(d.word ORDER BY d.idx) AS words,
+      |    list(CAST(d.deg AS DOUBLE) ORDER BY d.idx) AS degl,
+      |    list(coalesce(a.nbrs, CAST([] AS BIGINT[])) ORDER BY d.idx) AS adj
+      |  FROM degs d LEFT JOIN adjl a ON a.doc_id = d.doc_id AND a.ai = d.idx
+      |  GROUP BY d.doc_id),
+      |pow AS (
+      |  SELECT doc_id, words, degl, adj,
+      |    list_transform(range(len(words)), x -> CAST(0.0 AS DOUBLE)) AS scores,
+      |    0 AS iter, false AS done
+      |  FROM docarr
+      |  UNION ALL
+      |  SELECT doc_id, words, degl, adj, ns AS scores, iter + 1,
+      |    list_max(list_transform(range(len(words)),
+      |      i -> abs(ns[CAST(i AS INT)+1] - scores[CAST(i AS INT)+1]))) <= CAST(0.0001 AS DOUBLE) AS done
+      |  FROM (
+      |    SELECT *,
+      |      list_transform(range(len(words)), i ->
+      |        list_reduce(
+      |          list_prepend(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE),
+      |            list_transform(adj[CAST(i AS INT)+1],
+      |              ni -> CAST(0.85 AS DOUBLE) / degl[CAST(ni AS INT)+1] * scores[CAST(ni AS INT)+1])),
+      |          (x, y) -> x + y)) AS ns
+      |    FROM pow WHERE NOT done AND iter < 30) t),
+      |fin AS (
+      |  SELECT doc_id, words, scores FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY iter DESC) AS rr
+      |    FROM pow) WHERE rr = 1),
+      |scored AS (SELECT doc_id AS id, unnest(words) AS word, unnest(scores) AS value FROM fin)
+      |SELECT id, word, round(value, 6) AS value FROM (
+      |  SELECT id, word, value,
+      |    row_number() OVER (PARTITION BY id ORDER BY value DESC, word) AS rn
+      |  FROM scored) t WHERE rn <= 5
+      |""".stripMargin,
+
+    "q40_textrank_rec" ->
+      s"""WITH RECURSIVE
+      |clicks AS (
+      |  SELECT user_id AS userId, event_id % 500 AS newsId,
+      |         CAST(ts AS DATE) AS date, 1 AS count
+      |  FROM events WHERE event_type = 'click'),
+      |toklist AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tl
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(len(tl))) AS i, unnest(tl) AS tok, len(tl) AS n
+      |  FROM toklist),
+      |-- ===== news keywords: backward-window graph + power iteration (q39) =====
+      |nbr AS (
+      |  SELECT DISTINCT p1.doc_id, p1.tok AS a, p2.tok AS b
+      |  FROM pos p1 JOIN pos p2
+      |    ON p2.doc_id = p1.doc_id
+      |   AND p2.i >= greatest(p1.i - 5, 0)
+      |   AND p2.i <= (CASE WHEN p1.i + 5 >= p1.n THEN 0 ELSE p1.i - 1 END)
+      |   AND p2.i != p1.i),
+      |nodes AS (
+      |  SELECT doc_id, tok AS word,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tok) - 1 AS idx
+      |  FROM (SELECT DISTINCT doc_id, tok FROM pos)),
+      |degn AS (SELECT doc_id, a AS word, count(*) AS deg FROM nbr GROUP BY 1, 2),
+      |degs AS (
+      |  SELECT n.doc_id, n.word, n.idx, coalesce(d.deg, 0) AS deg
+      |  FROM nodes n LEFT JOIN degn d ON d.doc_id = n.doc_id AND d.word = n.word),
+      |adjidx AS (
+      |  SELECT e.doc_id, na.idx AS ai, nb.idx AS bi
+      |  FROM nbr e
+      |  JOIN degs na ON na.doc_id = e.doc_id AND na.word = e.a
+      |  JOIN degs nb ON nb.doc_id = e.doc_id AND nb.word = e.b
+      |  WHERE e.b != e.a AND nb.deg != 0),
+      |adjl AS (SELECT doc_id, ai, list(bi ORDER BY bi) AS nbrs FROM adjidx GROUP BY 1, 2),
+      |docarr AS (
+      |  SELECT d.doc_id,
+      |    list(d.word ORDER BY d.idx) AS words,
+      |    list(CAST(d.deg AS DOUBLE) ORDER BY d.idx) AS degl,
+      |    list(coalesce(a.nbrs, CAST([] AS BIGINT[])) ORDER BY d.idx) AS adj
+      |  FROM degs d LEFT JOIN adjl a ON a.doc_id = d.doc_id AND a.ai = d.idx
+      |  GROUP BY d.doc_id),
+      |pow AS (
+      |  SELECT doc_id, words, degl, adj,
+      |    list_transform(range(len(words)), x -> CAST(0.0 AS DOUBLE)) AS scores,
+      |    0 AS iter, false AS done
+      |  FROM docarr
+      |  UNION ALL
+      |  SELECT doc_id, words, degl, adj, ns AS scores, iter + 1,
+      |    list_max(list_transform(range(len(words)),
+      |      i -> abs(ns[CAST(i AS INT)+1] - scores[CAST(i AS INT)+1]))) <= CAST(0.0001 AS DOUBLE) AS done
+      |  FROM (
+      |    SELECT *,
+      |      list_transform(range(len(words)), i ->
+      |        list_reduce(
+      |          list_prepend(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE),
+      |            list_transform(adj[CAST(i AS INT)+1],
+      |              ni -> CAST(0.85 AS DOUBLE) / degl[CAST(ni AS INT)+1] * scores[CAST(ni AS INT)+1])),
+      |          (x, y) -> x + y)) AS ns
+      |    FROM pow WHERE NOT done AND iter < 30) t),
+      |fin AS (
+      |  SELECT doc_id, words, scores FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY iter DESC) AS rr
+      |    FROM pow) WHERE rr = 1),
+      |news_scored AS (SELECT doc_id AS id, unnest(words) AS word, unnest(scores) AS value FROM fin),
+      |news_kw AS (
+      |  SELECT id, word, value FROM (
+      |    SELECT id, word, value,
+      |      row_number() OVER (PARTITION BY id ORDER BY value DESC, word) AS rn
+      |    FROM news_scored) t WHERE rn <= 5),
+      |news_date AS (SELECT doc_id AS id,
+      |  DATE '2024-01-01' + CAST(doc_id % 30 AS INT) AS date FROM documents),
+      |-- ===== user keywords: clique graphs over clicked docs + power iteration =====
+      |uclick AS (SELECT DISTINCT userId, newsId AS doc_id FROM clicks),
+      |doc_toks AS (SELECT DISTINCT doc_id, tok FROM pos),
+      |dedge AS (
+      |  SELECT a.doc_id, a.tok AS a, b.tok AS b
+      |  FROM doc_toks a JOIN doc_toks b ON b.doc_id = a.doc_id AND b.tok != a.tok),
+      |uedge AS (
+      |  SELECT DISTINCT u.userId, e.a, e.b
+      |  FROM uclick u JOIN dedge e ON e.doc_id = u.doc_id),
+      |unodes AS (
+      |  SELECT userId, tok AS word,
+      |    row_number() OVER (PARTITION BY userId ORDER BY tok) - 1 AS idx
+      |  FROM (SELECT DISTINCT u.userId, t.tok FROM uclick u JOIN doc_toks t ON t.doc_id = u.doc_id)),
+      |udegn AS (SELECT userId, a AS word, count(*) AS deg FROM uedge GROUP BY 1, 2),
+      |udegs AS (
+      |  SELECT n.userId, n.word, n.idx, coalesce(d.deg, 0) AS deg
+      |  FROM unodes n LEFT JOIN udegn d ON d.userId = n.userId AND d.word = n.word),
+      |uadjidx AS (
+      |  SELECT e.userId, na.idx AS ai, nb.idx AS bi
+      |  FROM uedge e
+      |  JOIN udegs na ON na.userId = e.userId AND na.word = e.a
+      |  JOIN udegs nb ON nb.userId = e.userId AND nb.word = e.b
+      |  WHERE nb.deg != 0),
+      |uadjl AS (SELECT userId, ai, list(bi ORDER BY bi) AS nbrs FROM uadjidx GROUP BY 1, 2),
+      |uarr AS (
+      |  SELECT d.userId,
+      |    list(d.word ORDER BY d.idx) AS words,
+      |    list(CAST(d.deg AS DOUBLE) ORDER BY d.idx) AS degl,
+      |    list(coalesce(a.nbrs, CAST([] AS BIGINT[])) ORDER BY d.idx) AS adj
+      |  FROM udegs d LEFT JOIN uadjl a ON a.userId = d.userId AND a.ai = d.idx
+      |  GROUP BY d.userId),
+      |upow AS (
+      |  SELECT userId, words, degl, adj,
+      |    list_transform(range(len(words)), x -> CAST(0.0 AS DOUBLE)) AS scores,
+      |    0 AS iter, false AS done
+      |  FROM uarr
+      |  UNION ALL
+      |  SELECT userId, words, degl, adj, ns AS scores, iter + 1,
+      |    list_max(list_transform(range(len(words)),
+      |      i -> abs(ns[CAST(i AS INT)+1] - scores[CAST(i AS INT)+1]))) <= CAST(0.0001 AS DOUBLE) AS done
+      |  FROM (
+      |    SELECT *,
+      |      list_transform(range(len(words)), i ->
+      |        list_reduce(
+      |          list_prepend(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE),
+      |            list_transform(adj[CAST(i AS INT)+1],
+      |              ni -> CAST(0.85 AS DOUBLE) / degl[CAST(ni AS INT)+1] * scores[CAST(ni AS INT)+1])),
+      |          (x, y) -> x + y)) AS ns
+      |    FROM upow WHERE NOT done AND iter < 30) t),
+      |ufin AS (
+      |  SELECT userId, words, scores FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY userId ORDER BY iter DESC) AS rr
+      |    FROM upow) WHERE rr = 1),
+      |user_scored AS (SELECT userId, unnest(words) AS word, unnest(scores) AS value FROM ufin),
+      |user_kw AS (
+      |  SELECT userId, word, value FROM (
+      |    SELECT userId, word, value,
+      |      row_number() OVER (PARTITION BY userId ORDER BY value DESC, word) AS rn
+      |    FROM user_scored) t WHERE rn <= 8),
+      |-- ===== recommend chain (q23 shape, score rounded 6) =====
+      |days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
+      |  INTERVAL 1 DAY))::DATE AS day),
+      |active AS (SELECT DISTINCT date AS day, userId FROM clicks
+      |  WHERE date BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'),
+      |cands AS (
+      |  SELECT d.day, nk.id, nk.word, nk.value
+      |  FROM news_kw nk JOIN news_date nd USING (id) JOIN days d
+      |    ON nd.date BETWEEN d.day AND d.day + 7),
+      |scores AS (
+      |  SELECT a.day, u.userId, c.id AS newsId, round(sum(u.value * c.value), 6) AS score
+      |  FROM user_kw u JOIN active a USING (userId)
+      |  JOIN cands c ON c.day = a.day AND c.word = u.word
+      |  GROUP BY a.day, u.userId, c.id),
+      |ranked AS (
+      |  SELECT day, userId, newsId,
+      |    row_number() OVER (PARTITION BY day, userId ORDER BY score DESC, newsId) AS rn
+      |  FROM scores WHERE score > 0)
+      |SELECT userId, day AS date,
+      |  array_to_string(list(newsId ORDER BY rn), ',') AS news
+      |FROM ranked WHERE rn <= 5 GROUP BY userId, day
+      |""".stripMargin
+  )
 }
