@@ -280,6 +280,22 @@ object RelationalQueries {
           col("next_date"), col("qtile"), col("price_rank"))
     }),
 
+    // Full outer join (join-type completeness): daily click activity vs
+    // daily order placements on non-overlapping date domains — both
+    // unmatched sides must survive with nulls.
+    "q63_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_clicks"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 997 === 0)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      ev.join(ord, Seq("day"), "full_outer")
+        .select(col("day"), col("n_clicks"), col("n_orders"))
+    }),
+
     // Running window aggregate (rows-frame) with a total order → deterministic.
     "q12_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -405,6 +421,16 @@ object RelationalQueries {
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
         |FROM lineitem""".stripMargin,
+
+    "q63_full_outer" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |ord AS (
+        |  SELECT o_orderdate AS day, count(*) AS n_orders
+        |  FROM orders WHERE o_orderkey % 997 = 0 GROUP BY 1)
+        |SELECT coalesce(ev.day, ord.day) AS day, ev.n_clicks, ord.n_orders
+        |FROM ev FULL JOIN ord ON ev.day = ord.day""".stripMargin,
 
     "q54_sessionize" -> (sessionCte +
       """

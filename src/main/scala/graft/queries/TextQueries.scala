@@ -78,6 +78,23 @@ object TextQueries {
     "q18_tfidf_topk" -> ((s, d) => {
       TfIdf.topKeywords(Ops.fanOut(Tables.documents(s, d)), "doc_id",
         Seq(col("text") -> 1.0), k = 5, roundTo = 6)
+    }),
+
+    // Deterministic hash-based stratified sampling — the reproducible
+    // training-subset pattern: membership is a pure function of the row key
+    // (md5 bucket), so the same subset falls out on any engine, any run,
+    // any partitioning — unlike rand()-based sampling. Per-language rates.
+    "q62_hash_sample" -> ((s, d) => {
+      // bucket in [0, 4096) from the first 3 hex digits of md5(doc_id)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("int")
+      val rate = when(col("lang") === "en", lit(1024))   // 25%
+        .when(col("lang") === "de", lit(2048))           // 50%
+        .otherwise(lit(410))                             // ~10%
+      Tables.documents(s, d)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
     })
   )
 
@@ -128,6 +145,17 @@ object TextQueries {
          |SELECT doc_id, word, score, rn FROM (
          |  SELECT doc_id, word, score,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
-         |  FROM scored) t WHERE rn <= 5""".stripMargin
+         |  FROM scored) t WHERE rn <= 5""".stripMargin,
+
+    "q62_hash_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 256
+        |    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT) * 16
+        |    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 1024 WHEN 'de' THEN 2048
+        |  ELSE 410 END""".stripMargin
   )
 }
