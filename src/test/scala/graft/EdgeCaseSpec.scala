@@ -71,4 +71,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     assert(Ann.bruteForceTopK(e.filter($"vec_id" < 0), e.limit(10), 3).count() === 0)
   }
+
+  test("sessionize: empty input and single-event users are well-defined") {
+    val empty = Seq.empty[(Long, Long, java.sql.Timestamp)].toDF("k", "id", "t")
+    assert(graft.ops.Sessionize.sessionStats(empty, "k", "t", "id", 1800L).count() === 0)
+    val one = Seq((7L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "id", "t")
+    val stats = graft.ops.Sessionize.sessionStats(one, "k", "t", "id", 1800L).collect()
+    assert(stats.length === 1)
+    assert(stats.head.getLong(1) === 1L) // session_id 1
+    assert(stats.head.getLong(2) === 1L) // n_events 1
+    assert(stats.head.getTimestamp(3) === stats.head.getTimestamp(4)) // start == end
+  }
+
+  test("asOfJoin: empty right side drops all left rows (inner as-of)") {
+    val trades = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100L))
+      .toDF("k", "t", "trade_id")
+    val quotes = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("qk", "qt", "price")
+    assert(graft.ops.Ops.asOfJoin(trades, "k", "t", quotes, "qk", "qt", Seq("price"))
+      .count() === 0)
+  }
+
+  test("frame sampling on an empty payload: frames exist with zero offsets") {
+    val blobs = Seq((1L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    val frames = graft.ext.Multimodal.sampleFrames(blobs, 3).collect()
+    assert(frames.length === 3)
+    assert(frames.forall(_.frame_off === 0L))
+    assert(frames.map(_.frame_digest).distinct.length === 3) // digest still varies by idx
+  }
 }
