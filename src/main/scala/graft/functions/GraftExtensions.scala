@@ -26,7 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_vec_norm_sq"),
       new ExpressionInfo(classOf[VectorExpressions.FloatVecNormSq].getName, "float_vec_norm_sq"),
       (args: Seq[Expression]) => VectorExpressions.FloatVecNormSq(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("keyword_dot"),
+      new ExpressionInfo(classOf[KeywordExpressions.KeywordDot].getName, "keyword_dot"),
+      (args: Seq[Expression]) => KeywordExpressions.KeywordDot(args(0), args(1))))
     e.injectOptimizerRule(_ => VectorStrengthReduction)
+    e.injectOptimizerRule(_ => graft.plans.CrossScoreToInvertedJoin)
   }
 }
 
