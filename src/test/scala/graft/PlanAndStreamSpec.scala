@@ -73,6 +73,25 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("partitionBy(date) write: a date filter prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val kw = graft.io.Tables.clicks(spark, sf)
+      .select($"userId", $"newsId", $"date")
+    graft.io.Writers.writeDual(kw, concat_ws("|", $"userId", $"newsId"),
+      s"$dir/parquet", s"$dir/text", partitionBy = Seq("date"))
+
+    val read = spark.read.parquet(s"$dir/parquet")
+      .filter($"date" === java.sql.Date.valueOf("2024-01-15"))
+    val p = read.queryExecution.executedPlan.toString
+    // the date predicate must be a PartitionFilter (directory pruning),
+    // never a post-scan Filter over all partitions
+    assert(p.contains("PartitionFilters: [isnotnull(date"), p)
+    val dirs = new java.io.File(s"$dir/parquet").listFiles().map(_.getName)
+      .filter(_.startsWith("date="))
+    assert(dirs.length > 1) // really partitioned by day
+    assert(read.count() > 0)
+  }
+
   test("native FloatVecDot == ordered-fold dot on real embeddings (codegen path)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val a = e.select($"vec_id", $"embedding".as("x"))
