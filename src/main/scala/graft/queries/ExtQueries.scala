@@ -109,6 +109,12 @@ object ExtQueries {
     "q41_streaming_profiles" -> ((s, d) =>
       graft.streaming.StreamingUserProfiles.userClickProfiles(s, d)),
 
+    // Streaming exact dedup: first-seen (user, news, day) exposures via
+    // dropDuplicates state + watermark, aggregated per day — hash-checked
+    // against the batch DISTINCT oracle.
+    "q64_streaming_dedup" -> ((s, d) =>
+      graft.streaming.StreamingDedup.dailyExposures(s, d)),
+
     // Token budgeting: whitespace tokens + a BPE-ish subword estimate
     // (ceil(len/4) units per word — deterministic stand-in for a real BPE
     // vocab, which isn't expressible cross-engine).
@@ -377,6 +383,14 @@ object ExtQueries {
       """SELECT user_id AS userId, count(*) AS n_clicks,
         | count(DISTINCT event_id % 500) AS n_distinct_news
         |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+
+    "q64_streaming_dedup" ->
+      """SELECT day, count(*) AS n_exposures,
+        | count(DISTINCT user_id) AS n_users
+        |FROM (SELECT DISTINCT user_id, event_id % 500 AS newsId,
+        |        CAST(ts AS DATE) AS day
+        |      FROM events WHERE event_type = 'click') t
+        |GROUP BY day""".stripMargin,
 
     "q42_token_budget" ->
       s"""SELECT doc_id, len($toks) AS ws_tokens,

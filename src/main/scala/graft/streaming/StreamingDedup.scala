@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication (the training-pipeline twin of batch q15):
+  * `dropDuplicates` over a keyed event stream keeps the FIRST-seen row per
+  * key in the state store and emits it append-mode; the event-time
+  * watermark bounds state (keys older than the watermark are evicted — at
+  * 100 TB the state store holds one watermark-window of keys, not history).
+  *
+  * Here: one counted exposure per (user, news, day) from the click stream,
+  * then a batch aggregation over the deduplicated sink — dedup is the only
+  * stateful operator in the streaming query, so append mode emits rows
+  * immediately (no multi-stateful-operator restrictions).
+  */
+object StreamingDedup {
+
+  /** Runs the dedup stream to completion; returns per-day
+    * (day, n_exposures, n_users) over first-seen (user, news, day) rows.
+    */
+  def dailyExposures(spark: SparkSession, dir: String,
+                     queryName: String = "stream_dedup"): DataFrame = {
+    val stream = spark.readStream
+      .schema(StreamingHotTopics.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+
+    val exposures = stream
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), (col("event_id") % 500).as("newsId"),
+        to_date(col("ts")).as("day"), col("ts"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id", "newsId", "day")
+
+    val q = exposures.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(queryName)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_exposures"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+}
