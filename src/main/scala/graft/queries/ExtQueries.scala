@@ -128,6 +128,28 @@ object ExtQueries {
         col("n_chars"))
     }),
 
+    // Sequence packing for training: assign documents (in a deterministic
+    // corpus order) to fixed token-budget bins by running token offset —
+    // the window-algebra form of document concatenation (bin = which 2048-
+    // token context the doc STARTS in). The global running offset is a
+    // single-partition window here (exact contract); the 100 TB form is the
+    // standard two-pass prefix sum — per-partition token totals to the
+    // driver (one long per partition), then a partition-offset broadcast.
+    "q65_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = graft.text.Tokenizer.tokens(col("text"))
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(toks, lit(0L),
+            (acc, x) => acc + ceil(length(x) / lit(4.0)).cast("long")).as("n_tok"))
+        .withColumn("end_off", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("n_tok"),
+          (col("end_off") - col("n_tok")).as("start_off"),
+          (((col("end_off") - col("n_tok")) / 2048).cast("long")).as("bin"))
+    }),
+
     // Embedding-cosine near-duplicates: LSH-bucketed pairs above threshold
     // (0.3 ~ the 99.9th percentile of this random corpus; a real corpus
     // would use ~0.95).
@@ -398,6 +420,21 @@ object ExtQueries {
          |   w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_tokens,
          | n_chars
          |FROM documents""".stripMargin,
+
+    "q65_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform($toks,
+         |      w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |  FROM t)
+         |SELECT doc_id, n_tok, end_off - n_tok AS start_off,
+         |  (end_off - n_tok) // 2048 AS bin
+         |FROM o""".stripMargin,
 
     "q43_embed_neardup" ->
       s"""WITH wb AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
