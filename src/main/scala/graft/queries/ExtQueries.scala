@@ -115,6 +115,12 @@ object ExtQueries {
     "q64_streaming_dedup" -> ((s, d) =>
       graft.streaming.StreamingDedup.dailyExposures(s, d)),
 
+    // Stream-stream interval join (click attribution): each click joins the
+    // same user's views in the preceding hour, watermarks bounding both
+    // sides' state — hash-checked against the batch theta-join oracle.
+    "q66_interval_join" -> ((s, d) =>
+      graft.streaming.StreamingIntervalJoin.attributedClicks(s, d)),
+
     // Token budgeting: whitespace tokens + a BPE-ish subword estimate
     // (ceil(len/4) units per word — deterministic stand-in for a real BPE
     // vocab, which isn't expressible cross-engine).
@@ -413,6 +419,15 @@ object ExtQueries {
         |        CAST(ts AS DATE) AS day
         |      FROM events WHERE event_type = 'click') t
         |GROUP BY day""".stripMargin,
+
+    "q66_interval_join" ->
+      """SELECT c.user_id AS userId, v.event_id AS view_id,
+        | c.event_id AS click_id,
+        | epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "q42_token_budget" ->
       s"""SELECT doc_id, len($toks) AS ws_tokens,

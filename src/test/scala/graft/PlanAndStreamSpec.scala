@@ -196,4 +196,45 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream-stream interval join over multiple in-order batches equals the batch theta join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.io.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+    val viewRows = ev.filter(_._4 == "view").map(e => (e._1, e._2, e._3)).sortBy(_._3.getTime)
+    val clickRows = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3)).sortBy(_._3.getTime)
+
+    val vStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val views = vStream.toDF().toDF("v_user", "view_id", "v_ts")
+      .withWatermark("v_ts", "2 hours")
+    val clicks = cStream.toDF().toDF("c_user", "click_id", "c_ts")
+      .withWatermark("c_ts", "2 hours")
+    val q = graft.streaming.StreamingIntervalJoin.join(views, clicks)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_ij_test").start()
+    try {
+      // event-time-ordered halves: watermarks only advance, so no row is late
+      // and the inner join must emit exactly the batch result
+      val cut = viewRows(viewRows.length / 2)._3.getTime
+      vStream.addData(viewRows.filter(_._3.getTime <= cut).toSeq)
+      cStream.addData(clickRows.filter(_._3.getTime <= cut).toSeq)
+      q.processAllAvailable()
+      vStream.addData(viewRows.filter(_._3.getTime > cut).toSeq)
+      cStream.addData(clickRows.filter(_._3.getTime > cut).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // joined columns: (c_user, click_id, c_ts, v_user, view_id, v_ts)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(4))
+    val streamed = spark.table("stream_ij_test").collect().map(key).sorted.toSeq
+    val batch = graft.streaming.StreamingIntervalJoin.join(
+        viewRows.toSeq.toDF("v_user", "view_id", "v_ts"),
+        clickRows.toSeq.toDF("c_user", "click_id", "c_ts"))
+      .collect().map(key).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
