@@ -149,6 +149,76 @@ object Ann {
       .select(col("q_id"), col("c_id2").as("c_id"), col("cosine"), col("rn"))
   }
 
+  /** Product-quantization codebooks from a seed sample: codeword `k` of
+    * subspace `m` is the m-th `dim/m`-dim slice of seed vector `k`. At scale
+    * the seeds come from a per-subspace k-means over a sample; a
+    * deterministic seed set keeps the oracle reproducible (same convention
+    * as [[ivfAssign]]'s centroids). seed: (vec_id, embedding) with the
+    * codeword vectors. Returns the small broadcastable (m, k, cb) table.
+    */
+  def pqCodebooks(seed: DataFrame, numSub: Int, dim: Int): DataFrame = {
+    val sub = dim / numSub
+    seed.select(col("vec_id").as("k"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("embedding"))
+      .select(col("m").cast("long").as("m"), col("k"),
+        slice(col("embedding"), col("m") * sub + lit(1), lit(sub)).as("cb"))
+  }
+
+  /** PQ encoding: each vector compresses to one codeword id per subspace
+    * (nearest sub-centroid by squared L2, ties k asc). The N×numSub sub-slice
+    * table equi-joins the broadcast codebook — O(N·numSub·K) distance
+    * evaluations, then an argmin per (vec, subspace). A 64-dim float vector
+    * (256 B) becomes numSub=8 byte-sized codes — the 32× memory compression
+    * that lets a 100 TB embedding corpus fit a candidate index in RAM.
+    * Returns (vec_id, m, code, dist2).
+    */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, numSub: Int, dim: Int,
+               roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / numSub
+    val subs = vectors.select(col("vec_id"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        slice(col("embedding"), col("m") * sub + lit(1), lit(sub)).as("sv"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist2").asc, col("k").asc)
+    subs.join(broadcast(codebooks), "m")
+      .withColumn("dist2", round(dist2Col(col("sv"), col("cb")), roundTo))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"), col("dist2"))
+  }
+
+  /** PQ ANN via asymmetric distance computation: the query keeps its exact
+    * sub-vectors, each candidate only its codes; approx dist²(q,c) =
+    * Σ_m dist²(q_m, cb[m][code_{c,m}]). The per-query Q×numSub×K lookup
+    * table is tiny and broadcast; candidates' code rows stream through an
+    * equi-join on (m, code) — O(Q·N·numSub) adds, never touching candidate
+    * floats. Returns (q_id, c_id, adist, rn) top-k per query.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, codebooks: DataFrame,
+             numSub: Int, dim: Int, k: Int, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / numSub
+    val lut = queries.select(col("vec_id").as("q_id"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("embedding"))
+      .select(col("q_id"), col("m").cast("long").as("_lm"),
+        slice(col("embedding"), col("m") * sub + lit(1), lit(sub)).as("qv"))
+      .join(broadcast(codebooks.withColumnRenamed("m", "_lm")), "_lm")
+      .select(col("q_id"), col("_lm"), col("k"),
+        round(dist2Col(col("qv"), col("cb")), roundTo).as("d"))
+    val codes = pqEncode(candidates, codebooks, numSub, dim, roundTo)
+      .select(col("vec_id").as("c_id"), col("m"), col("code"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
+    codes.join(broadcast(lut),
+        col("m") === col("_lm") && col("code") === col("k"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(round(sum(col("d")), roundTo).as("adist"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "adist", "rn")
+  }
+
   /** Bucketed ANN: cosine for pairs sharing a bucket (a < b) — the join is
     * an equi-join on the bucket key; no cross product.
     */

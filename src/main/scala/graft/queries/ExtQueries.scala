@@ -186,6 +186,27 @@ object ExtQueries {
         cent, nprobe = 2, k = 3)
     }),
 
+    // PQ encoding: per-subspace nearest-codeword compression (codebooks =
+    // sub-slices of the first 16 vectors, the deterministic stand-in for a
+    // sampled per-subspace k-means).
+    "q67_pq_codes" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Ann.pqCodebooks(e.filter(col("vec_id") < 16), 8, DIM)
+      Ann.pqEncode(e, cb, 8, DIM)
+    }),
+
+    // PQ ANN via asymmetric distance: exact query sub-vectors against
+    // candidates' codes only — the memory-compressed scale path next to
+    // q45's IVF and q30's exact scan.
+    "q68_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Ann.pqCodebooks(e.filter(col("vec_id") < 16), 8, DIM)
+      Ann.pqTopK(
+        e.filter(col("vec_id").between(16, 25)),
+        e.filter(col("vec_id") >= 26),
+        cb, 8, DIM, k = 3)
+    }),
+
     // F6 weighted fuzzy-overlap cosine (CosineSimilarity.compute) over
     // consecutive-doc TF-IDF keyword profiles.
     "q37_sim_weighted" -> ((s, d) => {
@@ -503,6 +524,55 @@ object ExtQueries {
          |SELECT q_id, c_id2 AS c_id, cosine, rn FROM (
          |  SELECT q_id, c_id2, cosine,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id2) AS rn
+         |  FROM pairs) t WHERE rn <= 3""".stripMargin,
+
+    "q67_pq_codes" ->
+      s"""WITH cbt AS (
+         |  SELECT t.m, e.vec_id AS k,
+         |    list_slice(e.embedding, t.m*8+1, t.m*8+8) AS cb
+         |  FROM embeddings e CROSS JOIN range(8) t(m) WHERE e.vec_id < 16),
+         |sv AS (
+         |  SELECT e.vec_id, t.m,
+         |    list_slice(e.embedding, t.m*8+1, t.m*8+8) AS sv
+         |  FROM embeddings e CROSS JOIN range(8) t(m)),
+         |d AS (
+         |  SELECT s.vec_id, s.m, c.k,
+         |    round(${dist2List("s.sv", "c.cb")}, 6) AS dist2
+         |  FROM sv s JOIN cbt c ON c.m = s.m)
+         |SELECT vec_id, m, code, dist2 FROM (
+         |  SELECT vec_id, m, k AS code, dist2,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, k) AS rn
+         |  FROM d) t WHERE rn = 1""".stripMargin,
+
+    "q68_pq_topk" ->
+      s"""WITH cbt AS (
+         |  SELECT t.m, e.vec_id AS k,
+         |    list_slice(e.embedding, t.m*8+1, t.m*8+8) AS cb
+         |  FROM embeddings e CROSS JOIN range(8) t(m) WHERE e.vec_id < 16),
+         |codes AS (
+         |  SELECT vec_id AS c_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.k AS code,
+         |      round(${dist2List("s.sv", "c.cb")}, 6) AS dist2,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY round(${dist2List("s.sv", "c.cb")}, 6), c.k) AS rn
+         |    FROM (SELECT e.vec_id, t.m,
+         |            list_slice(e.embedding, t.m*8+1, t.m*8+8) AS sv
+         |          FROM embeddings e CROSS JOIN range(8) t(m)
+         |          WHERE e.vec_id >= 26) s
+         |    JOIN cbt c ON c.m = s.m) t WHERE rn = 1),
+         |lut AS (
+         |  SELECT e.vec_id AS q_id, t.m, c.k,
+         |    round(${dist2List(s"list_slice(e.embedding, t.m*8+1, t.m*8+8)", "c.cb")}, 6) AS d
+         |  FROM embeddings e CROSS JOIN range(8) t(m)
+         |  JOIN cbt c ON c.m = t.m
+         |  WHERE e.vec_id BETWEEN 16 AND 25),
+         |pairs AS (
+         |  SELECT l.q_id, cd.c_id, round(sum(l.d), 6) AS adist
+         |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.k = cd.code
+         |  GROUP BY 1, 2)
+         |SELECT q_id, c_id, adist, rn FROM (
+         |  SELECT q_id, c_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rn
          |  FROM pairs) t WHERE rn <= 3""".stripMargin,
 
     // Rank-similarity family over the ordered top-8 word lists. With

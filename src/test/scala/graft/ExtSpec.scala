@@ -108,6 +108,45 @@ class ExtSpec extends AnyFunSuite {
     own.foreach { case (v, cell, d) => assert(v === cell && d === 0.0) }
   }
 
+  test("PQ: seed vectors encode to their own codeword at distance 0 in every subspace") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = e.filter($"vec_id" < 16)
+    val cb = Ann.pqCodebooks(seeds, 8, 64)
+    val codes = Ann.pqEncode(seeds, cb, 8, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(codes.length === 16 * 8)
+    codes.foreach { case (v, _, code, d) => assert(code === v && d === 0.0) }
+  }
+
+  test("PQ ADC over zero-error candidates (the codewords) equals exact L2 ranking") {
+    // When each candidate IS a codeword, quantization error is zero and the
+    // asymmetric distance Σ_m d²(q_m, cb[code_m]) must reproduce the true
+    // squared L2 distance — the correctness core of ADC, independent of how
+    // lossy the codebook is on arbitrary data.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = e.filter($"vec_id" < 16)
+    val cb = Ann.pqCodebooks(seeds, 8, 64)
+    val q = e.filter($"vec_id".between(16, 18))
+    val approx = Ann.pqTopK(q, seeds, cb, 8, 64, k = 16)
+      .select("q_id", "c_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val exact = q.select($"vec_id".as("q_id"), $"embedding".as("_qe"))
+      .crossJoin(seeds.select($"vec_id".as("c_id"), $"embedding".as("_ce")))
+      // per-subspace round(…, 6) then sum, mirroring the ADC accumulation,
+      // so rank ties (if any) resolve identically
+      .withColumn("d2", round((0 until 8).map(m =>
+        round(Ann.dist2Col(slice($"_qe", m * 8 + 1, 8), slice($"_ce", m * 8 + 1, 8)), 6))
+        .reduce(_ + _), 6))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"d2".asc, $"c_id".asc)))
+      .select("q_id", "c_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(approx.nonEmpty)
+    assert(approx === exact)
+  }
+
   test("langId: marker argmax with lex tie-break and 'und' fallback") {
     val docs = Seq(
       (1L, "the cat and the dog is here"), // en markers
