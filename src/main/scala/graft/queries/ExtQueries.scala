@@ -121,6 +121,12 @@ object ExtQueries {
     "q66_interval_join" -> ((s, d) =>
       graft.streaming.StreamingIntervalJoin.attributedClicks(s, d)),
 
+    // flatMapGroupsWithState: per-user daily click counts with running
+    // cumulative totals (multi-row emission per group per batch) —
+    // hash-checked against the batch window running sum.
+    "q69_streaming_cume" -> ((s, d) =>
+      graft.streaming.StreamingClickCume.dailyCumulative(s, d)),
+
     // Token budgeting: whitespace tokens + a BPE-ish subword estimate
     // (ceil(len/4) units per word — deterministic stand-in for a real BPE
     // vocab, which isn't expressible cross-engine).
@@ -440,6 +446,12 @@ object ExtQueries {
         |        CAST(ts AS DATE) AS day
         |      FROM events WHERE event_type = 'click') t
         |GROUP BY day""".stripMargin,
+
+    "q69_streaming_cume" ->
+      """SELECT user_id AS userId, day, n_clicks,
+        | CAST(sum(n_clicks) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS cum_clicks
+        |FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_clicks
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2) t""".stripMargin,
 
     "q66_interval_join" ->
       """SELECT c.user_id AS userId, v.event_id AS view_id,

@@ -197,6 +197,37 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("flatMapGroupsWithState cumulative counts carry state across day-aligned batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.io.Tables.clicks(spark, sf)
+      .select($"userId", $"date").as[(Long, java.sql.Date)].collect()
+    val days = rows.map(_._2.getTime).distinct.sorted
+    val cut = days(days.length / 2) // batch 2 starts a fresh day
+
+    val stream = MemoryStream[(Long, java.sql.Date)]
+    val q = graft.streaming.StreamingClickCume.cumulative(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_cume_test").start()
+    try {
+      stream.addData(rows.filter(_._2.getTime <= cut).toSeq)
+      q.processAllAvailable()
+      stream.addData(rows.filter(_._2.getTime > cut).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_cume_test").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> (r.getLong(2), r.getLong(3))).toMap
+    // independently computed expectation: per-user day counts + running sum
+    val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val perDay = rs.groupBy(_._2.toString).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      perDay.map { case (d, n) => cum += n; (u, d) -> (n, cum) }
+    }.toMap
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join over multiple in-order batches equals the batch theta join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
