@@ -169,4 +169,49 @@ object Dedup {
   /** Hamming distance between two simhashes (for near-dup thresholding). */
   def hamming(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
   val hammingUdf = udf((a: Int, b: Int) => hamming(a, b))
+
+  /** Connected components over a near-duplicate pair graph — resolves
+    * pairwise matches into duplicate clusters labeled by their minimum
+    * member id (the canonical doc a curator keeps).
+    *
+    * Hash-min label propagation: every vertex starts as its own label; each
+    * round takes the min of its own and its neighbors' labels; converged
+    * when no label changes. Rounds = graph diameter — duplicate clusters are
+    * shallow (near-clique), so this terminates in a few rounds; each round
+    * is one shuffle join, the standard BSP formulation that scales to
+    * billions of edges (the large-star/small-star variant halves rounds if
+    * diameters ever get long). The convergence probe is a `limit(1).count`,
+    * not a full materialization.
+    *
+    * vertices: one id column named `_id`. edges: (a, b) undirected.
+    * Returns (_id, label).
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = vertices.select(col("_id"), col("_id").as("label"))
+    var prev: DataFrame = null
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, col("dst") === col("_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("_nl"))
+      val next = labels.join(nbrMin, col("_id") === col("src"), "left")
+        .select(col("_id"),
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(
+          labels.select(col("_id"), col("label").as("_old")), "_id")
+        .filter(col("label") =!= col("_old")).limit(1).count() > 0
+      if (prev != null) prev.unpersist(false)
+      prev = labels
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
 }

@@ -39,15 +39,32 @@ object ExtQueries {
           "doc_id", col("text"), SH))
     }
 
+  /** LSH candidate pairs as a shared stage: the band self-join feeds q26's
+    * jaccard scoring (two plan branches) and q70's cluster resolution.
+    */
+  private def sharedCands(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s"lsh-cands:$SH:$NH:$BAND:${System.identityHashCode(s)}:$d") {
+      graft.runtime.Stage.persistShared(
+        Dedup.lshCandidates(sharedSigs(s, d), "doc_id", NH, BAND))
+    }
+
   val queries: Map[String, Q] = Map(
     "q25_minhash_sig" -> ((s, d) => sharedSigs(s, d)),
 
-    "q26_lsh_pairs" -> ((s, d) => {
-      // candidate pairs feed two plan branches of the jaccard (base + inter)
-      // — scoped-persist so the band self-join runs once
-      val cands = graft.runtime.Stage.scopedPersist(
-        Dedup.lshCandidates(sharedSigs(s, d), "doc_id", NH, BAND))
-      Dedup.jaccardOnShingles(cands, sharedShingles(s, d))
+    "q26_lsh_pairs" -> ((s, d) =>
+      Dedup.jaccardOnShingles(sharedCands(s, d), sharedShingles(s, d))),
+
+    // Near-dup cluster resolution: LSH pairs above jaccard 0.5 become an
+    // undirected graph; hash-min connected components label every doc with
+    // its cluster's minimum id (the canonical copy a curator keeps).
+    "q70_dedup_clusters" -> ((s, d) => {
+      val dup = Dedup.jaccardOnShingles(sharedCands(s, d), sharedShingles(s, d))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
+      Dedup.connectedComponents(verts, dup)
+        .select(col("_id").as("doc_id"), col("label").as("cluster"),
+          (col("_id") === col("label")).as("is_canonical"))
     }),
 
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
@@ -284,6 +301,24 @@ object ExtQueries {
        |shex AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM docsh),
        |shsize AS (SELECT doc_id, count(*) AS n FROM shex GROUP BY 1)""".stripMargin
 
+  /** [[jaccardTail]]'s SELECT as a nestable subquery body (for use inside a
+    * CTE): same inter/size joins, but the `inter` computation is inlined.
+    */
+  private def jaccardCte(pairsCte: String): String =
+    s"""SELECT p.doc_a, p.doc_b,
+       |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
+       |    / (na.n + nb.n - coalesce(i.i, 0)), 6) AS jaccard
+       |FROM $pairsCte p
+       |LEFT JOIN (
+       |  SELECT p2.doc_a, p2.doc_b, count(*) AS i
+       |  FROM $pairsCte p2
+       |  JOIN shex sa ON sa.doc_id = p2.doc_a
+       |  JOIN shex sb ON sb.doc_id = p2.doc_b AND sb.s = sa.s
+       |  GROUP BY p2.doc_a, p2.doc_b) i
+       |  ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |JOIN shsize na ON na.doc_id = p.doc_a
+       |JOIN shsize nb ON nb.doc_id = p.doc_b""".stripMargin
+
   private def jaccardTail(pairsCte: String): String =
     s"""inter AS (
        |  SELECT p.doc_a, p.doc_b, count(*) AS i
@@ -344,6 +379,29 @@ object ExtQueries {
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
          |${jaccardTail("pairs")}""".stripMargin,
+
+    "q70_dedup_clusters" ->
+      s"""WITH RECURSIVE $shCte,
+         |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+         |bands AS (
+         |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+         |  FROM sigs, range(${NH / BAND}) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+         |  WHERE x.doc_id < y.doc_id),
+         |scored AS (${jaccardCte("pairs")}),
+         |dup AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+         |          UNION SELECT doc_b, doc_a FROM dup),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM edges
+         |  UNION
+         |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+         |lab AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
+         |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id""".stripMargin,
 
     "q29_embed_norm" ->
       s"""SELECT vec_id, round(${normList("embedding")}, 6) AS l2_norm, label

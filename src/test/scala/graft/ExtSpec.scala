@@ -147,6 +147,17 @@ class ExtSpec extends AnyFunSuite {
     assert(approx === exact)
   }
 
+  test("connected components: chain, triangle, and isolated vertex resolve to min-id labels") {
+    val verts = (1L to 9L).toDF("_id")
+    // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 5-6-7, isolated 8, pair 9-?
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("langId: marker argmax with lex tie-break and 'und' fallback") {
     val docs = Seq(
       (1L, "the cat and the dog is here"), // en markers
