@@ -296,6 +296,61 @@ object RelationalQueries {
         .select(col("day"), col("n_clicks"), col("n_orders"))
     }),
 
+    // Pivot (long → wide): per-user event counts fanned across the five
+    // event types. Explicit value list ⇒ stable schema, no discovery pass
+    // over the data — the only pivot form that's sane at 100 TB.
+    "q71_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .groupBy(col("user_id").as("userId"))
+        .pivot("event_type", types).count()
+        .na.fill(0L, types)
+      p.select(col("userId") +: types.map(t => col(t).as(s"n_$t")): _*)
+    }),
+
+    // Unpivot (wide → long): lineitem measures melted to (key, measure,
+    // value) rows — the inverse surface, constant-folded per row (no
+    // shuffle; it's a generate, not an aggregation).
+    "q72_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("l_quantity"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"),
+          round(col("l_discount"), 2).as("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")),
+
+    // Gap-filled daily series with LOCF: each user's observed click `value`
+    // per day (last event wins), densified over the user's own date span,
+    // missing days carrying the last observation forward — the standard
+    // feature-pipeline resample. sequence+explode generates the calendar
+    // per user (no driver loop); the fill is one ignoreNulls window.
+    "q73_gapfill_locf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wPick = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val obs = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+        .withColumn("_rn", row_number().over(wPick))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("day"), col("value"))
+      val span = obs.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val cal = span.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(obs, Seq("user_id", "day"), "left")
+        .withColumn("filled",
+          round(last(col("value"), ignoreNulls = true).over(wFill), 6))
+        .select(col("user_id").as("userId"), col("day"),
+          col("value").isNotNull.as("observed"), col("filled"))
+    }),
+
     // Running window aggregate (rows-frame) with a total order → deterministic.
     "q12_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -421,6 +476,45 @@ object RelationalQueries {
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
         |FROM lineitem""".stripMargin,
+
+    "q71_pivot" ->
+      """SELECT user_id AS userId,
+        | count(*) FILTER (event_type = 'click') AS n_click,
+        | count(*) FILTER (event_type = 'error') AS n_error,
+        | count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        | count(*) FILTER (event_type = 'signup') AS n_signup,
+        | count(*) FILTER (event_type = 'view') AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q72_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  round(l_quantity, 2) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  round(l_extendedprice, 2) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  round(l_discount, 2) FROM lineitem""".stripMargin,
+
+    "q73_gapfill_locf" ->
+      """WITH obs AS (
+        |  SELECT user_id, day, value FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') t WHERE rn = 1),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |         FROM obs GROUP BY 1),
+        |cal AS (
+        |  SELECT s.user_id, unnest(generate_series(s.d0, s.d1,
+        |    INTERVAL 1 DAY))::DATE AS day
+        |  FROM span s)
+        |SELECT c.user_id AS userId, c.day,
+        |  o.value IS NOT NULL AS observed,
+        |  round(last_value(o.value IGNORE NULLS) OVER (
+        |    PARTITION BY c.user_id ORDER BY c.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+        |FROM cal c LEFT JOIN obs o ON o.user_id = c.user_id AND o.day = c.day""".stripMargin,
 
     "q63_full_outer" ->
       """WITH ev AS (
