@@ -351,6 +351,19 @@ object RelationalQueries {
           col("value").isNotNull.as("observed"), col("filled"))
     }),
 
+    // Sketch aggregates — the sublinear-memory path for 100 TB profiling:
+    // HLL++ distinct counts and GK quantiles are one streaming pass with
+    // mergeable fixed-size state (no exact distinct shuffle, no sort).
+    // Approximate ⇒ no cross-engine oracle (rows-only check); the error
+    // bounds vs exact are pinned by a spec instead.
+    "q74_sketches" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))),
+
     // Running window aggregate (rows-frame) with a total order → deterministic.
     "q12_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window

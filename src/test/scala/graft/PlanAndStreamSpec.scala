@@ -197,6 +197,63 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("sketch aggregates land within their error bounds of the exact answers") {
+    val ev = graft.io.Tables.events(spark, sf)
+    val approx = RelationalQueries.queries("q74_sketches")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"),
+        expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (t, (n, p50)) =>
+      val (an, ap50) = approx(t)
+      assert(math.abs(an - n).toDouble / n <= 0.10, s"$t: HLL $an vs exact $n")
+      // percentile_approx with accuracy 10000 is rank-exact on these sizes
+      assert(math.abs(ap50 - p50) <= math.max(0.05 * math.abs(p50), 1e-6),
+        s"$t: p50 $ap50 vs exact $p50")
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("streaming aggregation recovers from a mid-stream kill via checkpoint (exactly-once state)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_test").toString
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    // split the events into 4 files so maxFilesPerTrigger=1 forces multiple
+    // micro-batches, leaving work behind when we kill the first query
+    graft.io.Tables.events(spark, sf).repartition(4).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .filter($"event_type" === "click")
+      .groupBy(to_date($"ts").as("day")).count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ckpt_restart_test")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    // let at least one batch commit, then kill mid-stream
+    val deadline = System.currentTimeMillis + 30000
+    while (q1.recentProgress.length < 2 && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    q1.stop()
+
+    // a fresh query on the same checkpoint resumes from committed offsets —
+    // whatever the kill point was, the final state must equal the batch run
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.table("ckpt_restart_test").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val batch = graft.io.Tables.clicks(spark, sf)
+      .groupBy($"date").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState cumulative counts carry state across day-aligned batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
