@@ -351,6 +351,33 @@ object RelationalQueries {
           col("value").isNotNull.as("observed"), col("filled"))
     }),
 
+    // Set operations (§2.6 completeness): INTERSECT/EXCEPT between the
+    // clicker and purchaser user sets. Both compile to aggregate-backed
+    // joins (no sort) and stay a single shuffle on the set key.
+    "q75_setops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def users(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id")).distinct()
+      val both = users("click").intersect(users("purchase"))
+        .withColumn("relation", lit("click_and_purchase"))
+      val only = users("click").except(users("purchase"))
+        .withColumn("relation", lit("click_only"))
+      both.unionByName(only).select(col("user_id"), col("relation"))
+    }),
+
+    // Explicit GROUPING SETS with grouping_id — the general form next to
+    // q52's ROLLUP and q55's CUBE; one shuffle produces all three
+    // granularities (per-type, per-day, grand total).
+    "q76_grouping_sets" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      ev.groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
+          col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
     // Sketch aggregates — the sublinear-memory path for 100 TB profiling:
     // HLL++ distinct counts and GK quantiles are one streaming pass with
     // mergeable fixed-size state (no exact distinct shuffle, no sort).
@@ -489,6 +516,24 @@ object RelationalQueries {
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
         |FROM lineitem""".stripMargin,
+
+    "q75_setops" ->
+      """SELECT user_id, 'click_and_purchase' AS relation FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase') t
+        |UNION ALL
+        |SELECT user_id, 'click_only' FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase') t2""".stripMargin,
+
+    "q76_grouping_sets" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        | round(sum(value), 4) AS sum_value,
+        | CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())""".stripMargin,
 
     "q71_pivot" ->
       """SELECT user_id AS userId,

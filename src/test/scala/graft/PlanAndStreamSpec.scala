@@ -197,6 +197,37 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch idempotent sink: batch replay rewrites instead of duplicating") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_feb_test").toString + "/sink"
+
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("id", "payload")
+      .writeStream
+      .foreachBatch(graft.streaming.ForeachBatchSink.idempotentParquet(out) _)
+      .start()
+    val batch2 = Seq((3L, "c"), (4L, "d"))
+    try {
+      stream.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readAll() = spark.read.parquet(out)
+      .select($"id", $"payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val first = readAll()
+    assert(first === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // simulate the post-failure replay of batch 1: same data, same batchId —
+    // the overwrite must leave the sink unchanged, not append duplicates
+    graft.streaming.ForeachBatchSink.idempotentParquet(out)(
+      batch2.toDF("id", "payload"), 1L)
+    assert(readAll() === first)
+  }
+
   test("sketch aggregates land within their error bounds of the exact answers") {
     val ev = graft.io.Tables.events(spark, sf)
     val approx = RelationalQueries.queries("q74_sketches")(spark, sf)
