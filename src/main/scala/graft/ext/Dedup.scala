@@ -212,6 +212,19 @@ object Dedup {
       i += 1
     }
     sym.unpersist(false)
-    labels
+    if (prev != null) prev.unpersist(false)
+    if (!converged)
+      // Partially-propagated labels are silently WRONG (two vertices of one
+      // component keep different labels) — fail loudly rather than return
+      // them. maxIter bounds the component diameter, which for near-dup
+      // clusters is tiny; hitting it means the input is not what this
+      // operator is for.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations; " +
+          "label propagation needs more rounds than the configured bound")
+    // Register the surviving persist with the query scope so SparkEntry's
+    // newQueryScope() releases it — otherwise each invocation leaks a
+    // block-manager cache entry for the session lifetime.
+    graft.runtime.Stage.scopedPersist(labels)
   }
 }

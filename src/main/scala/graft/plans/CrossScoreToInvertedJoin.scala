@@ -36,9 +36,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, StructType
   *    attributes, one from each side;
   *  - every other projected column is a plain attribute (grouping keys).
   *
-  * Assumed data invariant (documented, not checkable statically): input
-  * rows are unique per id and keyword lists are duplicate-free — the
-  * invariant every profile table in this engine satisfies. Summation order
+  * Assumed data invariant (not checkable statically): input rows are
+  * unique per id and keyword lists are duplicate-free — the invariant
+  * every profile table in this engine satisfies. KeywordDot is last-wins
+  * per duplicated word while the explode/join/sum form adds a term per
+  * duplicate, so a violation would change scores silently. The rewrite
+  * therefore injects a cheap runtime assert (array_distinct size check,
+  * O(K) per exploded row) that fails the query loudly instead; disable
+  * with `spark.graft.crossRewrite.assertDistinct=false` if the invariant
+  * is guaranteed upstream and the check must be shaved. Summation order
   * differs from the UDF's map iteration (± ulps); rank on rounded scores,
   * as all pipelines here do.
   *
@@ -104,11 +110,30 @@ object CrossScoreToInvertedJoin extends Rule[LogicalPlan] {
                           wName: String, vName: String): (LogicalPlan, Attribute, Attribute) = {
     val elemType = kw.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
     val elem = AttributeReference("_kw", elemType, nullable = true)()
-    val gen = Generate(Explode(kw), unrequiredChildIndex = Nil, outer = false,
+    val gen = Generate(Explode(assertDistinctWords(kw, elemType)),
+      unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(elem), child = child)
     val word = Alias(GetStructField(elem, 0, Some("word")), wName)()
     val value = Alias(GetStructField(elem, 1, Some("value")), vName)()
     (Project(keep ++ Seq(word, value), gen), word.toAttribute, value.toAttribute)
+  }
+
+  /** Loud-failure guard for the rewrite's data invariant: a keyword list
+    * with duplicate words raises instead of silently scoring differently
+    * than the cross form. Null lists pass through (explode emits nothing).
+    */
+  private def assertDistinctWords(kw: Attribute, elemType: StructType): Expression = {
+    if (!conf.getConfString("spark.graft.crossRewrite.assertDistinct", "true").toBoolean)
+      return kw
+    val words = GetArrayStructFields(kw, elemType.fields(0), 0,
+      elemType.fields.length, containsNull = true)
+    val ok = Or(IsNull(kw), EqualTo(Size(ArrayDistinct(words)), Size(kw)))
+    If(ok, kw, Cast(new RaiseError(Literal(
+      "graft inverted-join rewrite: keyword list contains duplicate words; " +
+        "inverted-join rewrite requires duplicate-free lists (keyword_dot is " +
+        "last-wins per word, the rewrite sums per occurrence). Set " +
+        "spark.graft.crossRewrite.assertDistinct=false only if uniqueness is " +
+        "guaranteed upstream.")), kw.dataType))
   }
 
   private def rewrite(projList: Seq[NamedExpression], l: LogicalPlan, r: LogicalPlan): LogicalPlan = {

@@ -26,14 +26,14 @@ object ExtQueries {
     * q26+q27 share the shingle table.
     */
   private def sharedSigs(s: SparkSession, d: String): DataFrame =
-    graft.runtime.Stage.shared(s"minhash-sigs:$SH:$NH:${System.identityHashCode(s)}:$d") {
+    graft.runtime.Stage.shared(s, s"minhash-sigs:$SH:$NH:$d") {
       graft.runtime.Stage.persistShared(
         Dedup.minhashSignatures(graft.ops.Ops.fanOut(Tables.documents(s, d)),
           "doc_id", col("text"), SH, NH))
     }
 
   private def sharedShingles(s: SparkSession, d: String): DataFrame =
-    graft.runtime.Stage.shared(s"shingle-rows:$SH:${System.identityHashCode(s)}:$d") {
+    graft.runtime.Stage.shared(s, s"shingle-rows:$SH:$d") {
       graft.runtime.Stage.persistShared(
         Dedup.shingleRows(graft.ops.Ops.fanOut(Tables.documents(s, d)),
           "doc_id", col("text"), SH))
@@ -43,7 +43,7 @@ object ExtQueries {
     * jaccard scoring (two plan branches) and q70's cluster resolution.
     */
   private def sharedCands(s: SparkSession, d: String): DataFrame =
-    graft.runtime.Stage.shared(s"lsh-cands:$SH:$NH:$BAND:${System.identityHashCode(s)}:$d") {
+    graft.runtime.Stage.shared(s, s"lsh-cands:$SH:$NH:$BAND:$d") {
       graft.runtime.Stage.persistShared(
         Dedup.lshCandidates(sharedSigs(s, d), "doc_id", NH, BAND))
     }
@@ -277,7 +277,7 @@ object ExtQueries {
     * rounded 6 as everywhere.
     */
   private def docKeywords(s: SparkSession, d: String): DataFrame =
-    graft.runtime.Stage.shared(s"doc-kw8:${System.identityHashCode(s)}:$d") {
+    graft.runtime.Stage.shared(s, s"doc-kw8:$d") {
       graft.runtime.Stage.persistShared(
         graft.text.TfIdf.topKeywords(graft.ops.Ops.fanOut(Tables.documents(s, d)), "doc_id",
           Seq(col("text") -> 1.0), k = 8, roundTo = 6)

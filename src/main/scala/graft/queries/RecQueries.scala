@@ -39,7 +39,7 @@ object RecQueries {
     * q21/q22/q23/q46 all reuse them.
     */
   private def profiles(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    graft.runtime.Stage.shared(s"rec-profiles:${System.identityHashCode(s)}:$d") {
+    graft.runtime.Stage.shared(s, s"rec-profiles:$d") {
       buildProfiles(s, d)
     }
 
@@ -86,7 +86,7 @@ object RecQueries {
     * — built and persisted once per (session, dataset).
     */
   private def recDotLists(s: SparkSession, d: String): DataFrame =
-    graft.runtime.Stage.shared(s"rec-dot-lists:${System.identityHashCode(s)}:$d") {
+    graft.runtime.Stage.shared(s, s"rec-dot-lists:$d") {
       val (newsKw, userKw) = profiles(s, d)
       val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance,
         numRecommendations = 5)

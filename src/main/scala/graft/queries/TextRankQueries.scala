@@ -36,7 +36,7 @@ object TextRankQueries {
     * files once, TextRank.java:68-73, and re-reads it at :224).
     */
   private def sharedNewsKw(s: SparkSession, d: String): DataFrame =
-    graft.runtime.Stage.shared(s"textrank-news-kw:${System.identityHashCode(s)}:$d") {
+    graft.runtime.Stage.shared(s, s"textrank-news-kw:$d") {
       graft.runtime.Stage.persistShared(
         TextRankKeywords.newsKeywords(graft.ops.Ops.fanOut(Tables.news(s, d)), scene))
     }

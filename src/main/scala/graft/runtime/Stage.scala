@@ -1,6 +1,7 @@
 package graft.runtime
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 import scala.collection.mutable
 
@@ -18,7 +19,11 @@ import scala.collection.mutable
   *
   * Two lifetimes:
   *  - `shared`: session-lifetime memoization for stage outputs reused
-  *    across queries (small, profile-sized tables).
+  *    across queries (small, profile-sized tables). Keyed by
+  *    `spark.sessionUUID` (stable and unique per session — identity hashes
+  *    can collide or be reused after GC) and evicted when the session's
+  *    application ends, so long-lived JVMs don't accumulate entries bound
+  *    to dead SparkContexts.
   *  - `scopedPersist`: caches private to one query (self-join inputs,
   *    multi-branch intermediates). Registered here and released when the
   *    next query begins — without this, a 50-query run accumulates every
@@ -31,13 +36,57 @@ import scala.collection.mutable
 object Stage {
   private val cache = mutable.Map[String, Any]()
   private val scoped = mutable.Buffer[DataFrame]()
+  private val hooked = mutable.Set[String]()
 
   /** Memoized shared stage: first caller builds (persisting what it returns
     * via [[persistShared]]); later callers get the same object. Key must
-    * include everything the build depends on (dataset dir, parameters).
+    * include everything the build depends on (dataset dir, parameters) —
+    * the session is keyed automatically by its UUID.
     */
-  def shared[T](key: String)(build: => T): T =
-    synchronized { cache.getOrElseUpdate(key, build).asInstanceOf[T] }
+  def shared[T](spark: SparkSession, key: String)(build: => T): T =
+    synchronized {
+      val uuid = sessionTag(spark)
+      if (!hooked.contains(uuid)) {
+        hooked += uuid
+        // Evict this session's entries when its application stops: a cached
+        // DataFrame bound to a stopped SparkContext is unusable and pins
+        // block-manager metadata.
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+            evictSession(uuid)
+        })
+      }
+      cache.getOrElseUpdate(s"$uuid:$key", build).asInstanceOf[T]
+    }
+
+  /** Stable per-session cache key prefix: `sessionUUID` is unique for the
+    * session's lifetime and never reused, unlike identity hash codes.
+    */
+  // SparkSession.sessionUUID is private[sql], so mint our own stable tag:
+  // a weak identity map + monotonic counter. Unlike raw identity hashes,
+  // tags are unique for the JVM lifetime and never reused after a session
+  // is GC'd (the weak entry dies with the session; a new session gets a
+  // fresh counter value).
+  private val sessionTags =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private val tagCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def sessionTag(spark: SparkSession): String =
+    sessionTags.computeIfAbsent(spark, _ => s"s${tagCounter.incrementAndGet()}")
+
+  /** Drop every cached stage belonging to `sessionUUID`. */
+  def evictSession(sessionUUID: String): Unit = synchronized {
+    cache.keys.filter(_.startsWith(sessionUUID + ":")).toList
+      .foreach(cache.remove)
+    hooked -= sessionUUID
+  }
+
+  /** Drop everything (test harness hook). */
+  def clear(): Unit = synchronized {
+    cache.clear(); hooked.clear()
+    scoped.foreach(_.unpersist(blocking = false)); scoped.clear()
+  }
 
   /** Persist a DataFrame for the session lifetime (shared-stage outputs). */
   def persistShared(df: DataFrame): DataFrame =

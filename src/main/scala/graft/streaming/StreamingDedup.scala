@@ -4,10 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming exact deduplication (the training-pipeline twin of batch q15):
-  * `dropDuplicates` over a keyed event stream keeps the FIRST-seen row per
-  * key in the state store and emits it append-mode; the event-time
-  * watermark bounds state (keys older than the watermark are evicted — at
-  * 100 TB the state store holds one watermark-window of keys, not history).
+  * `dropDuplicatesWithinWatermark` over a keyed event stream keeps the
+  * FIRST-seen row per key in the state store and emits it append-mode.
+  *
+  * The `WithinWatermark` variant matters for state size: plain
+  * `dropDuplicates(subset)` only evicts state when the watermarked
+  * event-time column is itself part of the dedup key subset — with a key of
+  * (user_id, newsId, day) its state would grow without bound on an
+  * unbounded stream. `dropDuplicatesWithinWatermark` instead expires each
+  * key at (its event time + watermark delay), so at 100 TB the state store
+  * holds one watermark-window of keys, not history. Semantics guarantee:
+  * duplicates arriving within the watermark delay of each other are
+  * dropped; here duplicate (user, news, day) clicks are at most ~24h apart
+  * by construction (same calendar day) and the delay is 1 day, so the
+  * result equals batch DISTINCT.
   *
   * Here: one counted exposure per (user, news, day) from the click stream,
   * then a batch aggregation over the deduplicated sink — dedup is the only
@@ -32,7 +42,7 @@ object StreamingDedup {
       .select(col("user_id"), (col("event_id") % 500).as("newsId"),
         to_date(col("ts")).as("day"), col("ts"))
       .withWatermark("ts", "1 day")
-      .dropDuplicates("user_id", "newsId", "day")
+      .dropDuplicatesWithinWatermark("user_id", "newsId", "day")
 
     val q = exposures.writeStream
       .outputMode("append")

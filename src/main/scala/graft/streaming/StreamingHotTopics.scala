@@ -71,8 +71,13 @@ object StreamingHotTopics {
     * DAILY_STATS input (/root/reference/HotTopics.java:34).
     */
   def sharedDailyClickCounts(spark: SparkSession, dir: String): DataFrame =
-    graft.runtime.Stage.shared(
-      s"stream-daily-counts:${System.identityHashCode(spark)}:$dir") {
-      graft.runtime.Stage.persistShared(dailyClickCounts(spark, dir, "stream_counts"))
+    graft.runtime.Stage.shared(spark, s"stream-daily-counts:$dir") {
+      // The memory-sink temp view must be unique per dataset dir: a fixed
+      // name would be re-registered by a second dataset in the same session,
+      // and the first dataset's shared DataFrame — which reads the view by
+      // name — could recompute against the replaced table if its cache
+      // blocks were evicted.
+      val sink = s"stream_counts_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+      graft.runtime.Stage.persistShared(dailyClickCounts(spark, dir, sink))
     }
 }
