@@ -183,6 +183,13 @@ object Dedup {
     * diameters ever get long). The convergence probe is a `limit(1).count`,
     * not a full materialization.
     *
+    * The iteration runs ONLY over vertices incident to at least one edge:
+    * in a corpus-dedup graph the overwhelming majority of documents are in
+    * no near-dup pair, and their label trivially equals their own id — they
+    * are unioned back after convergence instead of being dragged through
+    * every BSP round's shuffles (at 100 TB that is the difference between
+    * iterating over ~billions of rows and over the pair-graph's vertices).
+    *
     * vertices: one id column named `_id`. edges: (a, b) undirected.
     * Returns (_id, label).
     */
@@ -191,7 +198,8 @@ object Dedup {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist()
-    var labels = vertices.select(col("_id"), col("_id").as("label"))
+    var labels = sym.select(col("src").as("_id")).distinct()
+      .select(col("_id"), col("_id").as("label"))
     var prev: DataFrame = null
     var converged = false
     var i = 0
@@ -222,9 +230,18 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter iterations; " +
           "label propagation needs more rounds than the configured bound")
-    // Register the surviving persist with the query scope so SparkEntry's
+    // Register the loop-final persist with the query scope so SparkEntry's
     // newQueryScope() releases it — otherwise each invocation leaks a
     // block-manager cache entry for the session lifetime.
     graft.runtime.Stage.scopedPersist(labels)
+    // Isolated vertices (no incident edge) never entered the iteration;
+    // their label is their own id. (Recomputes the edge-endpoint set from
+    // `edges` — callers keep their candidate-pair input persisted.)
+    val isolated = vertices.select(col("_id"))
+      .join(edges.select(col("a").as("_id"))
+        .union(edges.select(col("b").as("_id"))).distinct(),
+        Seq("_id"), "left_anti")
+      .select(col("_id"), col("_id").as("label"))
+    labels.union(isolated)
   }
 }

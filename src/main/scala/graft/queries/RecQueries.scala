@@ -46,13 +46,13 @@ object RecQueries {
   private def buildProfiles(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import graft.runtime.Stage
     val docs = Tables.documents(s, d)
-    // toks feeds news tf + user-profile tokens; tf feeds news scoring + df —
-    // persist both so tokenize-explode and the tf aggregation run once while
-    // the profiles materialize (scoped: dead weight once they have).
-    val toks = Stage.scopedPersist(
-      Ops.fanOut(docs).select(col("doc_id"), explode(Tokenizer.tokens(col("text"))).as("word")))
+    // tf feeds news scoring + df + the user profiles — persist it so the
+    // tokenize-explode-count runs once while the profiles materialize
+    // (scoped: dead weight once they have).
     val tf = Stage.scopedPersist(
-      toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+      Ops.fanOut(docs)
+        .select(col("doc_id"), explode(Tokenizer.tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
 
@@ -66,10 +66,17 @@ object RecQueries {
       Tables.news(s, d).select(col("id"), col("date")), "id")
 
     val clicks = Tables.clicks(s, d)
-    val userToks = clicks.select(col("userId"), col("newsId"))
-      .join(toks, col("newsId") === col("doc_id"))
-      .select(col("userId"), col("word"))
-    val utf = userToks.groupBy("userId", "word").agg(count(lit(1)).as("tf"))
+    // User term frequency = Σ_news clickCount(user, news) · tf(news, word).
+    // Pre-aggregating BOTH join sides (clicks to per-(user, news) counts,
+    // tokens to per-(doc, word) tf) computes the identical integer tf with a
+    // |user×news| ⋈ |doc×word| join instead of |click rows| ⋈ |token
+    // occurrence rows| — at 100 TB the raw form materializes every (click,
+    // token occurrence) pair and is the job's dominant shuffle.
+    val userNews = clicks.groupBy(col("userId"), col("newsId"))
+      .agg(count(lit(1)).as("_c"))
+    val utf = userNews
+      .join(tf, col("newsId") === col("doc_id"))
+      .groupBy("userId", "word").agg(sum(col("_c") * col("tf")).as("tf"))
     val userScored = utf.join(dfreq, "word").crossJoin(broadcast(n))
       .withColumn("value", round(col("tf") * log(col("n_docs") / col("df")), 6))
     val userKw = Ops.topKPerGroup(
