@@ -48,17 +48,27 @@ object ExtQueries {
         Dedup.lshCandidates(sharedSigs(s, d), "doc_id", NH, BAND))
     }
 
+  /** Jaccard-scored LSH candidate pairs as a shared stage: q26 emits them
+    * directly and q70 thresholds them into dedup-cluster edges — scoring
+    * (the shingle-intersection join, the expensive step) runs once per
+    * session+dataset.
+    */
+  private def sharedScoredPairs(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s, s"lsh-scored-pairs:$SH:$NH:$BAND:$d") {
+      graft.runtime.Stage.persistShared(
+        Dedup.jaccardOnShingles(sharedCands(s, d), sharedShingles(s, d)))
+    }
+
   val queries: Map[String, Q] = Map(
     "q25_minhash_sig" -> ((s, d) => sharedSigs(s, d)),
 
-    "q26_lsh_pairs" -> ((s, d) =>
-      Dedup.jaccardOnShingles(sharedCands(s, d), sharedShingles(s, d))),
+    "q26_lsh_pairs" -> ((s, d) => sharedScoredPairs(s, d)),
 
     // Near-dup cluster resolution: LSH pairs above jaccard 0.5 become an
     // undirected graph; hash-min connected components label every doc with
     // its cluster's minimum id (the canonical copy a curator keeps).
     "q70_dedup_clusters" -> ((s, d) => {
-      val dup = Dedup.jaccardOnShingles(sharedCands(s, d), sharedShingles(s, d))
+      val dup = sharedScoredPairs(s, d)
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))

@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern surface: the operators a 100 TB training-data / analytics
+  * deployment leans on beyond the reference's own pipelines — runtime-filter
+  * (bloom) semi joins, SCD2 change capture, corpus repetition quality,
+  * deterministic train/val/test splits, Pareto-frontier pruning, stream–
+  * static enrichment, and PMI co-occurrence. Every query is DuckDB-oracled
+  * (md5-based determinism where hashing is needed, identical aliases and
+  * rounding on both sides).
+  */
+object ScaleQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val HI_PRICE = 450000.0 // ~top decile of o_totalprice
+  private val TOP_WORDS = 50      // PMI vocabulary size
+
+  val queries: Map[String, Q] = Map(
+
+    // Bloom-filter semi join — the manual form of Spark's runtime row-level
+    // filtering (InjectRuntimeFilter): build a bloom over the small filtered
+    // build side, pre-filter the 100 TB probe side AT THE SCAN (the bloom
+    // rides the task closure, no shuffle of the probe side survives it),
+    // then close with an exact semi join so false positives never reach the
+    // output. At scale the win is that the probe side shrinks ~10x before
+    // the join shuffle.
+    "q77_bloom_semi" -> ((s, d) => {
+      val hi = Tables.orders(s, d)
+        .filter(col("o_totalprice") > HI_PRICE)
+        .select(col("o_orderkey"))
+      val n = hi.count()
+      val bloom = hi.stat.bloomFilter("o_orderkey", math.max(n, 64L), 0.01)
+      val mightContain = udf((k: Long) => bloom.mightContain(k))
+      Tables.lineitem(s, d)
+        .filter(mightContain(col("l_orderkey")))
+        .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // SCD2 change capture: collapse the event log to type-2 dimension rows
+    // (one row per consecutive event_type change per user, with
+    // valid_from/valid_to). Single shuffle on user_id; both windows share
+    // the (user_id, ts, event_id) sort so Catalyst plans one sort.
+    "q78_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      changes.select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w2).as("valid_to"),
+        row_number().over(w2).as("version"))
+    }),
+
+    // Gopher-style repetition quality: per document, the fraction of all
+    // token bigrams taken by the single most frequent bigram, plus the
+    // distinct-token ratio — the standard "is this boilerplate/spam" signal
+    // for corpus curation. Embarrassingly parallel per doc (fanOut guards
+    // the one-row-group small-file case).
+    "q79_repetition" -> ((s, d) => {
+      val base = Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
+      val bigrams = base.select(col("doc_id"), explode(
+        when(size(col("tk")) >= 2, expr(
+          "transform(sequence(0, size(tk)-2), i -> concat(element_at(tk, i+1), ' ', element_at(tk, i+2)))"))
+          .otherwise(expr("array()"))).as("bg"))
+      val rep = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("n_bigrams"),
+          max(col("c")).as("top_count"))
+      base.select(col("doc_id"), size(col("tk")).as("n_tok"),
+          size(array_distinct(col("tk"))).as("n_uniq"))
+        .join(rep, "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+          round(col("top_count").cast("double") / col("n_bigrams"), 6).as("rep_ratio"),
+          round(col("n_uniq").cast("double") / col("n_tok"), 6).as("uniq_ratio"))
+    }),
+
+    // Deterministic stratified train/val/test split: md5(doc_id) buckets
+    // 80/10/10 — reproducible across engines/runs (no RNG), stable under
+    // corpus growth (a doc's split never changes when others are added),
+    // and verifiable: the oracle recomputes the same md5 arithmetic.
+    "q80_split_stats" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("int") % 10
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 8, lit("train")).when(bucket === 8, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Pareto frontier (skyline) per customer over (totalprice, orderdate):
+    // keep orders not dominated by another order of the same customer. The
+    // dominance anti-join is equi-keyed on o_custkey, so it shuffles once on
+    // the customer key and the quadratic term is bounded by per-customer
+    // group size (~10 here; the per-key sort-scan form would drop even that).
+    "q81_pareto" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_date"))
+      val dom = o.select(col("o_custkey").as("d_cust"),
+        col("o_totalprice").as("d_price"), col("o_date").as("d_date"))
+      o.join(dom,
+          col("o_custkey") === col("d_cust") &&
+            col("d_price") >= col("o_totalprice") && col("d_date") >= col("o_date") &&
+            (col("d_price") > col("o_totalprice") || col("d_date") > col("o_date")),
+          "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"), col("o_date"))
+    }),
+
+    // Stream–static enrichment (streaming.StreamingEnrich): events stream
+    // broadcast-joined to the customer dimension inside each micro-batch,
+    // then aggregated batch-side from the sink. Oracle = the identical
+    // batch join+agg.
+    "q82_stream_enrich" -> ((s, d) =>
+      graft.streaming.StreamingEnrich.sharedEnrichedEvents(s, d)
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))),
+
+    // PMI co-occurrence over the top-N df words: corpus-level collocation
+    // mining. Document-distinct word incidence keeps the self-join bounded
+    // at |docs| x N; the vocabulary is broadcast both into the incidence
+    // filter and the df lookup.
+    "q83_pmi_cooccur" -> ((s, d) => {
+      val inc = graft.runtime.Stage.scopedPersist(
+        Ops.fanOut(Tables.documents(s, d)).select(col("doc_id"),
+          explode(array_distinct(graft.text.Tokenizer.tokens(col("text")))).as("word")))
+      val dfreq = inc.groupBy("word").agg(count(lit(1)).as("df"))
+      val top = dfreq
+        .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("word"))))
+        .filter(col("r") <= TOP_WORDS).drop("r")
+      val fi = inc.join(broadcast(top), "word")
+      val nDocs = Tables.documents(s, d).count()
+      fi.select(col("doc_id"), col("word").as("word_a"), col("df").as("df_a"))
+        .join(fi.select(col("doc_id"), col("word").as("word_b"), col("df").as("df_b")),
+          "doc_id")
+        .filter(col("word_a") < col("word_b"))
+        .groupBy("word_a", "word_b", "df_a", "df_b")
+        .agg(count(lit(1)).as("n_co"))
+        .select(col("word_a"), col("word_b"), col("n_co"),
+          round(log(col("n_co").cast("double") * nDocs / (col("df_a") * col("df_b"))), 6)
+            .as("pmi"))
+    }))
+
+  private val toks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
+
+  private val md5bucket =
+    """(CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 256
+      | + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT) * 16
+      | + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS INT)) % 10""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q77_bloom_semi" ->
+      s"""SELECT l_returnflag AS flag, count(*) AS n_items,
+         |  round(sum(l_quantity), 2) AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN
+         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > $HI_PRICE)
+         |GROUP BY 1""".stripMargin,
+
+    "q78_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, ts FROM c
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS INT) AS version
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q79_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM t WHERE len(tk) >= 2),
+         |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |r AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |    CAST(max(c) AS BIGINT) AS top_count
+         |  FROM c GROUP BY 1)
+         |SELECT t.doc_id, n_bigrams, top_count,
+         |  round(CAST(top_count AS DOUBLE) / n_bigrams, 6) AS rep_ratio,
+         |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS uniq_ratio
+         |FROM t JOIN r ON r.doc_id = t.doc_id""".stripMargin,
+
+    "q80_split_stats" ->
+      s"""WITH b AS (
+         |  SELECT lang, n_chars,
+         |    CASE WHEN $md5bucket < 8 THEN 'train'
+         |         WHEN $md5bucket = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q81_pareto" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  round(o.o_totalprice, 2) AS price,
+        |  CAST(o.o_orderdate AS DATE) AS o_date
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders d
+        |  WHERE d.o_custkey = o.o_custkey
+        |    AND d.o_totalprice >= o.o_totalprice
+        |    AND CAST(d.o_orderdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+        |    AND (d.o_totalprice > o.o_totalprice
+        |         OR CAST(d.o_orderdate AS DATE) > CAST(o.o_orderdate AS DATE)))""".stripMargin,
+
+    "q82_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q83_pmi_cooccur" ->
+      s"""WITH inc AS (
+         |  SELECT DISTINCT doc_id, word
+         |  FROM (SELECT doc_id, unnest($toks) AS word FROM documents)),
+         |dfreq AS (SELECT word, count(*) AS df FROM inc GROUP BY 1),
+         |top AS (
+         |  SELECT word, df FROM dfreq
+         |  ORDER BY df DESC, word LIMIT $TOP_WORDS),
+         |fi AS (SELECT i.doc_id, i.word, t.df FROM inc i JOIN top t USING (word)),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT a.word AS word_a, b.word AS word_b, count(*) AS n_co,
+         |  round(ln(CAST(count(*) AS DOUBLE) * any_value(n.n_docs)
+         |    / (any_value(a.df) * any_value(b.df))), 6) AS pmi
+         |FROM fi a JOIN fi b ON a.doc_id = b.doc_id AND a.word < b.word, n
+         |GROUP BY a.word, b.word""".stripMargin)
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.{Date, Timestamp}
+
+/** Semantics pins for the scale-pattern surface (queries.ScaleQueries):
+  * bloom-semi exactness, SCD2 change capture, Pareto dominance, repetition
+  * ratios, deterministic splits, PMI. End-to-end oracle coverage lives in
+  * the driver's DuckDB compare; these pin the operator semantics on
+  * hand-auditable inputs.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("bloom pre-filter + exact semi join = plain semi join (false positives never leak)") {
+    val keys = spark.range(0, 1000).select(col("id").as("k"))
+    val build = keys.filter(col("k") % 97 === 0) // 11 keys
+    val bloom = build.stat.bloomFilter("k", 64, 0.01)
+    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    val viaBloom = keys.filter(mightContain(col("k")))
+      .join(build, Seq("k"), "left_semi").as[Long].collect().sorted
+    val plain = keys.join(build, Seq("k"), "left_semi").as[Long].collect().sorted
+    assert(viaBloom.toSeq === plain.toSeq)
+    assert(plain.toSeq === (0L until 1000L).filter(_ % 97 == 0))
+    // and the bloom itself never rejects a true key (no false negatives)
+    assert(build.as[Long].collect().forall(bloom.mightContain))
+  }
+
+  test("SCD2 change capture: consecutive runs collapse, versions ordered, valid ranges chain") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, 10L, "view", ts(100)), (1L, 11L, "view", ts(200)),
+      (1L, 12L, "click", ts(300)), (1L, 13L, "view", ts(400)),
+      (2L, 20L, "signup", ts(50))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val out = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime / 1000, Option(r.getTimestamp(3)).map(_.getTime / 1000), r.getInt(4)))
+      .sortBy(t => (t._1, t._5))
+    assert(out.toSeq === Seq(
+      (1L, "view", 100L, Some(300L), 1),   // run of two views collapsed
+      (1L, "click", 300L, Some(400L), 2),
+      (1L, "view", 400L, None, 3),         // open-ended current version
+      (2L, "signup", 50L, None, 1)))
+  }
+
+  test("Pareto frontier anti-join: dominated orders drop, ties on one axis keep the other-axis winner") {
+    val o = Seq(
+      // cust 1: (price, date) — c dominates a (both axes >=, one strict)
+      (1L, 1L, 100.0, Date.valueOf("2024-01-01")), // a: dominated by c
+      (2L, 1L, 300.0, Date.valueOf("2024-01-05")), // b: frontier (highest price)
+      (3L, 1L, 100.0, Date.valueOf("2024-02-01")), // c: frontier (same price as a, later date)
+      (4L, 1L, 300.0, Date.valueOf("2024-01-01")), // d: dominated by b (equal price, earlier date)
+      // cust 2: single order is trivially on the frontier
+      (5L, 2L, 10.0, Date.valueOf("2024-01-01"))
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_date")
+    val dom = o.select(col("o_custkey").as("d_cust"),
+      col("o_totalprice").as("d_price"), col("o_date").as("d_date"))
+    val frontier = o.join(dom,
+        col("o_custkey") === col("d_cust") &&
+          col("d_price") >= col("o_totalprice") && col("d_date") >= col("o_date") &&
+          (col("d_price") > col("o_totalprice") || col("d_date") > col("o_date")),
+        "left_anti")
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(frontier.toSeq === Seq(2L, 3L, 5L))
+  }
+
+  test("repetition ratio: top-bigram share and distinct-token ratio") {
+    // "a b a b a" → bigrams: (a b, 2), (b a, 2) → top 2 of 4; uniq 2 of 5
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val base = df.select(col("doc_id"),
+      graft.text.Tokenizer.tokens(col("text")).as("tk"))
+    val bg = base.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(tk)-2), i -> concat(element_at(tk, i+1), ' ', element_at(tk, i+2)))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n"), max(col("c")).as("top"))
+      .head()
+    assert(bg.getLong(1) === 4L && bg.getLong(2) === 2L)
+    val t = base.select(size(col("tk")), size(array_distinct(col("tk")))).head()
+    assert(t.getInt(0) === 5 && t.getInt(1) === 2)
+  }
+
+  test("md5 split is a deterministic partition: every doc in exactly one split, stable across runs") {
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+      .cast("int") % 10
+    val split = when(bucket < 8, lit("train")).when(bucket === 8, lit("val"))
+      .otherwise(lit("test"))
+    val counts = docs.withColumn("s", split).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 500L)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    val again = docs.withColumn("s", split).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
+  test("PMI: words that always co-occur score ln(n_docs * n_co / (df_a * df_b)) > 0") {
+    // 4 docs; x,y always together in 2 docs; z independent in the other 2
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z q"), (4L, "z q"))
+      .toDF("doc_id", "text")
+    val inc = docs.select(col("doc_id"),
+      explode(array_distinct(graft.text.Tokenizer.tokens(col("text")))).as("word"))
+    val dfreq = inc.groupBy("word").agg(count(lit(1)).as("df"))
+    val fi = inc.join(dfreq, "word")
+    val pmi = fi.select(col("doc_id"), col("word").as("word_a"), col("df").as("df_a"))
+      .join(fi.select(col("doc_id"), col("word").as("word_b"), col("df").as("df_b")), "doc_id")
+      .filter(col("word_a") < col("word_b"))
+      .groupBy("word_a", "word_b", "df_a", "df_b")
+      .agg(count(lit(1)).as("n_co"))
+      .select(col("word_a"), col("word_b"),
+        round(log(col("n_co").cast("double") * 4 / (col("df_a") * col("df_b"))), 6).as("pmi"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // x,y: ln(4*2/(2*2)) = ln 2; perfectly-correlated pair scores positive
+    assert(math.abs(pmi(("x", "y")) - math.log(2)) < 1e-6)
+    assert(pmi(("q", "z")) === pmi(("x", "y"))) // symmetric corpus
+  }
+}
