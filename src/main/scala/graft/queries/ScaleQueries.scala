@@ -129,6 +129,22 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))),
 
+    // Bucketed co-located join (io.Bucketed): both fact tables pre-bucketed
+    // on the join key, so the join plans with no Exchange on either side —
+    // at 100 TB the ingest-time bucket write replaces a per-query full
+    // shuffle of the larger table. (At this SF the planner may still pick a
+    // broadcast join — also shuffle-free; the bucket spec is what guarantees
+    // the property once the dimension outgrows the broadcast threshold.
+    // PlanAndStreamSpec pins the no-Exchange SortMergeJoin plan.)
+    "q84_bucketed_join" -> ((s, d) => {
+      val (o, l) = graft.io.Bucketed.ordersLineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // PMI co-occurrence over the top-N df words: corpus-level collocation
     // mining. Document-distinct word incidence keeps the self-join bounded
     // at |docs| x N; the vocabulary is broadcast both into the incidence
@@ -231,6 +247,13 @@ object ScaleQueries {
         |  count(*) AS n_events, round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q84_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice*(1.0-l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q83_pmi_cooccur" ->
       s"""WITH inc AS (

@@ -73,6 +73,28 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("bucketed join: no Exchange on either side once broadcast is off") {
+    // The property q84 exists for: both tables pre-bucketed on the join key
+    // means the SortMergeJoin consumes bucket-local reads directly. Disable
+    // auto-broadcast so the small SF doesn't hide the shuffle-free shape.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (o, l) = graft.io.Bucketed.ordersLineitem(spark, sf)
+      val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_orderpriority"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      // correctness: identical to the unbucketed join
+      val plain = graft.io.Tables.lineitem(spark, sf)
+        .join(graft.io.Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_orderpriority"))
+      assert(joined.count() === plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("partitionBy(date) write: a date filter prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val kw = graft.io.Tables.clicks(spark, sf)
