@@ -197,30 +197,40 @@ object Dedup {
                           maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
+      .localCheckpoint()
+    // Every iteration re-roots `labels` with an EAGER localCheckpoint:
+    //  - the logical plan stays one join deep, instead of growing by two
+    //    joins per round (re-analysis/optimization of an N-round lineage is
+    //    quadratic in N and dominates wall-clock long before the data does);
+    //  - unlike `persist`, a checkpointed frame is a plain LogicalRDD, so
+    //    AQE is free to coalesce the iteration's tiny shuffles (cached-plan
+    //    output partitioning is pinned by default, checkpoints aren't);
+    //  - blocks of dropped iterations are reclaimed by the ContextCleaner
+    //    when their RDDs go unreferenced.
+    // On a multi-executor cluster localCheckpoint trades fault-tolerance
+    // for speed (executor loss forfeits the blocks and fails the job — the
+    // loop would restart); reliable `checkpoint(dir)` is the drop-in
+    // alternative where that tradeoff reverses.
     var labels = sym.select(col("src").as("_id")).distinct()
       .select(col("_id"), col("_id").as("label"))
-    var prev: DataFrame = null
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, col("dst") === col("_id"))
         .groupBy(col("src")).agg(min(col("label")).as("_nl"))
+      // Carry the previous label alongside the new one so the convergence
+      // probe is a filter over the just-materialized frame — not an extra
+      // self-join per round.
       val next = labels.join(nbrMin, col("_id") === col("src"), "left")
         .select(col("_id"),
-          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
-        .persist()
-      val changed = next.join(
-          labels.select(col("_id"), col("label").as("_old")), "_id")
-        .filter(col("label") =!= col("_old")).limit(1).count() > 0
-      if (prev != null) prev.unpersist(false)
-      prev = labels
-      labels = next
-      converged = !changed
+          least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
+          col("label").as("_old"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("_old")).limit(1).isEmpty
+      labels = next.select(col("_id"), col("label"))
       i += 1
     }
-    sym.unpersist(false)
-    if (prev != null) prev.unpersist(false)
     if (!converged)
       // Partially-propagated labels are silently WRONG (two vertices of one
       // component keep different labels) — fail loudly rather than return

@@ -23,7 +23,8 @@ object StreamingClickCume {
     * cum_clicks) — per-user per-day counts with running totals.
     */
   def dailyCumulative(spark: SparkSession, dir: String,
-                      queryName: String = "stream_click_cume"): DataFrame = {
+                      queryName: String = "stream_click_cume"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
     import spark.implicits._
     val stream = spark.readStream
       .schema(StreamingHotTopics.eventsSchema)

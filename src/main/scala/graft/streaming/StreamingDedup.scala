@@ -30,7 +30,8 @@ object StreamingDedup {
     * (day, n_exposures, n_users) over first-seen (user, news, day) rows.
     */
   def dailyExposures(spark: SparkSession, dir: String,
-                     queryName: String = "stream_dedup"): DataFrame = {
+                     queryName: String = "stream_dedup"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
     val stream = spark.readStream
       .schema(StreamingHotTopics.eventsSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -58,3 +59,4 @@ object StreamingDedup {
         countDistinct(col("user_id")).as("n_users"))
   }
 }
+

@@ -34,7 +34,8 @@ object StreamingHotTopics {
     * counts per news item, the input to the hot-topics ranking.
     */
   def dailyClickCounts(spark: SparkSession, dir: String,
-                       queryName: String = "stream_hot"): DataFrame = {
+                       queryName: String = "stream_hot"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
     // The file stream source needs a directory; select just the events file
     // from the table directory via a glob filter.
     val stream = spark.readStream

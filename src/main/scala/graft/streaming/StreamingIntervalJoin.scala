@@ -39,7 +39,8 @@ object StreamingIntervalJoin {
     * (view, click) attribution pair: (userId, view_id, click_id, gap_us).
     */
   def attributedClicks(spark: SparkSession, dir: String,
-                       queryName: String = "stream_interval_join"): DataFrame = {
+                       queryName: String = "stream_interval_join"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
     def src: DataFrame = spark.readStream
       .schema(StreamingHotTopics.eventsSchema)
       .option("pathGlobFilter", "events.parquet")

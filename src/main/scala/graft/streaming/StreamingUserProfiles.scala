@@ -25,7 +25,8 @@ object StreamingUserProfiles {
     * per-user profile table (userId, n_clicks, n_distinct_news).
     */
   def userClickProfiles(spark: SparkSession, dir: String,
-                        queryName: String = "stream_profiles"): DataFrame = {
+                        queryName: String = "stream_profiles"): DataFrame =
+      StreamConf.withStatePartitions(spark) {
     import spark.implicits._
 
     val stream = spark.readStream

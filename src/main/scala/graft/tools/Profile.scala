@@ -134,6 +134,27 @@ object Profile {
     newsKwDated.write.mode("overwrite").format("noop").save()
     println(f"[profile] profiles newsKw chain               ${(System.nanoTime() - t0) / 1e9}%8.2f s")
 
+    // ---- q70 CC internals ----
+    {
+      val st = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val sigs2 = Dedup.minhashSignatures(graft.ops.Ops.fanOut(docs),
+        "doc_id", col("text"), SH, NH).persist(st)
+      val sh = Dedup.shingleRows(graft.ops.Ops.fanOut(docs),
+        "doc_id", col("text"), SH).persist(st)
+      val cands2 = Dedup.lshCandidates(sigs2, "doc_id", NH, BAND).persist(st)
+      val scored = Dedup.jaccardOnShingles(cands2, sh).persist(st)
+      time("q70 scored pairs materialize")(
+        scored.write.mode("overwrite").format("noop").save())
+      val dup = scored.filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).persist(st)
+      println(s"[profile] q70 dup edges = ${time("q70 dup edge count")(dup.count())}")
+      val verts = docs.select(col("doc_id").as("_id"))
+      val cc = time("q70 connectedComponents build")(
+        Dedup.connectedComponents(verts, dup))
+      time("q70 connectedComponents materialize")(
+        cc.write.mode("overwrite").format("noop").save())
+    }
+
     spark.stop()
   }
 }
