@@ -29,10 +29,21 @@ object AlsRecommender {
       .groupBy(col("userId").cast("int").as("user"), col("newsId").cast("int").as("item"))
       .agg(sum(col("count")).cast("float").as("rating"))
 
+    // Block count bounds the per-iteration task count (each of maxIter
+    // iterations runs a user-solve and an item-solve over the blocked
+    // factor RDDs): size it to the RATINGS matrix, not the session's batch
+    // parallelism — a news-recommendation matrix (users x catalog) is tiny
+    // next to the click log that produced it, and oversized block counts
+    // turn every solve into a storm of near-empty tasks. At 100 TB the
+    // click LOG is huge but this pre-aggregated matrix still fits a modest
+    // block count; scale blocks with distinct users/items, not input rows.
+    val blocks = math.max(2, math.min(16,
+      clicks.sparkSession.sparkContext.defaultParallelism / 4))
     val model = new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setImplicitPrefs(true) // clicks are implicit feedback
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
       .setSeed(seed)
       .setColdStartStrategy("drop")
       .fit(ratings)
