@@ -145,6 +145,38 @@ object ScaleQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Zipf slope: regress ln(freq) on ln(rank) over the top-200 corpus
+    // words — the one-number "is this corpus natural language" statistic
+    // (natural text ≈ -1). Built-in regr_slope/regr_intercept aggregates
+    // (codegen'd, partial-aggregating) over a word-count table whose
+    // cardinality is the vocabulary, not the corpus.
+    "q85_zipf_slope" -> ((s, d) => {
+      val wc = Ops.fanOut(Tables.documents(s, d))
+        .select(explode(graft.text.Tokenizer.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      wc.withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+        .filter(col("rank") <= 200)
+        .select(log(col("freq").cast("double")).as("lf"),
+          log(col("rank").cast("double")).as("lr"))
+        .agg(count(lit(1)).as("n_words"),
+          round(expr("regr_slope(lf, lr)"), 6).as("slope"),
+          round(expr("regr_intercept(lf, lr)"), 6).as("intercept"))
+    }),
+
+    // Hopping (sliding) event-time windows: each click lands in
+    // duration/slide = 2 windows — the built-in `window()` generator the
+    // streaming hot-topics path shares. The oracle reproduces the window
+    // algebra by exploding each event into its two covering day-aligned
+    // starts.
+    "q86_sliding_windows" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .groupBy(window(col("ts"), "2 days", "1 day"))
+        .agg(count(lit(1)).as("n_clicks"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(to_date(col("window.start")).as("win_start"),
+          col("n_clicks"), col("n_users"))),
+
     // PMI co-occurrence over the top-N df words: corpus-level collocation
     // mining. Document-distinct word incidence keeps the self-join bounded
     // at |docs| x N; the vocabulary is broadcast both into the incidence
@@ -247,6 +279,29 @@ object ScaleQueries {
         |  count(*) AS n_events, round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q85_zipf_slope" ->
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY 1),
+         |rk AS (
+         |  SELECT ln(CAST(freq AS DOUBLE)) AS lf,
+         |    ln(CAST(row_number() OVER (ORDER BY freq DESC, word) AS DOUBLE)) AS lr
+         |  FROM wc ORDER BY freq DESC, word LIMIT 200)
+         |SELECT count(*) AS n_words, round(regr_slope(lf, lr), 6) AS slope,
+         |  round(regr_intercept(lf, lr), 6) AS intercept
+         |FROM rk""".stripMargin,
+
+    "q86_sliding_windows" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+        |  WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) - o AS win_start, user_id
+        |  FROM c, unnest([0, 1]) u(o))
+        |SELECT win_start, count(*) AS n_clicks,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q84_bucketed_join" ->
       """SELECT o_orderpriority,
