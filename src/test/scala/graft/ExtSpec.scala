@@ -158,6 +158,14 @@ class ExtSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("connected components: empty edge set short-circuits to identity labels") {
+    val verts = (1L to 4L).toDF("_id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Dedup.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("langId: marker argmax with lex tie-break and 'und' fallback") {
     val docs = Seq(
       (1L, "the cat and the dog is here"), // en markers
