@@ -48,17 +48,25 @@ object ScaleQueries {
     // (one row per consecutive event_type change per user, with
     // valid_from/valid_to). Single shuffle on user_id; both windows share
     // the (user_id, ts, event_id) sort so Catalyst plans one sort.
-    "q78_scd2" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val changes = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-      val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      changes.select(col("user_id"), col("event_type"),
-        col("ts").as("valid_from"),
-        lead(col("ts"), 1).over(w2).as("valid_to"),
-        row_number().over(w2).as("version"))
+    "q78_scd2" -> ((s, d) => scd2(s, d)),
+
+    // Fact-to-SCD2 temporal join: resolve each event against the dimension
+    // version valid at its timestamp (valid_from <= ts < valid_to, open
+    // current version). Equi-keyed on user_id — one co-partitioning shuffle;
+    // the interval residual filters within each key's (small) version list,
+    // never a relation-wide theta join.
+    "q87_temporal_join" -> ((s, d) => {
+      val dim = scd2(s, d)
+        .select(col("user_id").as("d_user"), col("event_type").as("state_type"),
+          col("valid_from"), col("valid_to"), col("version"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("ev_type"))
+        .join(dim, col("user_id") === col("d_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("user_id"), col("event_id"), col("ev_type"),
+          col("version"), col("state_type"))
     }),
 
     // Gopher-style repetition quality: per document, the fraction of all
@@ -177,6 +185,18 @@ object ScaleQueries {
         .select(to_date(col("window.start")).as("win_start"),
           col("n_clicks"), col("n_users"))),
 
+    // foreachBatch programmable sink, end to end: purchases stream through
+    // an idempotent per-batch-overwrite parquet ledger (the exactly-once
+    // upsert recipe for non-transactional stores; replay repairs instead
+    // of duplicating — pinned in PlanAndStreamSpec), then the ledger is
+    // read back and aggregated. Oracle = the same aggregation straight off
+    // the events table.
+    "q88_foreachbatch_ledger" -> ((s, d) =>
+      graft.streaming.ForeachBatchSink.sharedPurchaseLedger(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("sum_value"))),
+
     // PMI co-occurrence over the top-N df words: corpus-level collocation
     // mining. Document-distinct word incidence keeps the self-join bounded
     // at |docs| x N; the vocabulary is broadcast both into the incidence
@@ -202,6 +222,39 @@ object ScaleQueries {
             .as("pmi"))
     }))
 
+  /** The SCD2 dimension build shared by q78 (emits it) and q87 (joins
+    * facts against it).
+    */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version"))
+  }
+
+  /** The q78 oracle's CTE chain, reused by the q87 temporal-join oracle. */
+  private val scd2Cte =
+    """e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, event_id, event_type, ts FROM c
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |scd AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER w AS valid_to,
+      |    CAST(row_number() OVER w AS INT) AS version
+      |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
 
@@ -220,20 +273,17 @@ object ScaleQueries {
          |GROUP BY 1""".stripMargin,
 
     "q78_scd2" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-        |  FROM events),
-        |c AS (
-        |  SELECT user_id, event_id, event_type, ts,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM e),
-        |f AS (
-        |  SELECT user_id, event_id, event_type, ts FROM c
-        |  WHERE prev IS NULL OR prev <> event_type)
-        |SELECT user_id, event_type, ts AS valid_from,
-        |  lead(ts) OVER w AS valid_to,
-        |  CAST(row_number() OVER w AS INT) AS version
-        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+      s"""WITH $scd2Cte
+         |SELECT user_id, event_type, valid_from, valid_to, version
+         |FROM scd""".stripMargin,
+
+    "q87_temporal_join" ->
+      s"""WITH $scd2Cte
+         |SELECT ev.user_id, ev.event_id, ev.event_type AS ev_type,
+         |  s.version, s.event_type AS state_type
+         |FROM e ev JOIN scd s ON ev.user_id = s.user_id
+         |  AND ev.ts >= s.valid_from
+         |  AND (s.valid_to IS NULL OR ev.ts < s.valid_to)""".stripMargin,
 
     "q79_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
@@ -279,6 +329,12 @@ object ScaleQueries {
         |  count(*) AS n_events, round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q88_foreachbatch_ledger" ->
+      """SELECT user_id, count(*) AS n_purchases,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
 
     "q85_zipf_slope" ->
       s"""WITH wc AS (
