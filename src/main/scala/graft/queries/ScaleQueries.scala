@@ -197,6 +197,51 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_purchases"),
           round(sum(col("value")), 2).as("sum_value"))),
 
+    // Equi-width value binning (feature engineering): fixed 50k-wide price
+    // buckets — single hash-agg pass, bucket arithmetic in codegen.
+    "q89_value_buckets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 50000) + 1).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))),
+
+    // Correlation/covariance matrix over the lineitem numerics — the
+    // built-in partial-aggregating moments (one pass, no shuffle beyond the
+    // final single-group reduce).
+    "q90_corr_matrix" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"))),
+
+    // Table profiling: the one-pass column summary a curation pipeline runs
+    // before anything else (cardinalities, ranges, moments).
+    "q91_profile_orders" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        min(to_date(col("o_orderdate"))).as("min_date"),
+        max(to_date(col("o_orderdate"))).as("max_date"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))),
+
+    // Two-pass equi-width histogram over an unknown range: pass 1 reduces
+    // to (min, max) — a few bytes broadcast back — pass 2 buckets every
+    // row against them. The canonical shape for any "normalize then bin"
+    // op at 100 TB: no collect of data, only the 2-value reduce crosses
+    // the driver.
+    "q92_value_histogram" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("value"))
+      val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .groupBy(least(floor((col("value") - col("lo"))
+            / ((col("hi") - col("lo")) / 20)), lit(19)).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // PMI co-occurrence over the top-N df words: corpus-level collocation
     // mining. Document-distinct word incidence keeps the self-join bounded
     // at |docs| x N; the vocabulary is broadcast both into the incidence
@@ -335,6 +380,35 @@ object ScaleQueries {
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+
+    "q89_value_buckets" ->
+      """SELECT CAST(floor(o_totalprice / 50000) + 1 AS INT) AS bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q90_corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+        |  round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        |FROM lineitem""".stripMargin,
+
+    "q91_profile_orders" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  CAST(min(o_orderdate) AS DATE) AS min_date,
+        |  CAST(max(o_orderdate) AS DATE) AS max_date,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders""".stripMargin,
+
+    "q92_value_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS INT) AS bin,
+        |  count(*) AS n
+        |FROM events, b GROUP BY 1""".stripMargin,
 
     "q85_zipf_slope" ->
       s"""WITH wc AS (
