@@ -111,6 +111,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(again === counts)
   }
 
+  test("temporal join boundary: an event at a version's start joins that version, not the closed one") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // user 1: view@100 (v1), click@200 (v2) — event exactly at t=200 must
+    // land in v2 (valid_from <= ts) and NOT v1 (ts < valid_to strict).
+    val ev = Seq(
+      (1L, 10L, "view", ts(100)), (1L, 11L, "click", ts(200)),
+      (1L, 12L, "click", ts(200)) // second event at the boundary instant
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dim = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version"))
+    val joined = ev.join(dim, col("user_id") === col("d_user") &&
+        col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("version"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(joined === Map(10L -> 1, 11L -> 2, 12L -> 2))
+  }
+
   test("PMI: words that always co-occur score ln(n_docs * n_co / (df_a * df_b)) > 0") {
     // 4 docs; x,y always together in 2 docs; z independent in the other 2
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z q"), (4L, "z q"))
