@@ -22,7 +22,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val raw = RelationalQueries.queries ++ TextQueries.queries ++ RecQueries.queries ++
-      ExtQueries.queries ++ TextRankQueries.queries ++ ScaleQueries.queries
+      ExtQueries.queries ++ TextRankQueries.queries ++ ScaleQueries.queries ++
+      CurationQueries.queries
     // Scope boundary: entering a query releases the previous query's
     // scoped caches (graft.runtime.Stage) — queries run sequentially under
     // the driver contract.
@@ -36,5 +37,6 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ RecQueries.oracle ++
-      ExtQueries.oracle ++ TextRankQueries.oracle ++ ScaleQueries.oracle
+      ExtQueries.oracle ++ TextRankQueries.oracle ++ ScaleQueries.oracle ++
+      CurationQueries.oracle
 }

@@ -59,6 +59,19 @@ object ExtQueries {
         Dedup.jaccardOnShingles(sharedCands(s, d), sharedShingles(s, d)))
     }
 
+  /** q70's cluster labels (doc_id, cluster, is_canonical), shared with the
+    * q98 keep-one ledger.
+    */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val dup = sharedScoredPairs(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
+    Dedup.connectedComponents(verts, dup)
+      .select(col("_id").as("doc_id"), col("label").as("cluster"),
+        (col("_id") === col("label")).as("is_canonical"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_minhash_sig" -> ((s, d) => sharedSigs(s, d)),
 
@@ -67,14 +80,19 @@ object ExtQueries {
     // Near-dup cluster resolution: LSH pairs above jaccard 0.5 become an
     // undirected graph; hash-min connected components label every doc with
     // its cluster's minimum id (the canonical copy a curator keeps).
-    "q70_dedup_clusters" -> ((s, d) => {
-      val dup = sharedScoredPairs(s, d)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
-      Dedup.connectedComponents(verts, dup)
-        .select(col("_id").as("doc_id"), col("label").as("cluster"),
-          (col("_id") === col("label")).as("is_canonical"))
+    "q70_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+
+    // Dedup resolution applied: keep one canonical doc per near-dup
+    // cluster, report the per-language keep/drop ledger — the number a
+    // curator actually signs off on. Rides q70's shared cluster stage;
+    // the extra work is one broadcast-sized join to lang plus a 5-row agg.
+    "q98_dedup_keep_one" -> ((s, d) => {
+      val kept = when(col("is_canonical"), 1L).otherwise(0L)
+      dedupClusters(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(kept).as("n_kept"),
+          (count(lit(1)) - sum(kept)).as("n_dropped"))
     }),
 
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
@@ -347,6 +365,30 @@ object ExtQueries {
   private val bandKeyCase = (0 until NH / BAND).map(b =>
     s"WHEN ${b} THEN sig${2 * b} || sig${2 * b + 1}").mkString(" ")
 
+  /** The LSH → jaccard → threshold → transitive-closure chain behind q70's
+    * cluster labels, shared with the q98 keep-one ledger. Must appear under
+    * `WITH RECURSIVE`; ends with `lab(id, mn)`.
+    */
+  private lazy val clusterChain =
+    s"""$shCte,
+       |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+       |bands AS (
+       |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+       |  FROM sigs, range(${NH / BAND}) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+       |  WHERE x.doc_id < y.doc_id),
+       |scored AS (${jaccardCte("pairs")}),
+       |dup AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+       |          UNION SELECT doc_b, doc_a FROM dup),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+       |lab AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)""".stripMargin
+
   private def projExpr(j: Int): String =
     s"list_sum(list_transform(range($DIM), pi -> (CASE WHEN substr(md5('${j}_' || pi::VARCHAR), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END) * CAST(embedding[pi+1] AS DOUBLE)))"
 
@@ -391,27 +433,21 @@ object ExtQueries {
          |${jaccardTail("pairs")}""".stripMargin,
 
     "q70_dedup_clusters" ->
-      s"""WITH RECURSIVE $shCte,
-         |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
-         |bands AS (
-         |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
-         |  FROM sigs, range(${NH / BAND}) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
-         |  WHERE x.doc_id < y.doc_id),
-         |scored AS (${jaccardCte("pairs")}),
-         |dup AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
-         |          UNION SELECT doc_b, doc_a FROM dup),
-         |reach AS (
-         |  SELECT a AS id, b AS r FROM edges
-         |  UNION
-         |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
-         |lab AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $clusterChain
          |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
          |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
          |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id""".stripMargin,
+
+    "q98_dedup_keep_one" ->
+      s"""WITH RECURSIVE $clusterChain,
+         |res AS (
+         |  SELECT d.lang,
+         |    coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_can
+         |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE is_can) AS BIGINT) AS n_kept,
+         |  CAST(count(*) - count(*) FILTER (WHERE is_can) AS BIGINT) AS n_dropped
+         |FROM res GROUP BY 1""".stripMargin,
 
     "q29_embed_norm" ->
       s"""SELECT vec_id, round(${normList("embedding")}, 6) AS l2_norm, label
