@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ext.Graph
 import graft.io.Tables
 import graft.ops.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,6 +20,8 @@ object ScaleQueries {
 
   private val HI_PRICE = 450000.0 // ~top decile of o_totalprice
   private val TOP_WORDS = 50      // PMI vocabulary size
+  private val PR_ITERS = 10       // PageRank supersteps (fixed, oracle-unrolled)
+  private val PR_DAMP = 0.85      // PageRank damping
 
   val queries: Map[String, Q] = Map(
 
@@ -242,6 +245,59 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Stream-stream LEFT OUTER interval join (view→click funnel with
+    // explicit non-conversions) — see streaming.StreamingOuterJoin for the
+    // state-eviction and end-of-stream-flush mechanics. Oracle: the plain
+    // batch LEFT JOIN with the same interval predicate.
+    "q102_stream_outer_join" -> ((s, d) =>
+      graft.streaming.StreamingOuterJoin.viewFunnel(s, d)),
+
+    // Whole-graph PageRank over the click bipartite graph (users ↔ news,
+    // symmetrized; node ids namespaced even/odd). 10 BSP supersteps — one
+    // |E|-row shuffle each — via ext.Graph.pageRank; the oracle unrolls the
+    // same recurrence into 10 chained CTEs. Scores round(·,8): the only
+    // cross-engine slack is Σ-order in the per-node contribution sum
+    // (≤1e-13 relative), far inside the rounding.
+    "q101_pagerank" -> ((s, d) => {
+      val e0 = Tables.clicks(s, d)
+        .select((col("userId") * 2).as("u"), (col("newsId") * 2 + 1).as("v"))
+        .distinct()
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      Graph.pageRank(edges, PR_ITERS, PR_DAMP)
+        .select(
+          when(col("id") % 2 === 0, lit("user")).otherwise(lit("news")).as("kind"),
+          (col("id") / 2).cast("long").as("ref_id"),
+          round(col("r"), 8).as("rank"))
+    }),
+
+    // EWMA trend detection: per-news exponentially-weighted average of the
+    // daily click series (α=0.3, seeded at the first observed day), plus the
+    // last day's lift over it — the "rising topic" signal. The fold runs
+    // over a per-key array (days per key are bounded ~30), so the whole
+    // query is one count agg + one collect agg, no window over the raw
+    // stream; the fold itself is `functions.aggregate`, kept in codegen.
+    // Left-fold order is pinned by sort_array, so Spark's aggregate() and
+    // DuckDB's list_reduce() execute the identical IEEE op sequence —
+    // bit-equal, no rounding slack needed beyond the display round.
+    "q100_ewma_trend" -> ((s, d) => {
+      val counts = Tables.clicks(s, d)
+        .groupBy(col("newsId"), col("date"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val vals = transform(sort_array(collect_list(struct(col("date"), col("c")))),
+        x => x.getField("c"))
+      counts.groupBy(col("newsId").as("news_id"))
+        .agg(vals.as("vals"))
+        .select(col("news_id"), size(col("vals")).as("n_days"),
+          element_at(col("vals"), -1).as("last_count"),
+          round(aggregate(
+            slice(col("vals"), lit(2), size(col("vals")) - 1),
+            element_at(col("vals"), 1),
+            (acc, x) => lit(0.3) * x + lit(0.7) * acc), 6).as("ewma"))
+        .withColumn("lift",
+          round(col("last_count") / col("ewma"), 6))
+    }),
+
     // PMI co-occurrence over the top-N df words: corpus-level collocation
     // mining. Document-distinct word incidence keeps the self-join bounded
     // at |docs| x N; the vocabulary is broadcast both into the incidence
@@ -308,7 +364,52 @@ object ScaleQueries {
       | + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT) * 16
       | + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS INT)) % 10""".stripMargin
 
+  /** q101's recurrence, unrolled: p_i mirrors one ext.Graph.pageRank
+    * superstep (LEFT JOIN + coalesce ≡ vertices that received no mass).
+    */
+  private val prSteps: String = {
+    val dmp = s"CAST($PR_DAMP AS DOUBLE)"
+    (1 to PR_ITERS).map { i =>
+      s"""p$i AS (
+         |  SELECT dg.src AS id, (1 - $dmp) / nn.n + $dmp * coalesce(c.m, 0) AS r
+         |  FROM deg dg LEFT JOIN (
+         |    SELECT e.dst, sum(p.r / e.deg) AS m
+         |    FROM e JOIN p${i - 1} p ON p.id = e.src
+         |    GROUP BY e.dst) c ON c.dst = dg.src, nn)""".stripMargin
+    }.mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q102_stream_outer_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS v_ts FROM ev
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts FROM ev
+        |      WHERE event_type = 'click')
+        |SELECT v.user_id AS userId, v.view_id, c.click_id,
+        |  date_diff('us', v.v_ts, c.c_ts) AS gap_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  AND c.c_ts >= v.v_ts
+        |  AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "q101_pagerank" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT user_id * 2 AS u, (event_id % 500) * 2 + 1 AS v
+         |  FROM events WHERE event_type = 'click'),
+         |sym AS (SELECT u AS src, v AS dst FROM e0
+         |        UNION ALL SELECT v, u FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+         |e AS (SELECT s.src, s.dst, dg.deg FROM sym s
+         |      JOIN deg dg ON dg.src = s.src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |p0 AS (SELECT src AS id, 1.0 / nn.n AS r FROM deg, nn),
+         |$prSteps
+         |SELECT CASE WHEN id % 2 = 0 THEN 'user' ELSE 'news' END AS kind,
+         |  id // 2 AS ref_id, round(r, 8) AS rank
+         |FROM p$PR_ITERS""".stripMargin,
     "q77_bloom_semi" ->
       s"""SELECT l_returnflag AS flag, count(*) AS n_items,
          |  round(sum(l_quantity), 2) AS sum_qty
@@ -439,6 +540,22 @@ object ScaleQueries {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "q100_ewma_trend" ->
+      """WITH c AS (
+        |  SELECT (event_id % 500) AS news_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |a AS (
+        |  SELECT news_id, CAST(list(c ORDER BY d) AS DOUBLE[]) AS vals
+        |  FROM c GROUP BY 1)
+        |SELECT news_id, CAST(len(vals) AS INT) AS n_days,
+        |  vals[-1] AS last_count,
+        |  round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
+        |  round(vals[-1] / round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6), 6)
+        |    AS lift
+        |FROM a""".stripMargin,
 
     "q83_pmi_cooccur" ->
       s"""WITH inc AS (

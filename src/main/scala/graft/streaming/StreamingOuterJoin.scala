@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream LEFT OUTER interval join — q66's inner attribution flipped
+  * to the funnel question: every view, with its converting clicks if any,
+  * and an explicit null row if none arrived within the hour.
+  *
+  * The semantics Spark adds over the inner form: an unmatched left row is
+  * held in the state store until the RIGHT side's watermark passes
+  * `v_ts + interval` (no later click can match), and only then emitted
+  * null-extended. State stays bounded by watermark delay + interval exactly
+  * as in the inner join — the property that keeps this viable on an
+  * unbounded firehose.
+  *
+  * End-of-input subtlety: watermarks advance only on data, so a finite
+  * input's last `delay + interval` of unmatched views would sit in state
+  * forever and never emit. The runner therefore unions a far-future
+  * SENTINEL stream (one view + one click for a user id that exists nowhere
+  * else, timestamped max(ts) + 12h) which pushes both watermarks past every
+  * real row; Spark's no-data microbatch (`noDataMicroBatches`, on by
+  * default) then flushes the remaining state. The sentinel rows are dropped
+  * from the result. A production deployment doesn't need this — its stream
+  * never ends — but a correctness harness over a bounded file does.
+  */
+object StreamingOuterJoin {
+
+  private val SENTINEL_USER = -1L
+
+  /** The join itself, batch/stream agnostic.
+    * views: (v_user, view_id, v_ts); clicks: (c_user, click_id, c_ts).
+    */
+  def join(views: DataFrame, clicks: DataFrame): DataFrame =
+    views.join(clicks,
+      expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 1 hour"),
+      "left_outer")
+
+  /** Runs the outer-join stream to completion: one row per (view, click)
+    * attribution pair plus one null-click row per unconverted view —
+    * (userId, view_id, click_id, gap_us).
+    */
+  def viewFunnel(spark: SparkSession, dir: String): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    val sentinelDir = s"/tmp/graft_outer_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    writeSentinel(spark, dir, sentinelDir)
+
+    def src(path: String, glob: Option[String]): DataFrame = {
+      val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
+      glob.foreach(g => r.option("pathGlobFilter", g))
+      r.parquet(path)
+        // integral DIV (see Tables.events): double division loses µs precision
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    }
+    val events = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
+
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+
+    val sink = s"stream_outer_join_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val q = join(views, clicks).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(sink)
+      .filter(col("v_user") =!= SENTINEL_USER)
+      .select(col("v_user").as("userId"), col("view_id"), col("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  /** One far-future view + click under a user id no real row carries,
+    * schema-identical to events.parquet (ts in nanos).
+    */
+  private def writeSentinel(spark: SparkSession, dir: String, out: String): Unit = {
+    val maxNs = graft.io.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val farNs = maxNs + 12L * 3600L * 1000L * 1000L * 1000L
+    val rows = Seq(
+      (-1L, farNs, SENTINEL_USER, "view", 0.0, "{}"),
+      (-2L, farNs, SENTINEL_USER, "click", 0.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(out)
+  }
+}

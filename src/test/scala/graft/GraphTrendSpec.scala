@@ -1,0 +1,71 @@
+package graft
+
+import graft.ext.Graph
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for ext.Graph.pageRank and the q100 EWMA fold: mass
+  * conservation, symmetry, hand-computed fixpoints.
+  */
+class GraphTrendSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet TIMESTAMP(NANOS)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("pageRank: 2-node cycle stays at the uniform fixpoint, mass sums to 1") {
+    graft.runtime.Stage.newQueryScope()
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, 10, 0.85).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-12 && math.abs(r(2L) - 0.5) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: star center outranks leaves; symmetric leaves tie exactly") {
+    graft.runtime.Stage.newQueryScope()
+    // undirected star 0-{1,2,3}, symmetrized
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, 10, 0.85).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) > r(1L))
+    assert(r(1L) == r(2L) && r(2L) == r(3L)) // identical float paths
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("EWMA fold: seed-first left fold matches the hand recurrence") {
+    // [1,2,3] with α=0.3: 1 → 1.3 → 1.81
+    val got = Seq(Seq(1.0, 2.0, 3.0)).toDF("vals")
+      .select(aggregate(
+        slice(col("vals"), lit(2), size(col("vals")) - 1),
+        element_at(col("vals"), 1),
+        (acc, x) => lit(0.3) * x + lit(0.7) * acc).as("ewma"))
+      .head().getDouble(0)
+    assert(math.abs(got - 1.81) < 1e-12)
+  }
+
+  test("streaming left-outer interval join emits exactly one null row per unconverted view") {
+    val out = SparkEntry.queries("q102_stream_outer_join")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val views = out.select("view_id").distinct().count()
+    val unmatched = out.filter(col("click_id").isNull)
+    // unmatched views appear exactly once, with null gap
+    assert(unmatched.groupBy("view_id").count().filter(col("count") > 1).isEmpty)
+    assert(unmatched.filter(col("gap_us").isNotNull).isEmpty)
+    // matched rows respect the interval bound
+    assert(out.filter(col("gap_us") < 0 || col("gap_us") > 3600L * 1000000L).isEmpty)
+    // every view in the source shows up (outer semantics lose nothing)
+    val srcViews = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "view").count()
+    assert(views === srcViews)
+    out.unpersist()
+  }
+}
