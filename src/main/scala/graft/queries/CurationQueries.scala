@@ -161,6 +161,30 @@ object CurationQueries {
           sum(when(col("p") > p99, 1L).otherwise(0L)).as("n_high"))
     }),
 
+    // Heavy-hitter vocabulary via Count-Min Sketch + exact rescore — the
+    // sketch pattern q77 applies to blooms, applied to counts: one
+    // sketch-building pass (driver-merged, no shuffle), then the exact
+    // groupBy touches ONLY words the sketch already flags as candidates.
+    // CMS never under-estimates, so candidates ⊇ true heavy hitters and
+    // the closing exact filter makes the output exact — the sketch's only
+    // job is to shrink the shuffle. At 100 TB the full-vocabulary groupBy
+    // shuffles billions of (word, n) partials; the pruned one shuffles the
+    // heavy tail only.
+    "q103_cms_heavy" -> ((s, d) => {
+      val words = Stage.scopedPersist(
+        Ops.fanOut(Tables.documents(s, d))
+          .select(explode(Tokenizer.tokens(col("text"))).as("word")))
+      val total = words.count()
+      // ceil(total/500) in integer math — double 0.002·total would round
+      // differently from DuckDB's DECIMAL arithmetic near integers
+      val threshold = (total + 499L) / 500L
+      val cms = words.stat.countMinSketch(col("word"), 0.0005, 0.99, 42)
+      val mightBeHeavy = udf((w: String) => cms.estimateCount(w) >= threshold)
+      words.filter(mightBeHeavy(col("word")))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= threshold)
+    }),
+
     // Curation funnel: the per-stage survivor report a pipeline operator
     // reads before shipping a corpus — stage 0 raw, 1 length gate, 2
     // distinct-token gate, 3 entropy gate, applied cumulatively. One pass
@@ -189,20 +213,27 @@ object CurationQueries {
     * bin containing rank k → sort-limit within that bin only. Each driver
     * action touches either the tiny bin table or one bin's rows.
     */
-  private[graft] def exactRankK(prices: DataFrame, k: Long): Double = {
+  private[graft] def exactRankK(prices: DataFrame, k: Long): Double =
+    exactRanks(prices, Seq(k))(k)
+
+  /** Multi-rank form: the bin/cumulative table is built and collected ONCE
+    * (it is |value range|/1000 rows — driver-safe by construction), then
+    * each requested rank costs one sort-limit over its single bin.
+    */
+  private[graft] def exactRanks(prices: DataFrame, ks: Seq[Long]): Map[Long, Double] = {
     val bins = prices.groupBy(floor(col("p") / 1000).cast("long").as("bin"))
       .agg(count(lit(1)).as("c"))
-    // The window is over the bin table (~hundreds of rows), not the data —
-    // a single-partition sort here is deliberate and cheap.
-    val cum = bins.withColumn("cum", sum(col("c")).over(
-      Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
-    val target = cum.filter(col("cum") >= k).orderBy(col("bin")).limit(1)
-      .select(col("bin"), (col("cum") - col("c")).as("before"))
-      .head()
-    val (bin, before) = (target.getLong(0), target.getLong(1))
-    prices.filter(floor(col("p") / 1000) === bin)
-      .orderBy(col("p")).limit((k - before).toInt)
-      .agg(max(col("p"))).head().getDouble(0)
+      .orderBy(col("bin"))
+      .collect()
+    val cum = bins.scanLeft(0L)(_ + _.getLong(1)).tail
+    ks.map { k =>
+      val i = cum.indexWhere(_ >= k)
+      require(i >= 0, s"rank $k exceeds row count ${cum.lastOption.getOrElse(0L)}")
+      val (bin, before) = (bins(i).getLong(0), cum(i) - bins(i).getLong(1))
+      k -> prices.filter(floor(col("p") / 1000) === bin)
+        .orderBy(col("p")).limit((k - before).toInt)
+        .agg(max(col("p"))).head().getDouble(0)
+    }.toMap
   }
 
   private val toks =
@@ -298,6 +329,12 @@ object CurationQueries {
         |  CAST(count(*) FILTER (WHERE p < p01) AS BIGINT) AS n_low,
         |  CAST(count(*) FILTER (WHERE p > p99) AS BIGINT) AS n_high
         |FROM b, q GROUP BY 1""".stripMargin,
+
+    "q103_cms_heavy" ->
+      s"""WITH w AS (SELECT unnest($toks) AS word FROM documents),
+         |t AS (SELECT (count(*) + 499) // 500 AS th FROM w)
+         |SELECT word, count(*) AS n
+         |FROM w, t GROUP BY word, t.th HAVING count(*) >= t.th""".stripMargin,
 
     "q99_funnel" ->
       s"""WITH m AS (

@@ -3,7 +3,7 @@ package graft.queries
 import graft.ext.Graph
 import graft.io.Tables
 import graft.ops.Ops
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -245,6 +245,47 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Equi-depth (decile) histogram with EXACT boundaries, scale-safe: all
+    // 9 decile values come from ONE bin/cumulative pass
+    // (CurationQueries.exactRanks — the q97 machinery, multi-rank form),
+    // then one bucketing pass counts rows per decile. The naive ntile(10)
+    // over a global window would single-partition the table; here the only
+    // global structure is the tiny bin table.
+    "q104_equidepth" -> ((s, d) => {
+      val prices = graft.runtime.Stage.scopedPersist(
+        Tables.orders(s, d).select(round(col("o_totalprice"), 2).as("p")))
+      val n = prices.count()
+      val ks = (1 to 9).map(i => math.ceil(i * n / 10.0).toLong)
+      val bounds = CurationQueries.exactRanks(prices, ks)
+      val bucket = ks.map(k => when(col("p") > bounds(k), 1).otherwise(0))
+        .reduce(_ + _)
+      prices.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("p")), 2).as("min_p"),
+          round(max(col("p")), 2).as("max_p"))
+    }),
+
+    // Ordered conversion-path analysis: per (user, day), fold the ordered
+    // event-type sequence through the view→click→purchase state machine
+    // and report how many user-days reach each stage. The fold is integer
+    // state over a per-key array (bounded by events/user/day) — same
+    // bit-stable ordered-fold contract as q100; one groupBy(user, day)
+    // shuffle, one tiny stage agg.
+    "q105_conversion_paths" -> ((s, d) => {
+      val seqs = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")).as("types"))
+      val step = (acc: Column, x: Column) =>
+        when(acc === "0" && x === "view", "1")
+          .when(acc === "1" && x === "click", "2")
+          .when(acc === "2" && x === "purchase", "3")
+          .otherwise(acc)
+      seqs.select(aggregate(col("types"), lit("0"), step).cast("int").as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_user_days"))
+    }),
+
     // Stream-stream LEFT OUTER interval join (view→click funnel with
     // explicit non-conversions) — see streaming.StreamingOuterJoin for the
     // state-eviction and end-of-stream-flush mechanics. Oracle: the plain
@@ -379,7 +420,61 @@ object ScaleQueries {
     }.mkString(",\n")
   }
 
+  /** q104's nearest-rank decile boundary selectors / bucket expression. */
+  private val decileBounds = (1 to 9).map(i =>
+    s"max(CASE WHEN rn = CAST(ceil(CAST($i * n AS DOUBLE) / 10.0) AS BIGINT) THEN p END) AS b$i")
+    .mkString(", ")
+  private val decileBucket = (1 to 9).map(i =>
+    s"(CASE WHEN p > b$i THEN 1 ELSE 0 END)").mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+
+    "q104_equidepth" ->
+      s"""WITH b AS (SELECT round(o_totalprice, 2) AS p FROM orders),
+         |r AS (
+         |  SELECT p, row_number() OVER (ORDER BY p) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM b),
+         |q AS (
+         |  SELECT $decileBounds
+         |  FROM r)
+         |SELECT $decileBucket AS bucket,
+         |  count(*) AS n_rows, round(min(p), 2) AS min_p,
+         |  round(max(p), 2) AS max_p
+         |FROM b, q GROUP BY 1""".stripMargin,
+
+    // NOTE deliberately NOT list_reduce: DuckDB 1.0's lambda fold returns
+    // wrong results for a small fraction of groups when evaluated over a
+    // large vector batch of string lists (verified: correct on the same
+    // group in isolation, wrong in the full run). The closed form below —
+    // first view, first click after it, first purchase after that — is the
+    // greedy subsequence match, provably equal to the fold.
+    "q105_conversion_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, day ORDER BY tsu, event_id) AS rn
+        |  FROM e),
+        |d AS (SELECT DISTINCT user_id, day FROM r),
+        |v AS (SELECT user_id, day, min(rn) AS v FROM r
+        |      WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT r.user_id, r.day, min(rn) AS c
+        |      FROM r JOIN v ON v.user_id = r.user_id AND v.day = r.day
+        |      WHERE r.event_type = 'click' AND r.rn > v.v GROUP BY 1, 2),
+        |p AS (SELECT r.user_id, r.day, min(rn) AS p
+        |      FROM r JOIN c ON c.user_id = r.user_id AND c.day = r.day
+        |      WHERE r.event_type = 'purchase' AND r.rn > c.c GROUP BY 1, 2)
+        |SELECT CASE WHEN p.p IS NOT NULL THEN 3
+        |            WHEN c.c IS NOT NULL THEN 2
+        |            WHEN v.v IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  count(*) AS n_user_days
+        |FROM d LEFT JOIN v USING (user_id, day)
+        |  LEFT JOIN c USING (user_id, day)
+        |  LEFT JOIN p USING (user_id, day)
+        |GROUP BY 1""".stripMargin,
 
     "q102_stream_outer_join" ->
       """WITH ev AS (

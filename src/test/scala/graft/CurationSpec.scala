@@ -112,6 +112,49 @@ class CurationSpec extends AnyFunSuite {
     })
   }
 
+  test("CMS heavy hitters: output is exactly the words with exact count >= threshold") {
+    val got = run("q103_cms_heavy").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute exactly, no sketch
+    val words = spark.read.parquet(s"$SF/documents.parquet")
+      .select(explode(graft.text.Tokenizer.tokens(col("text"))).as("word"))
+    val total = words.count()
+    val th = (total + 499L) / 500L
+    val exact = words.groupBy("word").count().filter(col("count") >= th)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact) // CMS pruning never loses a true heavy hitter
+  }
+
+  test("equi-depth histogram: buckets partition all rows with non-overlapping value ranges") {
+    val rows = run("q104_equidepth").orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = spark.read.parquet(s"$SF/orders.parquet").count()
+    assert(rows.map(_._2).sum === total)
+    assert(rows.forall { case (_, _, lo, hi) => lo <= hi })
+    assert(rows.sliding(2).forall {
+      case Array((_, _, _, hi), (_, _, lo, _)) => hi <= lo
+      case _                                   => true
+    })
+  }
+
+  test("conversion-path fold: the state machine matches hand-traced sequences") {
+    val step = (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =>
+      when(acc === "0" && x === "view", "1")
+        .when(acc === "1" && x === "click", "2")
+        .when(acc === "2" && x === "purchase", "3")
+        .otherwise(acc)
+    val cases = Seq(
+      (Seq("view", "click", "purchase"), 3),
+      (Seq("click", "view", "click", "cart"), 2),  // click before view ignored
+      (Seq("purchase", "purchase"), 0),            // no view → stage 0
+      (Seq("view", "purchase", "click", "purchase"), 3), // out-of-order ok later
+      (Seq.empty[String], 0))
+    val got = cases.map(_._1).toDF("types")
+      .select(aggregate(col("types"), lit("0"), step).cast("int").as("stage"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("dedup keep-one ledger: kept + dropped = docs, and totals match q70 canonicals") {
     val ledger = run("q98_dedup_keep_one").collect()
     assert(ledger.forall(r => r.getLong(2) + r.getLong(3) == r.getLong(1)))
