@@ -217,8 +217,12 @@ object CurationQueries {
     exactRanks(prices, Seq(k))(k)
 
   /** Multi-rank form: the bin/cumulative table is built and collected ONCE
-    * (it is |value range|/1000 rows — driver-safe by construction), then
-    * each requested rank costs one sort-limit over its single bin.
+    * (it is |value range|/1000 rows — driver-safe by construction), then ALL
+    * requested ranks resolve in ONE further job: rows of the ≤|ks| target
+    * bins are rank-windowed per bin (each bin is a sliver, the window never
+    * sees the full table) and the (bin, in-bin-rank) hits are collected.
+    * Two jobs total for any number of ranks — the q104 decile case would
+    * otherwise pay one sort-limit job per boundary.
     */
   private[graft] def exactRanks(prices: DataFrame, ks: Seq[Long]): Map[Long, Double] = {
     val bins = prices.groupBy(floor(col("p") / 1000).cast("long").as("bin"))
@@ -226,14 +230,23 @@ object CurationQueries {
       .orderBy(col("bin"))
       .collect()
     val cum = bins.scanLeft(0L)(_ + _.getLong(1)).tail
-    ks.map { k =>
+    val targets = ks.distinct.map { k =>
       val i = cum.indexWhere(_ >= k)
       require(i >= 0, s"rank $k exceeds row count ${cum.lastOption.getOrElse(0L)}")
-      val (bin, before) = (bins(i).getLong(0), cum(i) - bins(i).getLong(1))
-      k -> prices.filter(floor(col("p") / 1000) === bin)
-        .orderBy(col("p")).limit((k - before).toInt)
-        .agg(max(col("p"))).head().getDouble(0)
-    }.toMap
+      (k, bins(i).getLong(0), k - (cum(i) - bins(i).getLong(1))) // in-bin rank
+    }
+    val w = Window.partitionBy(col("bin")).orderBy(col("p"))
+    val hits = prices
+      .withColumn("bin", floor(col("p") / 1000).cast("long"))
+      .filter(col("bin").isin(targets.map(_._2).distinct: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(targets.map { case (_, b, r) =>
+        col("bin") === b && col("rn") === r
+      }.reduce(_ || _))
+      .select(col("bin"), col("rn"), col("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getDouble(2)).toMap
+    targets.map { case (k, b, r) => k -> hits((b, r)) }.toMap
   }
 
   private val toks =

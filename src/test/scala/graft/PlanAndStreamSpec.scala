@@ -378,4 +378,26 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("q94: the benchmark gram set joins as a broadcast (corpus side never re-shuffles for it)") {
+    val p = SparkEntry.queries("q94_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q96: the per-language rate table joins as a broadcast") {
+    val p = SparkEntry.queries("q96_lang_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q104: decile boundaries never ride a global window/sort in the output plan") {
+    // exactRanks resolves boundaries eagerly over single-bin slivers; the
+    // returned plan must be a plain scan+agg — a Window or global Sort here
+    // would mean the equi-depth path regressed to the single-partition form.
+    val p = SparkEntry.queries("q104_equidepth")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"))
+    assert(!p.contains("Sort "), s"unexpected global sort in:\n$p")
+  }
 }
