@@ -245,6 +245,66 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Salted fact-to-dim JOIN (q58's two-phase trick applied to joins): the
+    // fact side gets a deterministic salt in [0,S), the dim side replicates
+    // S× via explode, and the join key becomes (key, salt) — a skewed hot
+    // key's rows now spread over S reducers instead of one. Each fact row
+    // still matches exactly one dim copy, so results are identical to the
+    // plain join (the oracle IS the plain join). At 100 TB this is the
+    // manual fallback when AQE's skew split can't kick in (e.g. the skew
+    // is in the dim build side, or the join is already bucketed).
+    "q106_salted_join" -> ((s, d) => {
+      val S = 8
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .withColumn("fsalt", pmod(hash(col("l_orderkey")), lit(S)))
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("dsalt", explode(sequence(lit(0), lit(S - 1))))
+      fact.join(dim,
+          col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Z-order (Morton) layout clustering — the OPTIMIZE ZORDER BY primitive
+    // of lakehouse tables: interleave the bits of two scan dimensions so
+    // range predicates on EITHER dimension prune contiguous z-ranges
+    // (file-level min/max stats stay tight on both columns at once). Pure
+    // integer bit arithmetic — identical in both engines; the q107 output
+    // is the per-z-bucket rowcount + per-dimension min/max envelope a
+    // file writer would use for data skipping.
+    "q107_zorder" -> ((s, d) => {
+      val x = (col("o_custkey") % 1024).cast("int")
+      val y = pmod(datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("2024-01-01"))), lit(1024)).cast("int")
+      val z = (0 until 10).map(i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(1), 2 * i + 1))
+        .reduce(_ + _)
+      Tables.orders(s, d)
+        .select(x.as("x"), y.as("y"))
+        .withColumn("z", z)
+        .groupBy(shiftright(col("z"), 14).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    }),
+
+    // Retention cohort matrix: users grouped by first-active day, counted
+    // at each day-age since. activity is already (user, day)-distinct, so
+    // the age cells need no second distinct; the cohort table joins back
+    // user-keyed (one co-partitioned shuffle pair at scale, or rides a
+    // bucketed layout).
+    "q108_retention" -> ((s, d) => {
+      val act = Tables.clicks(s, d).select(col("userId"), col("date")).distinct()
+      val cohort = act.groupBy("userId").agg(min(col("date")).as("cohort"))
+      act.join(cohort, "userId")
+        .groupBy(col("cohort"), datediff(col("date"), col("cohort")).as("age"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Equi-depth (decile) histogram with EXACT boundaries, scale-safe: all
     // 9 decile values come from ONE bin/cumulative pass
     // (CurationQueries.exactRanks — the q97 machinery, multi-rank form),
@@ -427,7 +487,41 @@ object ScaleQueries {
   private val decileBucket = (1 to 9).map(i =>
     s"(CASE WHEN p > b$i THEN 1 ELSE 0 END)").mkString(" + ")
 
+  /** q107's Morton interleave, mirrored bit-for-bit. */
+  private val zExpr = (0 until 10).map(i =>
+    s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+
+    "q106_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q107_zorder" ->
+      s"""WITH b AS (
+         |  SELECT CAST(o_custkey % 1024 AS INT) AS x,
+         |    CAST(((date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) % 1024)
+         |      + 1024) % 1024 AS INT) AS y
+         |  FROM orders),
+         |zz AS (SELECT x, y, $zExpr AS z FROM b)
+         |SELECT z >> 14 AS zbucket, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM zz GROUP BY 1""".stripMargin,
+
+    "q108_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events WHERE event_type = 'click'),
+        |co AS (SELECT u, min(day) AS cohort FROM a GROUP BY 1)
+        |SELECT co.cohort, CAST(date_diff('day', co.cohort, a.day) AS INT) AS age,
+        |  count(*) AS n_users
+        |FROM a JOIN co ON a.u = co.u GROUP BY 1, 2""".stripMargin,
 
     "q104_equidepth" ->
       s"""WITH b AS (SELECT round(o_totalprice, 2) AS p FROM orders),

@@ -18,6 +18,7 @@ class ScaleSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet TIMESTAMP(NANOS)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -152,5 +153,40 @@ class ScaleSpec extends AnyFunSuite {
     // x,y: ln(4*2/(2*2)) = ln 2; perfectly-correlated pair scores positive
     assert(math.abs(pmi(("x", "y")) - math.log(2)) < 1e-6)
     assert(pmi(("q", "z")) === pmi(("x", "y"))) // symmetric corpus
+  }
+
+  test("salted join: salt replication changes the shuffle, never the result") {
+    graft.runtime.Stage.newQueryScope()
+    val sf = "/root/testdata/sf0.001"
+    val salted = SparkEntry.queries("q106_salted_join")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted.toSeq
+    val plain = graft.io.Tables.lineitem(spark, sf)
+      .join(graft.io.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted.toSeq
+    assert(salted === plain)
+  }
+
+  test("z-order buckets bound BOTH dimension envelopes (top-3-bit locality)") {
+    graft.runtime.Stage.newQueryScope()
+    val rows = SparkEntry.queries("q107_zorder")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    // z >> 14 pins x's and y's top 3 bits → each envelope spans < 2^7
+    assert(rows.forall { case (_, minX, maxX, minY, maxY) =>
+      maxX - minX <= 127 && maxY - minY <= 127
+    })
+  }
+
+  test("retention matrix: age-0 equals cohort size and every later age is a subset") {
+    graft.runtime.Stage.newQueryScope()
+    val rows = SparkEntry.queries("q108_retention")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getDate(0), r.getInt(1), r.getLong(2)))
+    val age0 = rows.filter(_._2 == 0).map(r => r._1.toString -> r._3).toMap
+    assert(rows.nonEmpty && age0.nonEmpty)
+    assert(rows.forall { case (c, _, n) => n <= age0(c.toString) })
+    assert(rows.forall(_._2 >= 0))
   }
 }
