@@ -47,4 +47,32 @@ object Graph {
     }
     graft.runtime.Stage.scopedPersist(ranks)
   }
+
+  /** Exact triangle count over an undirected graph given as canonical
+    * edges `(a, b)` with `a < b`, by degree-ordered orientation: every
+    * edge points low-degree → high-degree (ties by id), wedges enumerate
+    * only from out-edges, and each triangle is counted exactly once at its
+    * orientation-minimal vertex. Wedge work is bounded by Σ outdeg² ≤
+    * O(arboricity·|E|) instead of the hot vertex's deg² — the difference
+    * between feasible and not on a power-law graph at scale.
+    */
+  def triangleCount(edges: DataFrame): Long = {
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = graft.runtime.Stage.scopedPersist(withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst")))
+    val wedges = oriented.select(col("src"), col("dst").as("w1"))
+      .join(oriented.select(col("src"), col("dst").as("w2")), "src")
+      .filter(col("w1") < col("w2"))
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("w1"),
+      greatest(col("src"), col("dst")).as("w2"))
+    wedges.join(closing, Seq("w1", "w2"), "left_semi").count()
+  }
 }

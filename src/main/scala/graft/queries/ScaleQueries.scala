@@ -245,6 +245,45 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Weighted reservoir sampling (Efraimidis–Spirakis A-ES, derandomized):
+    // each doc draws u from its md5 bucket (deterministic uniform) and
+    // scores key = u^(1/w) with w = n_chars; the global top-k by key is a
+    // length-weighted sample, reproducible across engines and reruns. The
+    // top-k is TakeOrderedAndProject (distributed heads, no global sort);
+    // ranking is on round(key, 6) with doc_id tie-break per the standing
+    // float-ranking convention.
+    "q109_weighted_sample" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("int")
+      val u = (bucket + 1).cast("double") / 4096.0
+      val key = round(pow(u, lit(1.0) / col("n_chars")), 6)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), key.as("key_r"))
+        .orderBy(col("key_r").desc, col("doc_id").asc)
+        .limit(50)
+    }),
+
+    // Distributed triangle counting over the co-click news graph, by
+    // degree-ordered edge orientation: every edge points low-degree →
+    // high-degree (ties by id), wedges enumerate only from each vertex's
+    // out-edges — bounding wedge work by the arboricity instead of the max
+    // degree (the classic hot-vertex killer: a celebrity node's O(deg²)
+    // wedges become O(arboricity·deg)). One wedge self-join + one closing
+    // semi-equi-join.
+    "q110_triangles" -> ((s, d) => {
+      val co = Tables.clicks(s, d)
+        .select(col("userId"), col("newsId")).distinct()
+      val edges = graft.runtime.Stage.scopedPersist(
+        co.select(col("userId"), col("newsId").as("a"))
+          .join(co.select(col("userId"), col("newsId").as("b")), "userId")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct())
+      val tri = Graph.triangleCount(edges)
+      val nEdges = edges.count()
+      import s.implicits._
+      Seq((nEdges, tri)).toDF("n_edges", "n_triangles")
+    }),
+
     // Salted fact-to-dim JOIN (q58's two-phase trick applied to joins): the
     // fact side gets a deterministic salt in [0,S), the dim side replicates
     // S× via explode, and the join key becomes (key, salt) — a skewed hot
@@ -487,12 +526,39 @@ object ScaleQueries {
   private val decileBucket = (1 to 9).map(i =>
     s"(CASE WHEN p > b$i THEN 1 ELSE 0 END)").mkString(" + ")
 
+  /** Raw 3-hex-digit md5 bucket in [0, 4096) (q62's family, un-modded). */
+  private val hexBucket =
+    """(CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 256
+      | + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT) * 16
+      | + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS INT))""".stripMargin
+
   /** q107's Morton interleave, mirrored bit-for-bit. */
   private val zExpr = (0 until 10).map(i =>
     s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+
+    "q109_weighted_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, n_chars, $hexBucket AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars,
+         |  round(pow(CAST(bucket + 1 AS DOUBLE) / 4096.0,
+         |    CAST(1.0 AS DOUBLE) / n_chars), 6) AS key_r
+         |FROM b ORDER BY key_r DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q110_triangles" ->
+      """WITH co AS (
+        |  SELECT DISTINCT user_id AS u, (event_id % 500) AS n
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT DISTINCT a.n AS a, b.n AS b
+        |  FROM co a JOIN co b ON a.u = b.u AND a.n < b.n)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*)
+        |   FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
 
     "q106_salted_join" ->
       """SELECT o_orderpriority,

@@ -52,6 +52,30 @@ class GraphTrendSpec extends AnyFunSuite {
     assert(math.abs(got - 1.81) < 1e-12)
   }
 
+  test("triangleCount: K3=1, K4=4, path graph=0, counted once under orientation") {
+    graft.runtime.Stage.newQueryScope()
+    def tri(e: Seq[(Long, Long)]) = Graph.triangleCount(e.toDF("a", "b"))
+    assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 3L))) === 1L)
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) === 4L)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === 0L)
+    assert(tri(Seq.empty[(Long, Long)]) === 0L)
+  }
+
+  test("pageRank: empty edge set yields an empty rank table, no failure") {
+    graft.runtime.Stage.newQueryScope()
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(empty, 3, 0.85).isEmpty)
+  }
+
+  test("exactRanks: rank beyond the row count fails loudly") {
+    import graft.queries.CurationQueries
+    val df = Seq(1.0, 2.0).toDF("p")
+    intercept[IllegalArgumentException] {
+      CurationQueries.exactRanks(df, Seq(3L))
+    }
+  }
+
   test("streaming left-outer interval join emits exactly one null row per unconverted view") {
     val out = SparkEntry.queries("q102_stream_outer_join")(spark, "/root/testdata/sf0.001")
       .cache()
