@@ -245,6 +245,73 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Per-class embedding centroids (class prototypes for curation /
+    // nearest-class-mean classification): posexplode to (label, dim, v),
+    // one hash agg — partial means combine map-side, so the shuffle carries
+    // |labels|·|dims| cells, not vectors. Long (label, dim, value) output
+    // rather than a re-assembled array: no cross-engine float-to-string
+    // formatting in the compare.
+    "q111_label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v").cast("double")), 6).as("centroid"))),
+
+    // Mutual information of the (lang, source) contingency table — the
+    // dependence screen a curator runs before stratifying on correlated
+    // dimensions. Cell and margin tables are tiny aggregates; margins
+    // broadcast back onto cells.
+    "q112_mi_contingency" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_ls"))
+      val ml = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val ms = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val n = docs.count()
+      cells.join(broadcast(ml), "lang").join(broadcast(ms), "source")
+        .agg(round(sum(
+          col("n_ls").cast("double") / n *
+            log(col("n_ls").cast("double") * n / (col("n_l") * col("n_s")))), 6)
+          .as("mi"),
+          count(lit(1)).as("n_cells"))
+    }),
+
+    // Data-quality audit (the Deequ/dbt-tests shape): row-local constraint
+    // violations fold into ONE conditional-aggregation pass over the table;
+    // the referential check is a broadcast anti join. Output is one row per
+    // check — the report a pipeline gate consumes.
+    "q113_dq_checks" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val rowLocal = o.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
+        sum(when(col("o_orderdate") < "2023-01-01" || col("o_orderdate") > "2025-12-31", 1L)
+          .otherwise(0L)).as("date_out_of_range"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"))
+      val long = rowLocal.unpivot(Array.empty[Column],
+        Array(col("null_custkey"), col("nonpositive_price"),
+          col("date_out_of_range"), col("dup_orderkey")),
+        "check", "n_violations")
+      val orphans = o.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orphan_custkey").as("check"), col("n_violations"))
+      long.union(orphans)
+    }),
+
+    // CSV source round-trip (reference loaders S1-S3 in the oracle gate):
+    // the click log is written through the formatted-CSV sink and read back
+    // through the schema-checked CsvSources.loadClicks path — date and
+    // numeric serialization must survive both directions to hash-match an
+    // oracle computed straight from the parquet events.
+    "q114_csv_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_csv_clicks_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      Tables.clicks(s, d).write.mode("overwrite").option("header", "true").csv(path)
+      graft.io.CsvSources.loadClicks(s, path).toDF()
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_clicks"),
+          countDistinct(col("userId")).as("n_users"))
+    }),
+
     // Weighted reservoir sampling (Efraimidis–Spirakis A-ES, derandomized):
     // each doc draws u from its md5 bucket (deterministic uniform) and
     // scores key = u^(1/w) with w = n_chars; the global top-k by key is a
@@ -538,6 +605,49 @@ object ScaleQueries {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+
+    "q111_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> struct_pack(dim := i - 1, v := embedding[i]))) AS s
+        |  FROM embeddings)
+        |SELECT label, CAST(s.dim AS INT) AS dim,
+        |  round(avg(CAST(s.v AS DOUBLE)), 6) AS centroid
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q112_mi_contingency" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n_ls FROM documents GROUP BY 1, 2),
+        |ml AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |ms AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT round(sum(CAST(n_ls AS DOUBLE) / nn.n
+        |    * ln(CAST(n_ls AS DOUBLE) * nn.n / (n_l * n_s))), 6) AS mi,
+        |  count(*) AS n_cells
+        |FROM c JOIN ml USING (lang) JOIN ms USING (source), nn
+        |GROUP BY nn.n""".stripMargin,
+
+    "q113_dq_checks" ->
+      """SELECT 'null_custkey' AS "check",
+        |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+        |FROM orders
+        |UNION ALL SELECT 'nonpositive_price',
+        |  CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'date_out_of_range',
+        |  CAST(count(*) FILTER (WHERE CAST(o_orderdate AS DATE) < DATE '2023-01-01'
+        |    OR CAST(o_orderdate AS DATE) > DATE '2025-12-31') AS BIGINT) FROM orders
+        |UNION ALL SELECT 'dup_orderkey',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orphan_custkey',
+        |  CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q114_csv_roundtrip" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date
+        |  FROM events WHERE event_type = 'click')
+        |SELECT date, count(*) AS n_clicks,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q109_weighted_sample" ->
       s"""WITH b AS (

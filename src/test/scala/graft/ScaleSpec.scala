@@ -180,6 +180,40 @@ class ScaleSpec extends AnyFunSuite {
     })
   }
 
+  test("label centroids: one cell per (label, dim); empirical MI is non-negative") {
+    graft.runtime.Stage.newQueryScope()
+    val sf = "/root/testdata/sf0.001"
+    val cent = SparkEntry.queries("q111_label_centroids")(spark, sf)
+    val labels = graft.io.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(cent.count() === labels * 64)
+    val mi = SparkEntry.queries("q112_mi_contingency")(spark, sf)
+      .head().getDouble(0)
+    assert(mi >= -1e-9) // MI of an empirical joint is ≥ 0
+  }
+
+  test("dq checks report all five constraints; clean synthetic data has zero violations") {
+    graft.runtime.Stage.newQueryScope()
+    val rows = SparkEntry.queries("q113_dq_checks")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("null_custkey", "nonpositive_price",
+      "date_out_of_range", "dup_orderkey", "orphan_custkey"))
+    assert(rows.values.forall(_ >= 0L))
+  }
+
+  test("CSV round-trip preserves the click aggregate exactly") {
+    graft.runtime.Stage.newQueryScope()
+    val sf = "/root/testdata/sf0.001"
+    val viaCsv = SparkEntry.queries("q114_csv_roundtrip")(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).sorted.toSeq
+    val direct = graft.io.Tables.clicks(spark, sf)
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_clicks"), countDistinct(col("userId")).as("n_users"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(viaCsv === direct)
+    assert(viaCsv.nonEmpty)
+  }
+
   test("retention matrix: age-0 equals cohort size and every later age is a subset") {
     graft.runtime.Stage.newQueryScope()
     val rows = SparkEntry.queries("q108_retention")(spark, "/root/testdata/sf0.001")
