@@ -245,6 +245,41 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Window-function surface, part 2 (q59 covers lag/lead/ntile/rank):
+    // percent_rank, cume_dist, dense_rank and nth_value over the same
+    // single-shuffle partition sort — one window spec, four frames, no
+    // extra exchange.
+    "q115_window_suite2" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          dense_rank().over(w).as("dr"),
+          round(nth_value(col("l_extendedprice"), 3).over(w), 2).as("third_price"))
+    }),
+
+    // Time-weighted average (trapezoidal): the telemetry aggregate for
+    // irregularly-sampled series — each consecutive pair contributes
+    // mean(v, v_next)·Δt. One window (lead) on the user partition, one
+    // agg; identical float op order both engines, round 6.
+    "q116_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val dt = (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .cast("double")
+      val seg = (col("value") + lead(col("value"), 1).over(w)) / 2.0 * dt
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("seg", seg).withColumn("dt", dt)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("seg")) / sum(col("dt")), 6).as("twa"))
+        .filter(col("twa").isNotNull)
+    }),
+
     // Per-class embedding centroids (class prototypes for curation /
     // nearest-class-mean classification): posexplode to (label, dim, v),
     // one hash agg — partial means combine map-side, so the shuffle carries
@@ -605,6 +640,30 @@ object ScaleQueries {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+
+    "q115_window_suite2" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  dense_rank() OVER w AS dr,
+        |  round(nth_value(l_extendedprice, 3) OVER w, 2) AS third_price
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice, l_orderkey, l_linenumber)""".stripMargin,
+
+    "q116_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('us', ts, lead(ts) OVER w) AS DOUBLE) AS dt,
+        |    (value + lead(value) OVER w) / 2.0
+        |      * CAST(date_diff('us', ts, lead(ts) OVER w) AS DOUBLE) AS seg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(*) AS n_events,
+        |  round(sum(seg) / sum(dt), 6) AS twa
+        |FROM x GROUP BY 1 HAVING sum(dt) IS NOT NULL""".stripMargin,
 
     "q111_label_centroids" ->
       """WITH x AS (
