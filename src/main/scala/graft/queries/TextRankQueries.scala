@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.io.Tables
 import graft.model.{Scene, SimilarityAlgorithm}
-import graft.pipelines.{RecommendPipeline, TextRankKeywords}
+import graft.pipelines.{PrecisionEval, RecommendPipeline, TextRankKeywords}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.sql.Date
@@ -49,7 +49,24 @@ object TextRankQueries {
 
     // E2 end-to-end: clique-graph user profiles from clicked documents'
     // texts, dot-product scoring, per-(day,user) ranked lists.
-    "q40_textrank_rec" -> ((s, d) => {
+    "q40_textrank_rec" -> ((s, d) =>
+      // comma-joined list: the external comparator sorts the output frame
+      // and can't lexsort raw array columns
+      sharedTextrankRecs(s, d).withColumn("news", concat_ws(",", col("news")))),
+
+    // J3/eval for the TextRank recommender — the third leg of the
+    // precision matrix (q24 hot topics, q46 TF-IDF dot, q117 TextRank),
+    // evaluating the SAME materialized run q40 emits.
+    "q117_precision_textrank" -> ((s, d) =>
+      PrecisionEval.precisions(sharedTextrankRecs(s, d), Tables.clicks(s, d)))
+  )
+
+  /** The q40 recommendation run (user clique profiles → dot scoring →
+    * ranked lists, news as array), built once per (session, dataset) and
+    * shared with its q117 precision evaluation.
+    */
+  private def sharedTextrankRecs(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s, s"textrank-recs:$d") {
       val news = Tables.news(s, d)
       val clicks = Tables.clicks(s, d)
       // scoped persist: the keyword profiles feed multiple plan branches, and
@@ -61,13 +78,10 @@ object TextRankQueries {
         .select(col("userId"), col("content"))
       val userKw = graft.runtime.Stage.scopedPersist(
         TextRankKeywords.userKeywords(userTweets, scene))
-      RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene,
-        limit = Some(scene.numRecommendations), scoreRound = Some(6))
-        // comma-joined list: the external comparator sorts the output frame
-        // and can't lexsort raw array columns
-        .withColumn("news", concat_ws(",", col("news")))
-    })
-  )
+      graft.runtime.Stage.persistShared(
+        RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene,
+          limit = Some(scene.numRecommendations), scoreRound = Some(6)))
+    }
 
   /** Recursive-CTE oracles: the per-document window graph (WITH the
     * backward-only walk and right=0 tail clamp — the loop condition
@@ -149,7 +163,33 @@ object TextRankQueries {
       |  FROM scored) t WHERE rn <= 5
       |""".stripMargin,
 
-    "q40_textrank_rec" ->
+    "q40_textrank_rec" -> (textrankRecChain +
+      """
+      |SELECT userId, day AS date,
+      |  array_to_string(list(newsId ORDER BY rn), ',') AS news
+      |FROM ranked WHERE rn <= 5 GROUP BY userId, day
+      |""".stripMargin),
+
+    "q117_precision_textrank" -> (textrankRecChain +
+      """,
+      |clicked AS (SELECT DISTINCT userId, date, newsId FROM clicks),
+      |joined AS (
+      |  SELECT r.day AS date,
+      |    CASE WHEN c.newsId IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM ranked r LEFT JOIN clicked c
+      |    ON r.userId = c.userId AND r.day = c.date AND r.newsId = c.newsId
+      |  WHERE r.rn <= 5)
+      |SELECT date, CAST(sum(hit) AS BIGINT) AS n_hits, count(*) AS n_recommended,
+      |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS precision
+      |FROM joined GROUP BY date
+      |""".stripMargin)
+  )
+
+  /** q40's full SQL twin up to the `ranked` CTE (keyword extraction on both
+    * sides, scoring, per-(day,user) ranking) — shared with the q117
+    * precision tail.
+    */
+  private lazy val textrankRecChain: String =
       s"""WITH RECURSIVE
       |clicks AS (
       |  SELECT user_id AS userId, event_id % 500 AS newsId,
@@ -298,10 +338,5 @@ object TextRankQueries {
       |ranked AS (
       |  SELECT day, userId, newsId,
       |    row_number() OVER (PARTITION BY day, userId ORDER BY score DESC, newsId) AS rn
-      |  FROM scores WHERE score > 0)
-      |SELECT userId, day AS date,
-      |  array_to_string(list(newsId ORDER BY rn), ',') AS news
-      |FROM ranked WHERE rn <= 5 GROUP BY userId, day
-      |""".stripMargin
-  )
+      |  FROM scores WHERE score > 0)""".stripMargin
 }
