@@ -245,6 +245,36 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Per-group robust outlier detection: nearest-rank median and MAD
+    // (median absolute deviation), then the standard |x−med| > 3·1.4826·MAD
+    // flag — the outlier rule that survives the outliers it hunts (unlike
+    // mean/stddev). Two partitioned window passes (median, then deviation
+    // median) — windows are per-group, so partition-parallel at any scale;
+    // both engines pick the identical nearest-rank element, no
+    // interpolation ambiguity.
+    "q118_mad_outliers" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), round(col("l_extendedprice"), 2).as("p"))
+      def medOver(df: DataFrame, value: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("flag")).orderBy(col(value).asc)
+        val wn = Window.partitionBy(col("flag"))
+        df.withColumn("_rn", row_number().over(w))
+          .withColumn("_n", count(lit(1)).over(wn))
+          .withColumn(out,
+            max(when(col("_rn") === ceil(col("_n") / 2), col(value))).over(wn))
+          .drop("_rn", "_n")
+      }
+      val withMed = medOver(base, "p", "med")
+        .withColumn("dev", round(abs(col("p") - col("med")), 2))
+      val withMad = medOver(withMed, "dev", "mad")
+      withMad
+        .groupBy(col("flag"))
+        .agg(max(col("med")).as("median"), max(col("mad")).as("mad"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("dev") > lit(3.0) * 1.4826 * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
+
     // Window-function surface, part 2 (q59 covers lag/lead/ntile/rank):
     // percent_rank, cume_dist, dense_rank and nth_value over the same
     // single-shuffle partition sort — one window spec, four frames, no
@@ -640,6 +670,36 @@ object ScaleQueries {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+
+    "q118_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag, round(l_extendedprice, 2) AS p
+        |  FROM lineitem),
+        |r1 AS (
+        |  SELECT flag, p,
+        |    row_number() OVER (PARTITION BY flag ORDER BY p) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n
+        |  FROM b),
+        |m1 AS (
+        |  SELECT flag, p,
+        |    max(CASE WHEN rn = CAST(ceil(n / 2) AS BIGINT) THEN p END)
+        |      OVER (PARTITION BY flag) AS med
+        |  FROM r1),
+        |d1 AS (SELECT flag, p, med, round(abs(p - med), 2) AS dev FROM m1),
+        |r2 AS (
+        |  SELECT flag, med, dev,
+        |    row_number() OVER (PARTITION BY flag ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n
+        |  FROM d1),
+        |m2 AS (
+        |  SELECT flag, med, dev,
+        |    max(CASE WHEN rn = CAST(ceil(n / 2) AS BIGINT) THEN dev END)
+        |      OVER (PARTITION BY flag) AS mad
+        |  FROM r2)
+        |SELECT flag, max(med) AS median, max(mad) AS mad, count(*) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE dev > CAST(3.0 AS DOUBLE)
+        |    * CAST(1.4826 AS DOUBLE) * mad) AS BIGINT) AS n_outliers
+        |FROM m2 GROUP BY 1""".stripMargin,
 
     "q115_window_suite2" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
