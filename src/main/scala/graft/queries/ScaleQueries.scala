@@ -548,7 +548,9 @@ object ScaleQueries {
     // last day's lift over it — the "rising topic" signal. The fold runs
     // over a per-key array (days per key are bounded ~30), so the whole
     // query is one count agg + one collect agg, no window over the raw
-    // stream; the fold itself is `functions.aggregate`, kept in codegen.
+    // stream. The higher-order `functions.aggregate` itself is interpreted
+    // (HOFs are CodegenFallback) but touches |days| elements per key — the
+    // scans and aggs around it stay in whole-stage codegen.
     // Left-fold order is pinned by sort_array, so Spark's aggregate() and
     // DuckDB's list_reduce() execute the identical IEEE op sequence —
     // bit-equal, no rounding slack needed beyond the display round.
