@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.Graph
+import graft.ext.{Dedup, Graph}
 import graft.io.Tables
 import graft.ops.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -243,6 +243,33 @@ object ScaleQueries {
         .groupBy(least(floor((col("value") - col("lo"))
             / ((col("hi") - col("lo")) / 20)), lit(19)).cast("int").as("bin"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // Set-similarity self-join on user click-SETS (collaborative
+    // neighbors): candidate pairs must share >= 2 RARE items (item df <=
+    // 50) — the prefix-filter idea of the PPJoin family: hot items
+    // generate quadratic candidate blow-up and discriminate nothing, so
+    // candidate generation joins only through the rare tail; exact Jaccard
+    // then runs on the FULL sets via ext.Dedup.jaccardOnShingles — the
+    // same operator that scores document shingles, reused unchanged on
+    // behavioral sets.
+    "q119_user_set_sim" -> ((s, d) => {
+      val sets = graft.runtime.Stage.scopedPersist(
+        Tables.clicks(s, d)
+          .select(col("userId").as("_id"), col("newsId").as("_s")).distinct())
+      val rare = sets.groupBy("_s").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= 50).select(col("_s"))
+      val rareInc = sets.join(rare, "_s")
+      val pairs = rareInc.select(col("_s"), col("_id").as("doc_a"))
+        .join(rareInc.select(col("_s"), col("_id").as("doc_b")), "_s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_co"))
+        .filter(col("_co") >= 2)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.jaccardOnShingles(pairs, sets)
+        .filter(col("jaccard") >= 0.05)
+        .select(col("doc_a").as("user_a"), col("doc_b").as("user_b"),
+          col("jaccard"))
     }),
 
     // Per-group robust outlier detection: nearest-rank median and MAD
@@ -672,6 +699,31 @@ object ScaleQueries {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+
+    "q119_user_set_sim" ->
+      """WITH s AS (
+        |  SELECT DISTINCT user_id AS u, (event_id % 500) AS n
+        |  FROM events WHERE event_type = 'click'),
+        |df AS (SELECT n, count(*) AS d FROM s GROUP BY 1),
+        |rare AS (SELECT n FROM df WHERE d <= 50),
+        |ri AS (SELECT s.u, s.n FROM s JOIN rare USING (n)),
+        |cand AS (
+        |  SELECT a.u AS ua, b.u AS ub
+        |  FROM ri a JOIN ri b ON a.n = b.n AND a.u < b.u
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sz AS (SELECT u, count(*) AS nn FROM s GROUP BY 1),
+        |inter AS (
+        |  SELECT c.ua, c.ub, count(*) AS i
+        |  FROM cand c JOIN s a ON a.u = c.ua JOIN s b ON b.u = c.ub AND b.n = a.n
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.ua AS user_a, c.ub AS user_b,
+        |    round(CAST(coalesce(i.i, 0) AS DOUBLE)
+        |      / (sa.nn + sb.nn - coalesce(i.i, 0)), 6) AS jaccard
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.ua = c.ua AND i.ub = c.ub
+        |  JOIN sz sa ON sa.u = c.ua JOIN sz sb ON sb.u = c.ub)
+        |SELECT user_a, user_b, jaccard FROM j WHERE jaccard >= 0.05""".stripMargin,
 
     "q118_mad_outliers" ->
       """WITH b AS (
