@@ -1,0 +1,449 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics-mining surface: multiway relational joins, item-item
+  * collaborative filtering, training-data chunking, n-gram language-model
+  * scoring, rolling anomaly detection, ranking-quality evaluation (NDCG),
+  * and MapType construction/explosion. Every query is DuckDB-oracled with
+  * the standing conventions (identical aliases, rounding before ranking on
+  * floats, deterministic tie-breaks).
+  */
+object MiningQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val CHUNK = 64  // q122 tokens per chunk
+  private val STRIDE = 48 // q122 chunk stride (CHUNK-STRIDE token overlap)
+
+  val queries: Map[String, Q] = Map(
+
+    // TPC-H Q5-shaped multiway join: 6 tables, revenue by nation for one
+    // region-year, with the "local supplier" residual (s_nationkey =
+    // c_nationkey). Only the constant-size dims (region 5 rows, nation 25)
+    // are pinned broadcast — customer/orders/supplier joins are left to the
+    // planner because at 100 TB none of those sides is broadcastable; they
+    // become co-partitioned shuffle joins (AQE picks broadcast at small SF
+    // automatically). The date filter reaches the orders parquet scan, the
+    // region filter prunes 4/5 of customers before the fact join.
+    "q120_multiway_join" -> ((s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Item-item collaborative filtering: cosine over co-click incidence
+    // (sim = co / sqrt(n_a·n_b)), top-5 neighbors per item. The self-join
+    // is keyed on userId, so the quadratic term is bounded by items-per-
+    // user (the feed cap), never by item popularity; the item-count side
+    // is the catalog dimension — bounded, broadcast. Ranking is on the
+    // ROUNDED cosine (tie-break neighbor id), the standing float-ranking
+    // convention, so both engines rank identical keys.
+    "q121_item_cf" -> ((s, d) => {
+      val sets = graft.runtime.Stage.scopedPersist(
+        Tables.clicks(s, d).select(col("userId"), col("newsId")).distinct())
+      val ni = sets.groupBy("newsId").agg(count(lit(1)).as("n"))
+      val co = sets.select(col("userId"), col("newsId").as("a"))
+        .join(sets.select(col("userId"), col("newsId").as("b")), "userId")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("co"))
+      val sym = co.union(co.select(col("b").as("a"), col("a").as("b"), col("co")))
+      val scored = sym
+        .join(broadcast(ni.select(col("newsId").as("a"), col("n").as("na"))), "a")
+        .join(broadcast(ni.select(col("newsId").as("b"), col("n").as("nb"))), "b")
+        .select(col("a").as("news_id"), col("b").as("neighbor_id"),
+          round(col("co") / sqrt(col("na") * col("nb")), 6).as("cos_sim"))
+      val w = Window.partitionBy("news_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    }),
+
+    // Fixed-size token chunking with overlap — the pretraining-data window
+    // op (context packing's sibling, q65): stride-STRIDE windows of up to
+    // CHUNK tokens, every token covered, consecutive chunks overlapping by
+    // CHUNK-STRIDE. Embarrassingly parallel per document; output carries a
+    // content hash per chunk (what a downstream exact-dedup would key on).
+    "q122_doc_chunks" -> ((s, d) =>
+      Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L),
+            floor((size(col("tk")) - 1) / STRIDE).cast("long"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("tk"), (col("chunk_idx") * STRIDE + 1).cast("int"),
+            lit(CHUNK)).as("ck"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ck")).as("n_tokens"),
+          md5(concat_ws(" ", col("ck"))).as("chunk_hash"))),
+
+    // Bigram language-model scoring (add-one smoothing): train corpus
+    // bigram/context counts, then score each document's mean log-likelihood
+    // ln((c(w1,w2)+1)/(c(w1)+V)) — the classic cheap LM-quality filter
+    // (perplexity proxy) for corpus curation. The bigram-count join is
+    // equi-keyed on the bigram; the context-count side is vocabulary-sized
+    // — broadcast. Counts are corpus-global, so the whole thing is two
+    // shuffles over the exploded bigram stream plus the per-doc reduce.
+    "q123_bigram_lm" -> ((s, d) => {
+      val tk = graft.runtime.Stage.scopedPersist(
+        Ops.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk")))
+      val bg = graft.runtime.Stage.scopedPersist(
+        tk.filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tk)-1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i+1) AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = tk.select(explode(col("tk")).as("w")).distinct().count()
+      bg.join(c2, Seq("w1", "w2")).join(broadcast(c1), "w1")
+        .select(col("doc_id"),
+          log((col("c2") + 1).cast("double") / (col("c1") + lit(v.toDouble))).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 6).as("avg_logp"))
+    }),
+
+    // Rolling z-score spike detection on the per-event-type daily volume
+    // series: trailing 7-day window (excluding today), needs >=3 priors.
+    // Counts are integers, so the windowed mean/stddev are numerically
+    // stable; z is rounded before the spike flag per the standing
+    // convention. One shuffle on the series key; the frame is bounded, so
+    // state per key is constant at any scale (at 100 TB the key would be a
+    // high-cardinality series id — the plan shape is identical).
+    "q124_rolling_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .select(col("event_type"), col("day"), col("c"),
+          count(col("c")).over(w).as("n_prior"),
+          avg(col("c")).over(w).as("mu"),
+          stddev_samp(col("c")).over(w).as("sd"))
+        .filter(col("n_prior") >= 3 && col("sd") > 0)
+        .select(col("event_type"), col("day"),
+          col("c").cast("long").as("n_events"),
+          round((col("c") - col("mu")) / col("sd"), 6).as("z"))
+        .withColumn("is_spike", (col("z") > 2.0).cast("int"))
+    }),
+
+    // NDCG@10 of the yesterday's-top-10 recommender (the q24/q46/q117 eval
+    // family completed with a graded-position metric): recs for day D are
+    // the 10 hottest news of D-1; per active user-day, DCG sums 1/log2(p+1)
+    // over hit positions and IDCG is the ideal for min(m,10) relevant
+    // items. All joins are equi-keyed on (date, newsId) or (date, userId);
+    // the rec list is |days|x10 — broadcast-sized at any scale.
+    "q125_ndcg" -> ((s, d) => {
+      val clicks = Tables.clicks(s, d)
+      val recs = clicks.groupBy(col("date"), col("newsId"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("p", row_number().over(
+          Window.partitionBy("date").orderBy(col("c").desc, col("newsId").asc)))
+        .filter(col("p") <= 10)
+        // distinct aliases: recs descends from the same clicks lineage as
+        // uc below — without the rename the join keys would be ambiguous
+        // self-join references
+        .select(date_add(col("date"), 1).as("rdate"), col("newsId").as("rec_news"),
+          col("p"))
+      val uc = clicks.select(col("date"), col("userId"), col("newsId")).distinct()
+      val userDays = uc.groupBy(col("date"), col("userId"))
+        .agg(count(lit(1)).as("m"))
+        .join(broadcast(recs.select(col("rdate")).distinct()),
+          col("date") === col("rdate"))
+      val hits = uc.join(broadcast(recs),
+          col("date") === col("rdate") && col("newsId") === col("rec_news"))
+        .groupBy(col("date"), col("userId"))
+        .agg(sum(lit(1.0) / log2((col("p") + 1).cast("double"))).as("dcg"))
+      userDays.join(hits, Seq("date", "userId"), "left")
+        .select(col("date"),
+          (coalesce(col("dcg"), lit(0.0)) / expr(
+            "aggregate(sequence(1, least(CAST(m AS INT), 10)), CAST(0.0 AS DOUBLE), (acc, i) -> acc + 1.0/log2(CAST(i+1 AS DOUBLE)))"))
+            .as("ndcg"))
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_users"), round(avg(col("ndcg")), 6).as("avg_ndcg"))
+    }),
+
+    // MERGE/CDC apply — the lakehouse upsert primitive (Delta MERGE's plan
+    // shape) expressed as one full-outer join + per-row CASE: deletes drop,
+    // updates take the source value, inserts materialize, unmatched targets
+    // pass through. The change set is derived deterministically from the
+    // snapshot itself (key mod buckets) so both engines compute the same
+    // CDC batch. At 100 TB the join is equi-keyed on the primary key — one
+    // co-partitioned shuffle pair (or none, if the table layout is already
+    // key-bucketed, q84).
+    "q127_merge_upsert" -> ((s, d) => {
+      val tgt = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val chg = tgt.select(
+          col("c_custkey").as("k"),
+          when(col("c_custkey") % 10 === 0, lit("D"))
+            .when(col("c_custkey") % 10 <= 3, lit("U"))
+            .otherwise(lit(null)).as("op"),
+          round(col("c_acctbal") * 1.1, 2).as("new_bal"))
+        .filter(col("op").isNotNull)
+        .union(tgt.filter(col("c_custkey") % 10 === 4)
+          .select((col("c_custkey") + 1000000).as("k"), lit("I").as("op"),
+            lit(0.0).as("new_bal")))
+      tgt.join(chg, col("c_custkey") === col("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(
+          coalesce(col("c_custkey"), col("k")).as("custkey"),
+          coalesce(col("c_mktsegment"), lit("NEW")).as("segment"),
+          round(when(col("op") === "U", col("new_bal"))
+            .when(col("op") === "I", col("new_bal"))
+            .otherwise(col("c_acctbal")), 2).as("acctbal"))
+    }),
+
+    // SQL API surface, part 2 (q48 is the flat join+agg): correlated
+    // EXISTS, a scalar subquery, a CTE, and a LATERAL correlated derived
+    // table — the analyst-SQL features Catalyst decorrelates into joins
+    // (EXISTS -> left semi; LATERAL max -> aggregate + equi-join; the
+    // scalar subquery -> one-row broadcast cross). Declared through
+    // spark.sql over temp views, planned by the same engine as the
+    // DataFrame queries.
+    "q128_sql_surface2" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql(
+        """WITH big AS (SELECT * FROM g_orders WHERE o_totalprice > 400000)
+          |SELECT c.c_mktsegment AS segment,
+          |  count(*) AS n_cust,
+          |  round(avg(t.max_price), 2) AS avg_max_price,
+          |  round(max(t.max_price
+          |    - (SELECT avg(o_totalprice) FROM g_orders)), 2) AS max_over_global
+          |FROM g_customer c,
+          |  LATERAL (SELECT max(o_totalprice) AS max_price FROM g_orders o
+          |           WHERE o.o_custkey = c.c_custkey) t
+          |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
+          |GROUP BY c.c_mktsegment""".stripMargin)
+    }),
+
+    // Null-safe equality join (<=>): NULL keys match each other — the
+    // dimension-join semantics SQL's plain `=` silently drops. Keys are
+    // NULLed deterministically (value band), then the null-safe join count
+    // is compared against the null-dropping plain join in one output row
+    // per key class. Catalyst plans <=> as a real hash join key (no
+    // fallback to nested-loop).
+    "q129_nullsafe_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          when(col("value") < 5.0, lit(null).cast("bigint"))
+            .otherwise(col("user_id")).as("uk"))
+      val dim = Tables.customer(s, d)
+        .select(when(col("c_custkey") % 100 === 0, lit(null).cast("bigint"))
+          .otherwise(col("c_custkey")).as("ck"),
+          col("c_mktsegment"))
+      ev.join(dim, col("uk") <=> col("ck"))
+        .groupBy(coalesce(col("c_mktsegment"), lit("NULL_KEY")).as("segment"),
+          col("uk").isNull.as("null_key"))
+        .agg(count(lit(1)).as("n_matches"))
+    }),
+
+    // MapType surface: per-user event-type histogram built as a real map
+    // (map_from_entries over the sorted entry list) and exploded back to
+    // rows — pins map construction, key-value explosion, and the map
+    // round-trip against a plain relational oracle. The map is bounded by
+    // |event types|, so the collect_list never grows past a constant.
+    "q126_map_roundtrip" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("c"))))).as("m"))
+        .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n_events")))))
+
+  private val toks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
+
+  val oracle: Map[String, String] = Map(
+
+    "q120_multiway_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q121_item_cf" ->
+      """WITH s AS (
+        |  SELECT DISTINCT user_id AS u, (event_id % 500) AS n
+        |  FROM events WHERE event_type = 'click'),
+        |ni AS (SELECT n, count(*) AS cnt FROM s GROUP BY 1),
+        |co AS (
+        |  SELECT a.n AS a, b.n AS b, count(*) AS co
+        |  FROM s a JOIN s b ON a.u = b.u AND a.n < b.n
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a, b, co FROM co UNION ALL SELECT b, a, co FROM co),
+        |sc AS (
+        |  SELECT sym.a AS news_id, sym.b AS neighbor_id,
+        |    round(co / sqrt(CAST(na.cnt AS DOUBLE) * nb.cnt), 6) AS cos_sim
+        |  FROM sym JOIN ni na ON na.n = sym.a JOIN ni nb ON nb.n = sym.b),
+        |r AS (
+        |  SELECT news_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY news_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT news_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q122_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |x AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(0, CAST((len(tk) - 1) // 48 AS BIGINT) + 1)) AS chunk_idx
+         |  FROM t WHERE len(tk) > 0)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS INT)
+         |    AS n_tokens,
+         |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
+         |    AS chunk_hash
+         |FROM x""".stripMargin,
+
+    "q123_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |b2 AS (
+         |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+         |    FROM t WHERE len(tk) >= 2)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+         |      FROM (SELECT unnest(tk) AS w FROM t))
+         |SELECT b2.doc_id, count(*) AS n_bigrams,
+         |  round(avg(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))), 6) AS avg_logp
+         |FROM b2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+         |GROUP BY 1""".stripMargin,
+
+    "q124_rolling_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, c,
+        |    count(c) OVER fr AS n_prior,
+        |    avg(c) OVER fr AS mu,
+        |    stddev_samp(c) OVER fr AS sd
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
+        |  round((c - mu) / sd, 6) AS z,
+        |  CAST(round((c - mu) / sd, 6) > 2.0 AS INT) AS is_spike
+        |FROM w WHERE n_prior >= 3 AND sd > 0""".stripMargin,
+
+    "q125_ndcg" ->
+      """WITH c AS (
+        |  SELECT user_id AS u, (event_id % 500) AS n,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date
+        |  FROM events WHERE event_type = 'click'),
+        |daily AS (SELECT date, n, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |recs AS (
+        |  SELECT date + 1 AS rdate, n, p FROM (
+        |    SELECT date, n, row_number() OVER (PARTITION BY date
+        |      ORDER BY cnt DESC, n) AS p
+        |    FROM daily) WHERE p <= 10),
+        |uc AS (SELECT DISTINCT date, u, n FROM c),
+        |ud AS (
+        |  SELECT date, u, count(*) AS m FROM uc GROUP BY 1, 2),
+        |udr AS (
+        |  SELECT ud.date, ud.u, ud.m FROM ud
+        |  JOIN (SELECT DISTINCT rdate FROM recs) r ON ud.date = r.rdate),
+        |hits AS (
+        |  SELECT uc.date, uc.u, sum(1.0 / log2(CAST(p + 1 AS DOUBLE))) AS dcg
+        |  FROM uc JOIN recs ON uc.date = recs.rdate AND uc.n = recs.n
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT udr.date,
+        |    coalesce(h.dcg, 0.0) / list_sum(list_transform(
+        |      range(1, least(CAST(m AS INT), 10) + 1),
+        |      i -> 1.0 / log2(CAST(i + 1 AS DOUBLE)))) AS ndcg
+        |  FROM udr LEFT JOIN hits h ON h.date = udr.date AND h.u = udr.u)
+        |SELECT date, count(*) AS n_users, round(avg(ndcg), 6) AS avg_ndcg
+        |FROM nd GROUP BY 1""".stripMargin,
+
+    "q126_map_roundtrip" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q127_merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |chg AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'D'
+        |         WHEN c_custkey % 10 <= 3 THEN 'U' END AS op,
+        |    round(c_acctbal * 1.1, 2) AS new_bal
+        |  FROM tgt WHERE c_custkey % 10 <= 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'I', 0.0
+        |  FROM tgt WHERE c_custkey % 10 = 4)
+        |SELECT coalesce(t.c_custkey, c.k) AS custkey,
+        |  coalesce(t.c_mktsegment, 'NEW') AS segment,
+        |  round(CASE WHEN c.op IN ('U', 'I') THEN c.new_bal
+        |             ELSE t.c_acctbal END, 2) AS acctbal
+        |FROM tgt t FULL OUTER JOIN chg c ON t.c_custkey = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
+
+    "q128_sql_surface2" ->
+      """WITH big AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+        |SELECT c.c_mktsegment AS segment,
+        |  count(*) AS n_cust,
+        |  round(avg(t.max_price), 2) AS avg_max_price,
+        |  round(max(t.max_price
+        |    - (SELECT avg(o_totalprice) FROM orders)), 2) AS max_over_global
+        |FROM customer c,
+        |  LATERAL (SELECT max(o_totalprice) AS max_price FROM orders o
+        |           WHERE o.o_custkey = c.c_custkey) t
+        |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
+        |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q129_nullsafe_join" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CASE WHEN value < 5.0 THEN NULL ELSE user_id END AS uk
+        |  FROM events),
+        |dim AS (
+        |  SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+        |              ELSE c_custkey END AS ck,
+        |    c_mktsegment
+        |  FROM customer)
+        |SELECT coalesce(c_mktsegment, 'NULL_KEY') AS segment,
+        |  (uk IS NULL) AS null_key, count(*) AS n_matches
+        |FROM ev JOIN dim ON uk IS NOT DISTINCT FROM ck
+        |GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the analytics-mining surface (queries.MiningQueries):
+  * chunking coverage/overlap laws, bigram-LM hand trace, item-CF cosine,
+  * NDCG boundary cases. End-to-end oracle coverage lives in the driver's
+  * DuckDB compare; these pin semantics on hand-auditable inputs.
+  */
+class MiningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def chunks(tokens: Seq[String], chunk: Int, stride: Int): Seq[Seq[String]] = {
+    val df = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), floor((size(col("tk")) - 1) / stride).cast("long")))
+          .as("i"),
+        col("tk"))
+      .select(col("i"), slice(col("tk"), (col("i") * stride + 1).cast("int"), lit(chunk)).as("ck"))
+    df.orderBy("i").as[(Long, Seq[String])].collect().map(_._2).toSeq
+  }
+
+  test("q122 chunking: full coverage, stride overlap, bounded size") {
+    // alphabetic tokens: the tokenizer splits on non-letters, so "w1" would
+    // collapse to "w"
+    val toks = (1 to 150).map(i =>
+      s"t${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val cks = chunks(toks, 64, 48)
+    // starts at 0, 48, 96; 144 < 150 so a fourth suffix chunk exists
+    assert(cks.length === 4)
+    assert(cks.forall(_.length <= 64))
+    // every token appears in at least one chunk, order preserved
+    assert(cks.flatten.toSet === toks.toSet)
+    // consecutive chunks overlap by chunk-stride = 16 tokens
+    assert(cks(0).takeRight(16) === cks(1).take(16))
+    assert(cks(0) === toks.slice(0, 64))
+    assert(cks(1) === toks.slice(48, 112))
+    assert(cks(3) === toks.slice(144, 150)) // short tail chunk
+  }
+
+  test("q122 chunking: single short doc = one chunk, exact content") {
+    val cks = chunks(Seq("a", "b", "c"), 64, 48)
+    assert(cks === Seq(Seq("a", "b", "c")))
+  }
+
+  test("q123 bigram LM: add-one smoothed scores match the hand computation") {
+    // corpus: doc1 = "a b a b", doc2 = "a b c"
+    // bigrams: d1: (a,b) (b,a) (a,b); d2: (a,b) (b,c)
+    // c2: (a,b)=3, (b,a)=1, (b,c)=1 ; c1: a=3, b=2 ; V=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val tk = docs.select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
+    val bg = tk.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk)-1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i+1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = tk.select(explode(col("tk")).as("w")).distinct().count().toDouble
+    assert(v === 3.0)
+    val out = bg.join(c2, Seq("w1", "w2")).join(c1, "w1")
+      .select(col("doc_id"),
+        log((col("c2") + 1).cast("double") / (col("c1") + lit(v))).as("lp"))
+      .groupBy("doc_id").agg(avg(col("lp")).as("avg_logp"))
+      .as[(Long, Double)].collect().toMap
+    val d1 = (2 * math.log(4.0 / 6.0) + math.log(2.0 / 5.0)) / 3
+    val d2 = (math.log(4.0 / 6.0) + math.log(2.0 / 5.0)) / 2
+    assert(math.abs(out(1L) - d1) < 1e-12)
+    assert(math.abs(out(2L) - d2) < 1e-12)
+  }
+
+  test("q121 item-CF: cosine over co-click incidence on a hand graph") {
+    // users: u1 {A,B}, u2 {A,B}, u3 {A,C}
+    // n: A=3, B=2, C=1; co(A,B)=2, co(A,C)=1
+    // cos(A,B) = 2/sqrt(6); cos(A,C) = 1/sqrt(3)
+    val sets = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "C"))
+      .toDF("userId", "newsId")
+    val ni = sets.groupBy("newsId").agg(count(lit(1)).as("n"))
+    val co = sets.select(col("userId"), col("newsId").as("a"))
+      .join(sets.select(col("userId"), col("newsId").as("b")), "userId")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("co"))
+    val sym = co.union(co.select(col("b").as("a"), col("a").as("b"), col("co")))
+    val scored = sym
+      .join(ni.select(col("newsId").as("a"), col("n").as("na")), "a")
+      .join(ni.select(col("newsId").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), (col("co") / sqrt(col("na") * col("nb"))).as("cos"))
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(scored(("A", "B")) - 2.0 / math.sqrt(6)) < 1e-12)
+    assert(math.abs(scored(("B", "A")) - 2.0 / math.sqrt(6)) < 1e-12) // symmetric
+    assert(math.abs(scored(("A", "C")) - 1.0 / math.sqrt(3)) < 1e-12)
+    assert(!scored.contains(("B", "C"))) // no co-click, no pair
+  }
+
+  test("q125 NDCG boundaries: perfect ranking = 1, no hits = 0, scale-invariant to m<=10") {
+    // idcg over m relevant = sum_{i=1..min(m,10)} 1/log2(i+1)
+    def idcg(m: Int): Double =
+      (1 to math.min(m, 10)).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+    // user clicked 3 news, all ranked at the top 3 positions -> dcg = idcg(3)
+    val dcgTop3 = (1 to 3).map(p => 1.0 / (math.log(p + 1) / math.log(2))).sum
+    assert(math.abs(dcgTop3 / idcg(3) - 1.0) < 1e-12)
+    // the Spark-side idcg expression agrees with the Scala closed form
+    val out = Seq(3, 10, 15).toDF("m")
+      .select(expr(
+        "aggregate(sequence(1, least(CAST(m AS INT), 10)), CAST(0.0 AS DOUBLE), (acc, i) -> acc + 1.0/log2(CAST(i+1 AS DOUBLE)))")
+        .as("idcg"))
+      .as[Double].collect()
+    assert(math.abs(out(0) - idcg(3)) < 1e-12)
+    assert(math.abs(out(1) - idcg(10)) < 1e-12)
+    assert(math.abs(out(2) - idcg(10)) < 1e-12) // capped at 10
+  }
+
+  test("q127 merge laws: delete drops, update rewrites, insert lands, rest pass through") {
+    val tgt = Seq((10L, "A", 100.0), (11L, "B", 200.0), (13L, "C", 300.0), (19L, "D", 400.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val chg = tgt.select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 10 === 0, lit("D"))
+          .when(col("c_custkey") % 10 <= 3, lit("U"))
+          .otherwise(lit(null)).as("op"),
+        round(col("c_acctbal") * 1.1, 2).as("new_bal"))
+      .filter(col("op").isNotNull)
+      .union(tgt.filter(col("c_custkey") % 10 === 4)
+        .select((col("c_custkey") + 1000000).as("k"), lit("I").as("op"),
+          lit(0.0).as("new_bal")))
+    val out = tgt.join(chg, col("c_custkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("c_custkey"), col("k")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("NEW")).as("segment"),
+        round(when(col("op") === "U", col("new_bal"))
+          .when(col("op") === "I", col("new_bal"))
+          .otherwise(col("c_acctbal")), 2).as("acctbal"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (11L, "B", 220.0),  // %10=1 -> updated 1.1x
+      (13L, "C", 330.0),  // %10=3 -> updated 1.1x
+      (19L, "D", 400.0))) // %10=9 -> untouched pass-through; 10 deleted, no %10=4 key -> no insert
+  }
+
+  test("q129 null-safe join: NULL keys match each other, plain join drops them") {
+    val l = Seq(Some(1L), None, Some(2L)).toDF("uk")
+    val r = Seq(Some(1L), None, Some(3L)).toDF("ck")
+    val nullSafe = l.join(r, col("uk") <=> col("ck")).count()
+    val plain = l.join(r, col("uk") === col("ck")).count()
+    assert(nullSafe === 2) // 1=1 and NULL<=>NULL
+    assert(plain === 1)    // NULL=NULL is not true
+  }
+
+  test("q124 rolling z-score: hand series, trailing frame excludes today") {
+    val daily = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
+      ("a", "2024-01-03", 11.0), ("a", "2024-01-04", 9.0),
+      ("a", "2024-01-05", 30.0) // spike day
+    ).toDF("k", "day", "c").withColumn("day", to_date(col("day")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("day").rowsBetween(-7, -1)
+    val out = daily.select(col("day").cast("string"),
+        count(col("c")).over(w).as("n_prior"),
+        ((col("c") - avg(col("c")).over(w)) / stddev_samp(col("c")).over(w)).as("z"))
+      .filter(col("n_prior") >= 3)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq("2024-01-04", "2024-01-05"))
+    // day 5: priors 10,12,11,9 -> mu=10.5, sd=sqrt((0.25+2.25+0.25+2.25)/3)
+    val sd = math.sqrt(5.0 / 3.0)
+    assert(math.abs(out(1)._3 - (30.0 - 10.5) / sd) < 1e-12)
+    assert(out(1)._3 > 2.0) // flagged as spike
+  }
+}
