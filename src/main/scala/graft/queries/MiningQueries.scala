@@ -262,6 +262,44 @@ object MiningQueries {
         .agg(count(lit(1)).as("n_matches"))
     }),
 
+    // transformWithState (Spark 4's arbitrary-stateful operator, RocksDB-
+    // backed): per-user running activity kept in NAMED typed state
+    // variables — see streaming.StreamingTws. Oracle = the batch aggregate
+    // of the same events.
+    "q130_tws_activity" -> ((s, d) =>
+      graft.streaming.StreamingTws.userActivity(s, d)),
+
+    // Partition-pruned layout: the events table written day-partitioned
+    // (the ingest layout for any time-series fact at 100 TB), then read
+    // back with a day-range predicate — the filter prunes whole
+    // directories at planning time (PartitionFilters in the scan, pinned
+    // in MiningSpec), so a 30-day table scans 11 days of files. Oracle
+    // computes the same aggregate straight off the unpartitioned events.
+    "q131_partitioned_layout" -> ((s, d) => {
+      val fact = partitionedEvents(s, d)
+      fact.filter(col("day") >= lit("2024-01-10") && col("day") <= lit("2024-01-20"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // Dynamic partition pruning: the day-partitioned fact joined to a
+    // filtered day dimension — the partition filter isn't known until the
+    // dim side is evaluated, so Catalyst injects a runtime subquery filter
+    // into the fact scan (dynamicpruning expression, pinned in MiningSpec)
+    // instead of scanning all partitions. The 100 TB shape for
+    // "fact ⋈ filtered calendar/dim" star queries.
+    "q132_dpp" -> ((s, d) => {
+      val fact = partitionedEvents(s, d)
+      val dim = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day")).distinct()
+        .filter(pmod(datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01"))), lit(7)) === 3)
+      fact.join(dim, "day")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("n_days"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -275,6 +313,18 @@ object MiningQueries {
         .agg(map_from_entries(sort_array(
           collect_list(struct(col("event_type"), col("c"))))).as("m"))
         .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n_events")))))
+
+  /** The day-partitioned events layout shared by q131/q132: written once
+    * per (session, dataset) under /tmp and re-read as a partitioned table
+    * (day becomes a directory-level partition column).
+    */
+  def partitionedEvents(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s, s"partitioned-events:$d") {
+      val path = s"/tmp/graft_part_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      Tables.events(s, d).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      s.read.parquet(path)
+    }
 
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
@@ -431,6 +481,32 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q130_tws_activity" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS INT)
+        |    AS n_active_days,
+        |  min(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |  max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q131_partitioned_layout" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |  BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+        |GROUP BY 1""".stripMargin,
+
+    "q132_dpp" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT day) AS n_days
+        |FROM e
+        |WHERE ((date_diff('day', DATE '2024-01-01', day) % 7) + 7) % 7 = 3
+        |GROUP BY 1""".stripMargin,
 
     "q129_nullsafe_join" ->
       """WITH ev AS (

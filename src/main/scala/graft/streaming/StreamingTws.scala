@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** `transformWithState` — Spark 4's arbitrary-stateful-processing operator
+  * (SPARK-46815, the successor seam to `mapGroupsWithState`): a keyed
+  * [[StatefulProcessor]] with NAMED, individually-typed state variables
+  * (ValueState / ListState / MapState), optional per-state TTL, and timers.
+  * This is the idiomatic upgrade target for the reference's per-user
+  * accumulators (q41's profile state, SURVEY.md §2.8): each logical
+  * quantity lives in its own state variable instead of one monolithic
+  * case-class blob, so the store reads/writes only what a batch touches —
+  * at 100 TB of keyed state (RocksDB-backed, one store per partition) that
+  * selective I/O is the difference between a maintenance pass over every
+  * key and touching only active users.
+  *
+  * The processor keeps per-user activity: running event count + first/last
+  * event time in a ValueState, distinct active-day ordinals in a ListState
+  * (appended only when new — the store-side list grows by deltas, never
+  * rewritten). transformWithState requires the RocksDB state-store
+  * provider; the conf is scoped to the stream's start..drain window.
+  */
+object StreamingTws {
+
+  case class Ev(userId: Long, dayOrd: Int, tsUs: Long)
+  case class Totals(n: Long, firstUs: Long, lastUs: Long)
+  case class UserActivity(userId: Long, n_events: Long, n_active_days: Int,
+                          first_us: Long, last_us: Long)
+
+  class ActivityProcessor extends StatefulProcessor[Long, Ev, UserActivity] {
+    @transient private var totals: ValueState[Totals] = _
+    @transient private var days: ListState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[Totals]("totals",
+        Encoders.product[Totals], TTLConfig.NONE)
+      days = getHandle.getListState[Int]("days",
+        Encoders.scalaInt, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserActivity] = {
+      val prev = if (totals.exists()) totals.get()
+        else Totals(0L, Long.MaxValue, Long.MinValue)
+      val seen = scala.collection.mutable.HashSet[Int](days.get().toSeq: _*)
+      var n = prev.n
+      var first = prev.firstUs
+      var last = prev.lastUs
+      rows.foreach { e =>
+        n += 1
+        if (e.tsUs < first) first = e.tsUs
+        if (e.tsUs > last) last = e.tsUs
+        if (seen.add(e.dayOrd)) days.appendValue(e.dayOrd)
+      }
+      totals.update(Totals(n, first, last))
+      Iterator.single(UserActivity(key, n, seen.size, first, last))
+    }
+  }
+
+  /** Replays the (bounded) events stream through the processor and returns
+    * the final per-user activity table.
+    */
+  def userActivity(spark: SparkSession, dir: String): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sink = s"tws_activity_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+      val stream = spark.readStream
+        .schema(StreamingHotTopics.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val evs = stream.select(
+          col("user_id").as("userId"),
+          datediff(to_date(timestamp_micros(expr("ts DIV 1000"))),
+            lit("1970-01-01")).as("dayOrd"),
+          expr("ts DIV 1000").as("tsUs"))
+        .as[Ev]
+      implicit val outEnc: Encoder[UserActivity] = Encoders.product[UserActivity]
+      val out = evs.groupByKey(_.userId)
+        .transformWithState(new ActivityProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // Update mode emits one row per (user, micro-batch); the final state
+      // is the row with the highest running count per user.
+      spark.table(sink)
+        .groupBy(col("userId").as("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("n_active_days")).as("n_active_days"),
+          min(col("first_us")).as("first_us"),
+          max(col("last_us")).as("last_us"))
+        .select(col("user_id"), col("n_events"), col("n_active_days"),
+          timestamp_micros(col("first_us")).as("first_ts"),
+          timestamp_micros(col("last_us")).as("last_ts"))
+    } finally savedProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+}

@@ -159,6 +159,57 @@ class MiningSpec extends AnyFunSuite {
     assert(plain === 1)    // NULL=NULL is not true
   }
 
+  test("q131/q132 plans: static partition pruning and dynamic partition pruning reach the scan") {
+    val d = "/root/testdata/sf0.001"
+    val pruned = graft.queries.MiningQueries.queries("q131_partitioned_layout")(spark, d)
+    val planP = pruned.queryExecution.executedPlan.toString
+    assert(planP.contains("PartitionFilters") &&
+      planP.contains("day") && planP.contains("2024-01-10"),
+      s"expected static partition filters in:\n$planP")
+    val dpp = graft.queries.MiningQueries.queries("q132_dpp")(spark, d)
+    val planD = dpp.queryExecution.executedPlan.toString
+    assert(planD.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery filter in:\n$planD")
+  }
+
+  test("q130 transformWithState: state accumulates across micro-batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val dir = java.nio.file.Files.createTempDirectory("tws_spec").toFile
+    dir.deleteOnExit()
+    // three single-row files -> three micro-batches for the same user
+    Seq((1L, 100L, 0), (1L, 50L, 1), (1L, 200L, 0)).zipWithIndex.foreach {
+      case ((uid, ts, day), i) =>
+        Seq((uid, ts, day)).toDF("userId", "tsUs", "dayOrd")
+          .coalesce(1).write.parquet(s"$dir/f$i")
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("userId LONG, tsUs LONG, dayOrd INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/f*")
+        .select(col("userId"), col("dayOrd"), col("tsUs"))
+        .as[graft.streaming.StreamingTws.Ev]
+      implicit val enc: org.apache.spark.sql.Encoder[graft.streaming.StreamingTws.UserActivity] =
+        org.apache.spark.sql.Encoders.product
+      val out = stream.groupByKey(_.userId)
+        .transformWithState(new graft.streaming.StreamingTws.ActivityProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_spec").start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table("tws_spec")
+        .orderBy(col("n_events"))
+        .as[(Long, Long, Int, Long, Long)].collect()
+      // one emission per micro-batch; the last has the fully folded state
+      assert(rows.length >= 2, s"expected multiple micro-batch emissions, got ${rows.length}")
+      assert(rows.last === ((1L, 3L, 2, 50L, 200L)),
+        "final state must fold counts, distinct days, min/max across batches")
+    } finally spark.conf.unset(providerKey)
+  }
+
   test("q124 rolling z-score: hand series, trailing frame excludes today") {
     val daily = Seq(
       ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
