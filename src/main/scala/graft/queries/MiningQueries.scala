@@ -157,24 +157,8 @@ object MiningQueries {
     // items. All joins are equi-keyed on (date, newsId) or (date, userId);
     // the rec list is |days|x10 — broadcast-sized at any scale.
     "q125_ndcg" -> ((s, d) => {
-      val clicks = Tables.clicks(s, d)
-      val recs = clicks.groupBy(col("date"), col("newsId"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("p", row_number().over(
-          Window.partitionBy("date").orderBy(col("c").desc, col("newsId").asc)))
-        .filter(col("p") <= 10)
-        // distinct aliases: recs descends from the same clicks lineage as
-        // uc below — without the rename the join keys would be ambiguous
-        // self-join references
-        .select(date_add(col("date"), 1).as("rdate"), col("newsId").as("rec_news"),
-          col("p"))
-      val uc = clicks.select(col("date"), col("userId"), col("newsId")).distinct()
-      val userDays = uc.groupBy(col("date"), col("userId"))
-        .agg(count(lit(1)).as("m"))
-        .join(broadcast(recs.select(col("rdate")).distinct()),
-          col("date") === col("rdate"))
-      val hits = uc.join(broadcast(recs),
-          col("date") === col("rdate") && col("newsId") === col("rec_news"))
+      val (userDays, hitsRaw) = hotRecHits(s, d)
+      val hits = hitsRaw
         .groupBy(col("date"), col("userId"))
         .agg(sum(lit(1.0) / log2((col("p") + 1).cast("double"))).as("dcg"))
       userDays.join(hits, Seq("date", "userId"), "left")
@@ -262,6 +246,93 @@ object MiningQueries {
         .agg(count(lit(1)).as("n_matches"))
     }),
 
+    // Recall@10 of the same recommender run (eval family: precision q24/
+    // q46/q117, NDCG q125, MAP q134): fraction of a user-day's relevant
+    // items covered by the rec list, averaged per day.
+    "q133_recall" -> ((s, d) => {
+      val (userDays, hitsRaw) = hotRecHits(s, d)
+      val hits = hitsRaw.groupBy(col("date"), col("userId"))
+        .agg(count(lit(1)).as("h"))
+      userDays.join(hits, Seq("date", "userId"), "left")
+        .select(col("date"),
+          (coalesce(col("h"), lit(0L)).cast("double") / col("m")).as("rec"))
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_users"), round(avg(col("rec")), 6).as("avg_recall"))
+    }),
+
+    // MAP@10: average precision per user-day — mean of precision@p over
+    // hit positions, normalized by min(m, 10). The running hit count is a
+    // row_number over each user-day's hit positions (bounded by 10), so
+    // the metric adds one keyed window over the shared hit rows.
+    "q134_map_eval" -> ((s, d) => {
+      val (userDays, hitsRaw) = hotRecHits(s, d)
+      val w = Window.partitionBy("date", "userId").orderBy("p")
+      val ap = hitsRaw.withColumn("r", row_number().over(w))
+        .groupBy(col("date"), col("userId"))
+        .agg(sum(col("r").cast("double") / col("p")).as("sumprec"))
+      userDays.join(ap, Seq("date", "userId"), "left")
+        .select(col("date"),
+          (coalesce(col("sumprec"), lit(0.0))
+            / least(col("m"), lit(10)).cast("double")).as("ap"))
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_users"), round(avg(col("ap")), 6).as("map10"))
+    }),
+
+    // First-order Markov transition mining over per-user click sequences
+    // (the next-item model a sequential recommender trains on): one keyed
+    // window (lead) on the user partition, one count shuffle keyed by the
+    // transition pair, top-20 via TakeOrderedAndProject (no global sort).
+    "q135_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 500).as("news"))
+        .withColumn("nxt", lead(col("news"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("news").as("src_news"), col("nxt").as("dst_news"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("src_news").asc, col("dst_news").asc)
+        .limit(20)
+    }),
+
+    // Outer generator semantics (posexplode_outer): per-user purchase
+    // value sequences exploded WITH position, users with no purchases kept
+    // as a null-position row — the left-join-shaped explode every
+    // "sessions to training rows" pipeline needs (an inner explode silently
+    // drops empty entities). sort_array on the struct array pins the
+    // (ts, event_id) order inside each sequence.
+    "q136_posexplode_outer" -> ((s, d) => {
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          round(col("value"), 2).as("v")))).as("ps"))
+        .select(col("user_id").as("p_user"),
+          expr("transform(ps, x -> x.v)").as("vals"))
+      Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"))
+        .join(purchases, col("user_id") === col("p_user"), "left")
+        .select(col("user_id"), posexplode_outer(col("vals")).as(Seq("pos", "value")))
+    }),
+
+    // Ratio-to-report: revenue share within the flag group (keyed window,
+    // no extra exchange past the group-by) and against the grand total
+    // (one-row aggregate broadcast back — NOT an unpartitioned window,
+    // which would single-partition the table at scale).
+    "q137_share_of_total" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      val total = base.agg(sum(col("revenue")).as("tot"))
+      val wf = Window.partitionBy("l_returnflag")
+      base.crossJoin(broadcast(total))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("revenue"), 2).as("revenue"),
+          round(col("revenue") / sum(col("revenue")).over(wf), 6).as("share_flag"),
+          round(col("revenue") / col("tot"), 6).as("share_total"))
+    }),
+
     // transformWithState (Spark 4's arbitrary-stateful operator, RocksDB-
     // backed): per-user running activity kept in NAMED typed state
     // variables — see streaming.StreamingTws. Oracle = the batch aggregate
@@ -313,6 +384,38 @@ object MiningQueries {
         .agg(map_from_entries(sort_array(
           collect_list(struct(col("event_type"), col("c"))))).as("m"))
         .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n_events")))))
+
+  /** The yesterday's-top-10 recommender eval scaffold shared by the q125/
+    * q133/q134 metric family: recs for day D are the 10 hottest news of
+    * D-1; returns (active user-days with relevant-count m restricted to
+    * days that have recs, raw per-hit rows carrying the hit position p).
+    * Both sides are persisted per query scope — three metrics read them.
+    */
+  private def hotRecHits(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val clicks = Tables.clicks(s, d)
+    val recs = clicks.groupBy(col("date"), col("newsId"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("p", row_number().over(
+        Window.partitionBy("date").orderBy(col("c").desc, col("newsId").asc)))
+      .filter(col("p") <= 10)
+      // distinct aliases: recs descends from the same clicks lineage as uc
+      // below — without the rename the join keys would be ambiguous
+      // self-join references
+      .select(date_add(col("date"), 1).as("rdate"), col("newsId").as("rec_news"),
+        col("p"))
+    val uc = clicks.select(col("date"), col("userId"), col("newsId")).distinct()
+    val userDays = graft.runtime.Stage.scopedPersist(
+      uc.groupBy(col("date"), col("userId"))
+        .agg(count(lit(1)).as("m"))
+        .join(broadcast(recs.select(col("rdate")).distinct()),
+          col("date") === col("rdate"))
+        .select(col("date"), col("userId"), col("m")))
+    val hits = graft.runtime.Stage.scopedPersist(
+      uc.join(broadcast(recs),
+          col("date") === col("rdate") && col("newsId") === col("rec_news"))
+        .select(col("date"), col("userId"), col("p")))
+    (userDays, hits)
+  }
 
   /** The day-partitioned events layout shared by q131/q132: written once
     * per (session, dataset) under /tmp and re-read as a partitioned table
@@ -481,6 +584,95 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q133_recall" ->
+      """WITH c AS (
+        |  SELECT user_id AS u, (event_id % 500) AS n,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date
+        |  FROM events WHERE event_type = 'click'),
+        |daily AS (SELECT date, n, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |recs AS (
+        |  SELECT date + 1 AS rdate, n, p FROM (
+        |    SELECT date, n, row_number() OVER (PARTITION BY date
+        |      ORDER BY cnt DESC, n) AS p
+        |    FROM daily) WHERE p <= 10),
+        |uc AS (SELECT DISTINCT date, u, n FROM c),
+        |ud AS (SELECT date, u, count(*) AS m FROM uc GROUP BY 1, 2),
+        |udr AS (
+        |  SELECT ud.date, ud.u, ud.m FROM ud
+        |  JOIN (SELECT DISTINCT rdate FROM recs) r ON ud.date = r.rdate),
+        |hits AS (
+        |  SELECT uc.date, uc.u, count(*) AS h
+        |  FROM uc JOIN recs ON uc.date = recs.rdate AND uc.n = recs.n
+        |  GROUP BY 1, 2)
+        |SELECT udr.date, count(*) AS n_users,
+        |  round(avg(CAST(coalesce(h.h, 0) AS DOUBLE) / udr.m), 6) AS avg_recall
+        |FROM udr LEFT JOIN hits h ON h.date = udr.date AND h.u = udr.u
+        |GROUP BY 1""".stripMargin,
+
+    "q134_map_eval" ->
+      """WITH c AS (
+        |  SELECT user_id AS u, (event_id % 500) AS n,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date
+        |  FROM events WHERE event_type = 'click'),
+        |daily AS (SELECT date, n, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |recs AS (
+        |  SELECT date + 1 AS rdate, n, p FROM (
+        |    SELECT date, n, row_number() OVER (PARTITION BY date
+        |      ORDER BY cnt DESC, n) AS p
+        |    FROM daily) WHERE p <= 10),
+        |uc AS (SELECT DISTINCT date, u, n FROM c),
+        |ud AS (SELECT date, u, count(*) AS m FROM uc GROUP BY 1, 2),
+        |udr AS (
+        |  SELECT ud.date, ud.u, ud.m FROM ud
+        |  JOIN (SELECT DISTINCT rdate FROM recs) r ON ud.date = r.rdate),
+        |hp AS (
+        |  SELECT uc.date, uc.u, recs.p,
+        |    row_number() OVER (PARTITION BY uc.date, uc.u ORDER BY recs.p) AS r
+        |  FROM uc JOIN recs ON uc.date = recs.rdate AND uc.n = recs.n),
+        |ap AS (
+        |  SELECT date, u, sum(CAST(r AS DOUBLE) / p) AS sumprec
+        |  FROM hp GROUP BY 1, 2)
+        |SELECT udr.date, count(*) AS n_users,
+        |  round(avg(coalesce(a.sumprec, 0.0)
+        |    / CAST(least(udr.m, 10) AS DOUBLE)), 6) AS map10
+        |FROM udr LEFT JOIN ap a ON a.date = udr.date AND a.u = udr.u
+        |GROUP BY 1""".stripMargin,
+
+    "q135_markov_transitions" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    (event_id % 500) AS news
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT news AS src_news,
+        |    lead(news) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_news
+        |  FROM c)
+        |SELECT src_news, dst_news, count(*) AS n
+        |FROM t WHERE dst_news IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, src_news, dst_news LIMIT 20""".stripMargin,
+
+    "q136_posexplode_outer" ->
+      """WITH p AS (
+        |  SELECT user_id, round(value, 2) AS value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1 AS INT) AS pos
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.c_custkey AS user_id, p.pos, p.value
+        |FROM customer c LEFT JOIN p ON p.user_id = c.c_custkey""".stripMargin,
+
+    "q137_share_of_total" ->
+      """WITH base AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT sum(revenue) AS tot FROM base)
+        |SELECT l_returnflag, l_linestatus, round(revenue, 2) AS revenue,
+        |  round(revenue / sum(revenue) OVER (PARTITION BY l_returnflag), 6)
+        |    AS share_flag,
+        |  round(revenue / tot.tot, 6) AS share_total
+        |FROM base, tot""".stripMargin,
 
     "q130_tws_activity" ->
       """SELECT user_id, count(*) AS n_events,

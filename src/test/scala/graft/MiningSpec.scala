@@ -210,6 +210,31 @@ class MiningSpec extends AnyFunSuite {
     } finally spark.conf.unset(providerKey)
   }
 
+  test("q134 average precision: running-hit window matches the hand formula") {
+    // hits at rec positions 2 and 5, m = 3 relevant items
+    // AP = (prec@2 + prec@5) / min(m,10) = (1/2 + 2/5) / 3 = 0.3
+    val hits = Seq(("d1", 7L, 2), ("d1", 7L, 5)).toDF("date", "userId", "p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("date", "userId").orderBy("p")
+    val sumprec = hits.withColumn("r", row_number().over(w))
+      .groupBy("date", "userId")
+      .agg(sum(col("r").cast("double") / col("p")).as("sumprec"))
+      .as[(String, Long, Double)].collect().head._3
+    assert(math.abs(sumprec / math.min(3, 10) - 0.3) < 1e-12)
+  }
+
+  test("q136 posexplode_outer: empty entities keep a null-position row, inner explode drops them") {
+    val df = Seq((1L, Seq(10.0, 20.0)), (2L, Seq.empty[Double]))
+      .toDF("user_id", "vals")
+    val outer = df.select(col("user_id"), posexplode_outer(col("vals")).as(Seq("pos", "value")))
+      .as[(Long, Option[Int], Option[Double])].collect().sortBy(r => (r._1, r._2))
+    assert(outer.toSeq === Seq((1L, Some(0), Some(10.0)), (1L, Some(1), Some(20.0)),
+      (2L, None, None)))
+    val inner = df.select(col("user_id"), posexplode(col("vals")).as(Seq("pos", "value")))
+      .select(col("user_id")).distinct().as[Long].collect()
+    assert(inner.toSeq === Seq(1L))
+  }
+
   test("q124 rolling z-score: hand series, trailing frame excludes today") {
     val daily = Seq(
       ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
