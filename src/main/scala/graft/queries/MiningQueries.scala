@@ -371,6 +371,66 @@ object MiningQueries {
           countDistinct(col("day")).as("n_days"))
     }),
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop operator):
+    // bounded-hop reachability over the click-transition graph — start at
+    // the heaviest transition source, walk the 50-node distinct-transition graph up to 3 hops,
+    // aggregate min-hops and walk counts. The recursion is hop-guarded so
+    // both engines enumerate the identical finite walk set; each iteration
+    // is one equi-join of the frontier against the (tiny, broadcast) edge
+    // list — the SQL-surface twin of ext.Graph's BSP loops.
+    "q138_recursive_cte" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("g_events")
+      s.sql(recursiveReachSql("g_events"))
+    }),
+
+    // Regexp surface: vowel-run counting and first-match extraction over
+    // the corpus (regexp_count / regexp_extract stay row-local and
+    // codegen'd — the shape of any regex-based PII/quality scan at scale).
+    "q139_regexp_surface" -> ((s, d) =>
+      Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[aeiou]{2}")).as("n_vowel_runs"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowels"))
+        .withColumn("n_vowel_runs", col("n_vowel_runs").cast("long"))),
+
+    // String-function surface: length/levenshtein/translate/strpos/lpad/
+    // reverse in one row-local pass (levenshtein is the classic DP — both
+    // engines implement the same metric).
+    "q140_string_funcs" -> ((s, d) =>
+      Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          length(col("text")).as("len_text"),
+          levenshtein(substring(col("text"), 1, 12),
+            translate(substring(col("text"), 1, 12), "aeiou", "eioua")).as("lev"),
+          locate("a", col("text")).cast("long").as("first_a"),
+          lpad(col("lang"), 5, "_").as("lang_pad"),
+          reverse(substring(col("text"), 1, 5)).as("rev5"))),
+
+    // Date-function surface: calendar rollup of orders by (year, quarter)
+    // with month cardinality and quarter-end boundaries — extracts and
+    // last_day are row-local; the aggregate is one hash pass.
+    "q141_date_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          last_day(to_date(col("o_orderdate"))).as("ld"))
+        .groupBy(col("yr"), col("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("mo")).as("n_months"),
+          max(col("ld")).as("quarter_end"))),
+
+    // Bitwise aggregate surface (bit_and/bit_or/bit_xor): the fold
+    // primitives behind bitmap indexes and feature-flag rollups; all three
+    // partial-aggregate map-side.
+    "q142_bit_aggregates" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(event_id)").as("band"),
+          expr("bit_or(event_id)").as("bor"),
+          expr("bit_xor(event_id)").as("bxor"))),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -428,6 +488,27 @@ object MiningQueries {
         .write.mode("overwrite").partitionBy("day").parquet(path)
       s.read.parquet(path)
     }
+
+  /** q138's recursion, shared verbatim by both engines (only the events
+    * table name differs): hop-guarded walk enumeration is a finite set, so
+    * min-hops and walk counts are engine-independent.
+    */
+  private def recursiveReachSql(tbl: String): String =
+    s"""WITH RECURSIVE
+       |c AS (SELECT user_id, ts, event_id, (event_id % 50) AS news
+       |      FROM $tbl WHERE event_type = 'click'),
+       |t AS (SELECT news AS src,
+       |        lead(news) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |      FROM c),
+       |e AS (SELECT DISTINCT src, dst FROM t WHERE dst IS NOT NULL),
+       |s AS (SELECT min(src) AS src FROM e),
+       |r(news, hops) AS (
+       |  SELECT src, 0 FROM s
+       |  UNION ALL
+       |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.news
+       |  WHERE r.hops < 3)
+       |SELECT news, CAST(min(hops) AS INT) AS min_hops, count(*) AS n_walks
+       |FROM r GROUP BY news""".stripMargin
 
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
@@ -584,6 +665,41 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q138_recursive_cte" -> recursiveReachSql("events"),
+
+    "q139_regexp_surface" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT)
+        |    AS n_vowel_runs,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+        |    AS len_novowels
+        |FROM documents""".stripMargin,
+
+    "q140_string_funcs" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS len_text,
+        |  CAST(levenshtein(substr(text, 1, 12),
+        |    translate(substr(text, 1, 12), 'aeiou', 'eioua')) AS INT) AS lev,
+        |  CAST(strpos(text, 'a') AS BIGINT) AS first_a,
+        |  lpad(lang, 5, '_') AS lang_pad,
+        |  reverse(substr(text, 1, 5)) AS rev5
+        |FROM documents""".stripMargin,
+
+    "q141_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT month(o_orderdate)) AS n_months,
+        |  max(last_day(CAST(o_orderdate AS DATE))) AS quarter_end
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q142_bit_aggregates" ->
+      """SELECT event_type, count(*) AS n,
+        |  bit_and(event_id) AS band,
+        |  bit_or(event_id) AS bor,
+        |  bit_xor(event_id) AS bxor
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q133_recall" ->
       """WITH c AS (

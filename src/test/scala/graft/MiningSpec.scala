@@ -235,6 +235,23 @@ class MiningSpec extends AnyFunSuite {
     assert(inner.toSeq === Seq(1L))
   }
 
+  test("q138 recursive CTE: hop-guarded walks on a hand graph (diamond + cycle)") {
+    // 0->1, 0->2, 1->3, 2->3, 3->0 (cycle back). Walks from 0, hops<3:
+    // hop0: {0}; hop1: 1,2; hop2: 3(x2); hop3: 0(x2) — n_walks counts walks.
+    Seq((0, 1), (0, 2), (1, 3), (2, 3), (3, 0)).toDF("src", "dst")
+      .createOrReplaceTempView("spec_edges")
+    val out = spark.sql(
+      """WITH RECURSIVE r(n, hops) AS (
+        |  SELECT 0, 0
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1 FROM r JOIN spec_edges e ON e.src = r.n
+        |  WHERE r.hops < 3)
+        |SELECT n, min(hops) AS min_hops, count(*) AS n_walks
+        |FROM r GROUP BY n""".stripMargin)
+      .as[(Int, Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((0, 0, 3L), (1, 1, 1L), (2, 1, 1L), (3, 2, 2L)))
+  }
+
   test("q124 rolling z-score: hand series, trailing frame excludes today") {
     val daily = Seq(
       ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
