@@ -431,6 +431,71 @@ object MiningQueries {
           expr("bit_or(event_id)").as("bor"),
           expr("bit_xor(event_id)").as("bxor"))),
 
+    // Null-aware anti join: NOT IN over a subquery CONTAINING NULLs is
+    // vacuously empty (three-valued logic), while NOT EXISTS ignores them —
+    // the classic silent-wrong-answer pair. Spark plans the NOT IN as a
+    // null-aware anti join; both counts are emitted so the semantics gap
+    // is the asserted result.
+    "q143_null_aware_antijoin" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders_na")
+      Tables.customer(s, d)
+        .select(when(col("c_custkey") % 1000 === 7, lit(null).cast("bigint"))
+          .otherwise(col("c_custkey")).as("k"))
+        .createOrReplaceTempView("g_keys_na")
+      s.sql(
+        """SELECT 'not_in' AS method, count(*) AS n_rows
+          |FROM g_orders_na WHERE o_custkey NOT IN (SELECT k FROM g_keys_na)
+          |UNION ALL
+          |SELECT 'not_exists' AS method, count(*) AS n_rows
+          |FROM g_orders_na o
+          |WHERE NOT EXISTS (SELECT 1 FROM g_keys_na x WHERE x.k = o.o_custkey)""".stripMargin)
+    }),
+
+    // Higher-order-function surface (filter / exists over array columns):
+    // row-local lambda evaluation — no explode, no shuffle; the per-doc
+    // token array never leaves its row.
+    "q144_hof_surface" -> ((s, d) =>
+      Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          size(expr("filter(tk, w -> length(w) > 6)")).as("n_long"),
+          round(size(expr("filter(tk, w -> length(w) > 6)")).cast("double")
+            / size(col("tk")), 6).as("frac_long"),
+          expr("exists(tk, w -> substr(w, 1, 1) = 'a')").as("has_a"))),
+
+    // Gini concentration per segment: 2·Σ(rank·x) / (n·Σx) − (n+1)/n over
+    // the ascending-sorted values — the inequality statistic for "is this
+    // segment's revenue concentrated in few customers". One keyed window
+    // (rank) + one hash agg; ranks are per-group, so partition-parallel.
+    "q145_gini" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").asc, col("o_custkey").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("i", row_number().over(w).cast("double"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(lit(2.0) * sum(col("i") * col("o_totalprice"))
+              / (count(lit(1)) * sum(col("o_totalprice")))
+            - (count(lit(1)) + 1).cast("double") / count(lit(1)), 6).as("gini"))
+    }),
+
+    // Aggregate surface: exact linear-interpolated percentiles (the
+    // percentile_cont contract) and deterministic arg-max (max_by on a
+    // collision-free composite key) — both partial-aggregating, one hash
+    // pass.
+    "q146_agg_surface" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          expr("max_by(o_custkey, o_totalprice * 100000 + o_custkey)")
+            .as("top_cust"))),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -665,6 +730,45 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q143_null_aware_antijoin" ->
+      """WITH keys AS (
+        |  SELECT CASE WHEN c_custkey % 1000 = 7 THEN NULL
+        |              ELSE c_custkey END AS k
+        |  FROM customer)
+        |SELECT 'not_in' AS method, count(*) AS n_rows
+        |FROM orders WHERE o_custkey NOT IN (SELECT k FROM keys)
+        |UNION ALL
+        |SELECT 'not_exists' AS method, count(*) AS n_rows
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM keys x WHERE x.k = o.o_custkey)""".stripMargin,
+
+    "q144_hof_surface" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+         |SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(tk, w -> len(w) > 6)) AS INT) AS n_long,
+         |  round(CAST(len(list_filter(tk, w -> len(w) > 6)) AS DOUBLE)
+         |    / len(tk), 6) AS frac_long,
+         |  len(list_filter(tk, w -> substr(w, 1, 1) = 'a')) > 0 AS has_a
+         |FROM t""".stripMargin,
+
+    "q145_gini" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice, o_custkey, o_orderkey) AS DOUBLE) AS i
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(2.0 * sum(i * o_totalprice) / (count(*) * sum(o_totalprice))
+        |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q146_agg_surface" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  arg_max(o_custkey, o_totalprice * 100000 + o_custkey) AS top_cust
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q138_recursive_cte" -> recursiveReachSql("events"),
 
