@@ -496,6 +496,81 @@ object MiningQueries {
           expr("max_by(o_custkey, o_totalprice * 100000 + o_custkey)")
             .as("top_cust"))),
 
+    // Islands & gaps: missing days per news click series, consecutive
+    // gaps collapsed into islands via the rank-difference trick
+    // (day_ordinal − row_number is constant within a run). The calendar
+    // explode is bounded by each key's own [min, max] span; everything is
+    // keyed on the series id — one shuffle, partition-parallel windows.
+    "q147_gap_islands" -> ((s, d) => {
+      val obs = graft.runtime.Stage.scopedPersist(
+        Tables.clicks(s, d).select(col("newsId"), col("date")).distinct())
+      val expected = obs.groupBy(col("newsId").as("e_news"))
+        .agg(min(col("date")).as("lo"), max(col("date")).as("hi"))
+        .select(col("e_news"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      val missing = expected.join(obs,
+        col("e_news") === col("newsId") && col("day") === col("date"), "left_anti")
+      val w = Window.partitionBy("e_news").orderBy("day")
+      missing
+        .withColumn("g",
+          datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+            - row_number().over(w))
+        .groupBy(col("e_news").as("news_id"), col("g"))
+        .agg(min(col("day")).as("gap_start"), max(col("day")).as("gap_end"),
+          count(lit(1)).as("gap_len"))
+        .drop("g")
+    }),
+
+    // Cumulative distinct (new-user growth curve): first-activity day per
+    // user (one keyed agg), then a running sum over the per-day new-user
+    // counts — the cumulative-distinct pattern that avoids any
+    // distinct-over-window (which no engine does scalably). The final
+    // window is over the already-reduced |days| table — tiny by
+    // construction, so the unpartitioned frame is safe at any input scale.
+    "q148_new_user_curve" -> ((s, d) => {
+      val firstDay = Tables.clicks(s, d)
+        .groupBy(col("userId")).agg(min(col("date")).as("day"))
+      val perDay = firstDay.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      perDay.select(col("day"), col("n_new"),
+        sum(col("n_new")).over(w).as("cum_users"))
+    }),
+
+    // Exact weighted median per group (curation statistic: "the doc length
+    // below which half the corpus WEIGHT sits"): cumulative-weight window,
+    // smallest x with 2·cumw >= total weight. Integer weights, so the
+    // selector is exact in both engines — no interpolation ambiguity.
+    "q149_weighted_median" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          (col("n_chars") % 7 + 1).as("wt"))
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+      val wp = Window.partitionBy("lang")
+      base
+        .withColumn("cumw", sum(col("wt")).over(w))
+        .withColumn("totw", sum(col("wt")).over(wp))
+        .groupBy(col("lang"))
+        .agg(max(col("totw")).as("total_weight"),
+          min(when(col("cumw") * 2 >= col("totw"), col("n_chars")))
+            .as("weighted_median"))
+    }),
+
+    // Order-independent table checksum (anti-entropy/replica-consistency
+    // primitive): per-row md5-derived 32-bit value over a canonical
+    // pipe-joined rendering (doubles as exact integer cents — float
+    // formatting never crosses engines), summed with count. Commutative
+    // sum => partition- and order-independent; the whole check is one
+    // map-side-combining pass.
+    "q150_table_checksum" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(conv(substring(md5(concat_ws("|",
+            col("o_orderkey").cast("string"),
+            col("o_custkey").cast("string"),
+            col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").cast("string"),
+            to_date(col("o_orderdate")).cast("string"),
+            col("o_orderpriority"))), 1, 8), 16, 10).cast("long").as("v"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("checksum"))),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -577,6 +652,13 @@ object MiningQueries {
 
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
+
+  /** First 8 hex digits of column `h` as a BIGINT (DuckDB has no base-16
+    * string-to-int conversion; mirror of Spark's conv(substr(h,1,8),16,10)).
+    */
+  private val hex8: String = (1 to 8).map { i =>
+    s"(CAST(strpos('0123456789abcdef', substr(h, $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 8 - i).toLong})"
+  }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
 
@@ -730,6 +812,63 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q147_gap_islands" ->
+      """WITH obs AS (
+        |  SELECT DISTINCT (event_id % 500) AS news,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT news, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1),
+        |ex AS (
+        |  SELECT news, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        |  FROM b),
+        |miss AS (
+        |  SELECT e.news, e.day FROM ex e
+        |  LEFT JOIN obs o ON o.news = e.news AND o.day = e.day
+        |  WHERE o.news IS NULL),
+        |r AS (
+        |  SELECT news, day,
+        |    date_diff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY news ORDER BY day) AS g
+        |  FROM miss)
+        |SELECT news AS news_id, min(day) AS gap_start, max(day) AS gap_end,
+        |  count(*) AS gap_len
+        |FROM r GROUP BY news, g""".stripMargin,
+
+    "q148_new_user_curve" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT day, n_new,
+        |  sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM p""".stripMargin,
+
+    "q149_weighted_median" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, n_chars, (n_chars % 7 + 1) AS wt
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_chars, wt,
+        |    sum(wt) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cumw,
+        |    sum(wt) OVER (PARTITION BY lang) AS totw
+        |  FROM b)
+        |SELECT lang, max(totw) AS total_weight,
+        |  min(CASE WHEN cumw * 2 >= totw THEN n_chars END) AS weighted_median
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q150_table_checksum" ->
+      s"""WITH r AS (
+         |  SELECT md5(concat_ws('|',
+         |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+         |    o_orderstatus,
+         |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+         |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+         |    o_orderpriority)) AS h
+         |  FROM orders)
+         |SELECT count(*) AS n_rows, sum($hex8) AS checksum FROM r""".stripMargin,
 
     "q143_null_aware_antijoin" ->
       """WITH keys AS (
