@@ -571,6 +571,96 @@ object MiningQueries {
             col("o_orderpriority"))), 1, 8), 16, 10).cast("long").as("v"))
         .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("checksum"))),
 
+    // K-means, two Lloyd iterations in pure DataFrame ops (k=4 seeded from
+    // the first 4 vectors — deterministic, no RNG): assignment is a
+    // broadcast cross of points × k centroids with an ordered-fold L2
+    // (distances rounded before argmin per the float-ranking convention);
+    // the centroid update is the q111 long-form mean (posexplode + hash
+    // agg, map-side partials). Each iteration is one broadcast join + one
+    // |points|·dims aggregation — the scalable Lloyd shape (centroids
+    // always broadcast; points never shuffle).
+    "q151_kmeans" -> ((s, d) => {
+      val emb = graft.runtime.Stage.scopedPersist(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+      val c0 = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cl"),
+          expr("transform(embedding, a -> CAST(a AS DOUBLE))").as("c"))
+      def assign(cents: DataFrame): DataFrame = {
+        val d2 = expr(
+          """aggregate(zip_with(embedding, c,
+            |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+        emb.crossJoin(broadcast(cents))
+          .withColumn("d2", round(d2, 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cl").asc)))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cl"))
+      }
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cl"), posexplode(col("embedding")).as(Seq("dim", "a")))
+          .groupBy(col("cl"), col("dim"))
+          .agg(avg(col("a").cast("double")).as("v"))
+          .groupBy(col("cl"))
+          .agg(expr("transform(sort_array(collect_list(struct(dim, v))), x -> x.v)")
+            .as("c"))
+      val a2 = assign(recompute(assign(c0)))
+      val sizes = a2.groupBy(col("cl")).agg(count(lit(1)).as("n_points"))
+      recompute(a2)
+        .select(col("cl"), posexplode(col("c")).as(Seq("dim", "v")))
+        .join(broadcast(sizes), "cl")
+        .select(col("cl").as("cluster"), col("n_points"), col("dim"),
+          round(col("v"), 6).as("centroid"))
+    }),
+
+    // Deterministic negative sampling (training-pair generation): per
+    // user, the 3 lowest-md5 news NOT clicked — reproducible across
+    // engines/runs and stable under catalog growth. The candidate space
+    // is user × catalog with the clicked set anti-joined out; at 100 TB
+    // the md5 ordering doubles as a pre-filter (only hash-prefix buckets
+    // need generating), so the cross never fully materializes.
+    "q152_negative_sampling" -> ((s, d) => {
+      val clicked = graft.runtime.Stage.scopedPersist(
+        Tables.clicks(s, d).select(col("userId"), col("newsId")).distinct())
+      val users = clicked.select(col("userId")).distinct()
+      val news = clicked.select(col("newsId")).distinct()
+      users.crossJoin(broadcast(news))
+        .join(clicked, Seq("userId", "newsId"), "left_anti")
+        .withColumn("hk", md5(concat_ws(":",
+          col("userId").cast("string"), col("newsId").cast("string"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("userId").orderBy(col("hk").asc, col("newsId").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("userId").as("user_id"), col("newsId").as("neg_news"),
+          col("rk"))
+    }),
+
+    // Feature hashing (the hashing trick): words fold into 64 buckets via
+    // an md5-derived hash — no vocabulary table, no fit step, the
+    // stateless featurizer for streaming/100 TB text. Row-local hash +
+    // one (doc, bucket) aggregation.
+    "q153_feature_hashing" -> ((s, d) =>
+      Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(graft.text.Tokenizer.tokens(col("text"))).as("word"))
+        .withColumn("bucket",
+          (conv(substring(md5(col("word")), 1, 3), 16, 10) % 64).cast("int"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Leave-one-out target encoding (the ML-prep categorical encoder that
+    // avoids self-leakage): per-category sum/count in one agg, then the
+    // row-local (S - y_i)/(n - 1). One tiny broadcast back onto the fact
+    // rows — never a window over the category.
+    "q154_target_encoding" -> ((s, d) => {
+      val stats = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("s"), count(lit(1)).as("n"))
+      Tables.orders(s, d).join(broadcast(stats), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round((col("s") - col("o_totalprice")) / (col("n") - 1), 4).as("loo_mean"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -658,6 +748,11 @@ object MiningQueries {
     */
   private val hex8: String = (1 to 8).map { i =>
     s"(CAST(strpos('0123456789abcdef', substr(h, $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 8 - i).toLong})"
+  }.mkString(" + ")
+
+  /** First 3 hex digits of column `h` as a BIGINT (q153's word-hash). */
+  private val hex3: String = (1 to 3).map { i =>
+    s"(CAST(strpos('0123456789abcdef', substr(h, $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 3 - i).toLong})"
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
@@ -812,6 +907,78 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q151_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cl, x AS c FROM e WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, x, cl,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (x[i] - c[i]) * (x[i] - c[i]))), 6) AS d2
+        |  FROM e, c0),
+        |b1 AS (
+        |  SELECT vec_id, x, cl FROM (
+        |    SELECT vec_id, x, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        |    FROM a1) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cl, i AS dim, avg(x[i + 1]) AS v
+        |  FROM b1, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT cl, list(v ORDER BY dim) AS c FROM m1 GROUP BY 1),
+        |a2 AS (
+        |  SELECT vec_id, x, cl,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (x[i] - c[i]) * (x[i] - c[i]))), 6) AS d2
+        |  FROM e, c1),
+        |b2 AS (
+        |  SELECT vec_id, x, cl FROM (
+        |    SELECT vec_id, x, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        |    FROM a2) WHERE rn = 1),
+        |sz AS (SELECT cl, count(*) AS n_points FROM b2 GROUP BY 1),
+        |m2 AS (
+        |  SELECT cl, i AS dim, avg(x[i + 1]) AS v
+        |  FROM b2, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY 1, 2)
+        |SELECT m2.cl AS cluster, sz.n_points, CAST(m2.dim AS INT) AS dim,
+        |  round(m2.v, 6) AS centroid
+        |FROM m2 JOIN sz ON sz.cl = m2.cl""".stripMargin,
+
+    "q152_negative_sampling" ->
+      """WITH clicked AS (
+        |  SELECT DISTINCT user_id AS u, (event_id % 500) AS n
+        |  FROM events WHERE event_type = 'click'),
+        |users AS (SELECT DISTINCT u FROM clicked),
+        |news AS (SELECT DISTINCT n FROM clicked),
+        |cand AS (
+        |  SELECT users.u, news.n FROM users, news
+        |  WHERE NOT EXISTS (SELECT 1 FROM clicked c
+        |                    WHERE c.u = users.u AND c.n = news.n)),
+        |r AS (
+        |  SELECT u, n,
+        |    row_number() OVER (PARTITION BY u ORDER BY
+        |      md5(CAST(u AS VARCHAR) || ':' || CAST(n AS VARCHAR)), n) AS rk
+        |  FROM cand)
+        |SELECT u AS user_id, n AS neg_news, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    "q153_feature_hashing" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($toks) AS word FROM documents),
+         |h AS (
+         |  SELECT doc_id, md5(word) AS h FROM w)
+         |SELECT doc_id, CAST(($hex3) % 64 AS INT) AS bucket, count(*) AS n
+         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "q154_target_encoding" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority, sum(o_totalprice) AS s, count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o.o_orderpriority,
+        |  round((s.s - o.o_totalprice) / (s.n - 1), 4) AS loo_mean
+        |FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority""".stripMargin,
 
     "q147_gap_islands" ->
       """WITH obs AS (
