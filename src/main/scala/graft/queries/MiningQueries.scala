@@ -661,6 +661,41 @@ object MiningQueries {
           round((col("s") - col("o_totalprice")) / (col("n") - 1), 4).as("loo_mean"))
     }),
 
+    // transformWithState with MapState (the third TWS state type): one
+    // store entry per (user, event_type) — see StreamingTws.
+    // TypeCountProcessor. Oracle = batch per-type counts.
+    "q155_tws_mapstate" -> ((s, d) =>
+      graft.streaming.StreamingTws.userTypeCounts(s, d)),
+
+    // Interval RANGE window frame: per-user trailing 2-hour value sum at
+    // each event — a RANGE frame over event-time seconds (peers included
+    // by value, not by row count), the telemetry rolling metric. One
+    // shuffle on the series key; frame state is bounded by the interval.
+    "q156_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsec")).rangeBetween(-7200, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) DIV 1000000").as("tsec"), col("value"))
+        .withColumn("sum_2h", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("sum_2h"))
+    }),
+
+    // Native runtime bloom-filter injection (Spark's InjectRuntimeFilter —
+    // the automatic form of q77's manual bloom): with broadcast disabled,
+    // the selective build side plants a BloomFilterMightContain on the
+    // probe scan at optimization time (MiningSpec pins the plan). At
+    // 100 TB this is THE mechanism that keeps shuffle joins against
+    // filtered dims from shuffling the full fact table.
+    // Spark plans lazily, so the result is materialized EAGERLY (a tiny
+    // localCheckpoint of the 3-row aggregate) inside the conf scope —
+    // otherwise the restore would win the race and the filter would never
+    // be injected.
+    "q157_runtime_filter" -> ((s, d) =>
+      withRuntimeFilterConfs(s) {
+        runtimeFilterJoin(s, d).localCheckpoint()
+      }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -739,6 +774,41 @@ object MiningQueries {
        |  WHERE r.hops < 3)
        |SELECT news, CAST(min(hops) AS INT) AS min_hops, count(*) AS n_walks
        |FROM r GROUP BY news""".stripMargin
+
+  /** q157's join, exposed so MiningSpec can pin the optimized plan inside
+    * the conf scope.
+    */
+  def runtimeFilterJoin(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 400000)
+      .select(col("o_orderkey"))
+    Tables.lineitem(s, d)
+      .join(hi, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** Scopes the runtime-bloom-filter confs (broadcast disabled so the join
+    * shuffles; the application-side scan threshold — 10GB by default, the
+    * natural trigger at 100 TB — lowered so injection happens at test
+    * scale).
+    */
+  def withRuntimeFilterConfs[T](s: SparkSession)(f: => T): T = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
 
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
@@ -907,6 +977,28 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q155_tws_mapstate" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q156_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    date_diff('s', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)) AS tsec,
+        |    value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tsec
+        |    RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW), 2) AS sum_2h
+        |FROM e""".stripMargin,
+
+    "q157_runtime_filter" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+        |GROUP BY 1""".stripMargin,
 
     "q151_kmeans" ->
       """WITH e AS (

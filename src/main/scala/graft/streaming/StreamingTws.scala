@@ -59,17 +59,84 @@ object StreamingTws {
     }
   }
 
+  case class TypedEv(userId: Long, eventType: String)
+  case class TypeCount(user_id: Long, event_type: String, n_events: Long)
+
+  /** MapState variant (the third TWS state type next to Value/List): one
+    * store-side map entry per (user, event_type) — a micro-batch updates
+    * only the types it saw, and emission walks the map without
+    * deserializing anything else. Counts are monotone, so the
+    * update-mode memory sink reduces with max().
+    */
+  class TypeCountProcessor extends StatefulProcessor[Long, TypedEv, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+                                 timerValues: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.eventType)) counts.getValue(e.eventType) else 0L
+        counts.updateValue(e.eventType, cur + 1L)
+      }
+      counts.iterator().map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  /** Replays the events stream through [[TypeCountProcessor]] and returns
+    * the final per-(user, event_type) counts.
+    */
+  def userTypeCounts(spark: SparkSession, dir: String): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    import spark.implicits._
+    withRocksDb(spark) {
+      val sink = s"tws_typecounts_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+      val evs = spark.readStream
+        .schema(StreamingHotTopics.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id").as("userId"), col("event_type").as("eventType"))
+        .as[TypedEv]
+      implicit val outEnc: Encoder[TypeCount] = Encoders.product[TypeCount]
+      val out = evs.groupByKey(_.userId)
+        .transformWithState(new TypeCountProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(sink)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n_events")).as("n_events"))
+    }
+  }
+
+  /** Scopes the RocksDB state-store provider (required by
+    * transformWithState) to `f`, restoring the prior provider after.
+    */
+  private def withRocksDb[T](spark: SparkSession)(f: => T): T = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   /** Replays the (bounded) events stream through the processor and returns
     * the final per-user activity table.
     */
   def userActivity(spark: SparkSession, dir: String): DataFrame =
       StreamConf.withStatePartitions(spark) {
     import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb(spark) {
       val sink = s"tws_activity_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
       val stream = spark.readStream
         .schema(StreamingHotTopics.eventsSchema)
@@ -103,9 +170,6 @@ object StreamingTws {
         .select(col("user_id"), col("n_events"), col("n_active_days"),
           timestamp_micros(col("first_us")).as("first_ts"),
           timestamp_micros(col("last_us")).as("last_ts"))
-    } finally savedProvider match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None    => spark.conf.unset(providerKey)
     }
   }
 }

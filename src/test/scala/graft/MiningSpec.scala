@@ -252,6 +252,16 @@ class MiningSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0, 0, 3L), (1, 1, 1L), (2, 1, 1L), (3, 2, 2L)))
   }
 
+  test("q157 runtime filter: InjectRuntimeFilter plants a bloom on the probe side") {
+    val d = "/root/testdata/sf0.001"
+    import graft.queries.MiningQueries
+    val plan = MiningQueries.withRuntimeFilterConfs(spark) {
+      MiningQueries.runtimeFilterJoin(spark, d).queryExecution.optimizedPlan.toString
+    }
+    assert(plan.contains("might_contain") || plan.contains("bloom"),
+      s"expected a bloom runtime filter in the optimized plan:\n$plan")
+  }
+
   test("q124 rolling z-score: hand series, trailing frame excludes today") {
     val daily = Seq(
       ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
