@@ -696,6 +696,65 @@ object MiningQueries {
         runtimeFilterJoin(s, d).localCheckpoint()
       }),
 
+    // VARIANT (Spark 4's semi-structured type): props parsed once into a
+    // variant and field-extracted with variant_get, cross-checked against
+    // the schema-ful from_json path — the two JSON lanes an ingest layer
+    // offers (schemaless variant for evolving payloads, typed struct for
+    // pinned ones). Both are row-local; the mismatch counter proves they
+    // agree.
+    "q158_variant_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("kv"),
+          expr("from_json(props, 'k INT').k").as("ks"),
+          col("value"))
+        .groupBy((col("kv") % 5).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kv") === col("ks"), 0L).otherwise(1L)).as("n_mismatch"),
+          round(sum(col("value")), 2).as("sum_value"))),
+
+    // Collation-aware grouping (Spark 4 collations): UTF8_LCASE folds the
+    // case variants of a key into one group without rewriting the data —
+    // the engine-level answer to locale/case-insensitive dimensions. The
+    // representative shown is the binary min (deterministic); the
+    // lowercase rendering is the group key.
+    "q159_collation" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(when(col("doc_id") % 2 === 0, upper(col("lang")))
+          .otherwise(col("lang")).as("l"))
+        .groupBy(expr("collate(l, 'UTF8_LCASE')").as("lc"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(expr("collate(l, 'UTF8_BINARY')")).as("first_form"),
+          countDistinct(expr("collate(l, 'UTF8_BINARY')")).as("n_forms"))
+        .select(lower(col("lc")).cast("string").as("lang_ci"),
+          col("n_docs"), col("first_form"), col("n_forms"))),
+
+    // Data masking (PII-shaped redaction): the built-in mask() (upper→X,
+    // lower→x, digit→n) plus a sha2-256 pseudonymization key — the
+    // row-local privacy pass every shared dataset export runs.
+    "q160_masking" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("mask(c_name)").as("masked_name"),
+          sha2(col("c_custkey").cast("string"), 256).as("key_hash"))),
+
+    // Error-safe expression surface (try_cast / try_divide): ANSI mode
+    // makes bad casts and div-by-zero runtime ERRORS; the try_ family
+    // yields NULLs instead — the difference between a 100 TB job dying at
+    // 99% and a quarantine column. Poisoned rows are synthesized
+    // deterministically.
+    "q161_try_functions" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          expr("try_cast(CASE WHEN value < 5 THEN 'bad' " +
+            "ELSE CAST(user_id AS STRING) END AS BIGINT)").as("tc"),
+          expr("try_divide(value, user_id % 3)").as("td"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("tc").isNull.cast("long")).as("n_bad_cast"),
+          sum(col("tc")).as("sum_good_cast"),
+          sum(col("td").isNull.cast("long")).as("n_null_div"),
+          round(sum(col("td")), 2).as("sum_div"))),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -977,6 +1036,44 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q158_variant_json" ->
+      """WITH x AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, value
+        |  FROM events)
+        |SELECT k % 5 AS k_bucket, count(*) AS n,
+        |  CAST(0 AS BIGINT) AS n_mismatch,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "q159_collation" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS l
+        |  FROM documents)
+        |SELECT lower(l) AS lang_ci, count(*) AS n_docs,
+        |  min(l) AS first_form, count(DISTINCT l) AS n_forms
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q160_masking" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS masked_name,
+        |  sha256(CAST(c_custkey AS VARCHAR)) AS key_hash
+        |FROM customer""".stripMargin,
+
+    "q161_try_functions" ->
+      """WITH x AS (
+        |  SELECT TRY_CAST(CASE WHEN value < 5 THEN 'bad'
+        |           ELSE CAST(user_id AS VARCHAR) END AS BIGINT) AS tc,
+        |    value / nullif(user_id % 3, 0) AS td
+        |  FROM events)
+        |SELECT count(*) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE tc IS NULL) AS BIGINT) AS n_bad_cast,
+        |  sum(tc) AS sum_good_cast,
+        |  CAST(count(*) FILTER (WHERE td IS NULL) AS BIGINT) AS n_null_div,
+        |  round(sum(td), 2) AS sum_div
+        |FROM x""".stripMargin,
 
     "q155_tws_mapstate" ->
       """SELECT user_id, event_type, count(*) AS n_events
