@@ -755,6 +755,106 @@ object MiningQueries {
           sum(col("td").isNull.cast("long")).as("n_null_div"),
           round(sum(col("td")), 2).as("sum_div"))),
 
+    // Geo bucketed spatial join: 1°-cell bucketing (the geohash pattern)
+    // turns "all pairs within 40 km" into an equi-join — each point
+    // explodes to its 3×3 cell neighborhood on one side and sits in its
+    // home cell on the other, so every near pair meets in exactly one
+    // cell; the haversine residual then filters exactly. The quadratic
+    // term is bounded by points-per-cell, never the table. Coordinates
+    // are synthesized deterministically from keys (same arithmetic in the
+    // oracle).
+    "q162_geo_bucket_join" -> ((s, d) => {
+      val pts = graft.runtime.Stage.scopedPersist(
+        Tables.customer(s, d).select(col("c_custkey").as("id"),
+          (((col("c_custkey") * 37) % 300) / 10.0 - 15.0).as("lat"),
+          (((col("c_custkey") * 73) % 600) / 10.0).as("lon")))
+      val aCells = pts.select(col("id").as("ida"), col("lat").as("lata"),
+          col("lon").as("lona"),
+          explode(expr(
+            """flatten(transform(sequence(-1, 1), i ->
+              |  transform(sequence(-1, 1), j ->
+              |    struct(CAST(floor(lat) AS INT) + i AS cx,
+              |           CAST(floor(lon) AS INT) + j AS cy))))""".stripMargin))
+            .as("cell"))
+        .select(col("ida"), col("lata"), col("lona"),
+          col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+      val bHome = pts.select(col("id").as("idb"), col("lat").as("latb"),
+        col("lon").as("lonb"),
+        floor(col("lat")).cast("int").as("cx"),
+        floor(col("lon")).cast("int").as("cy"))
+      val dist = lit(12742.0) * asin(sqrt(
+        pow(sin(radians(col("latb") - col("lata")) / 2), 2) +
+          cos(radians(col("lata"))) * cos(radians(col("latb"))) *
+            pow(sin(radians(col("lonb") - col("lona")) / 2), 2)))
+      aCells.join(bHome, Seq("cx", "cy"))
+        .filter(col("ida") < col("idb"))
+        .withColumn("dist_km", round(dist, 3))
+        .filter(col("dist_km") <= 40.0)
+        .select(col("ida"), col("idb"), col("dist_km"))
+    }),
+
+    // Week-over-week lift: weekly revenue series + lag — the
+    // period-over-period report. The window is over the already-reduced
+    // |weeks| table (tiny by construction), so the unpartitioned frame is
+    // safe at any input scale.
+    "q163_wow_lift" -> ((s, d) => {
+      val weekly = Tables.orders(s, d)
+        .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy("week")
+      weekly.select(col("week"),
+          round(col("rev"), 2).as("revenue"),
+          round(col("rev") / lag(col("rev"), 1).over(w) - 1, 6).as("wow_lift"))
+        .filter(col("wow_lift").isNotNull)
+    }),
+
+    // Chi-square independence statistic over the (lang, source)
+    // contingency table (q112's MI companion): expected counts from the
+    // margin product, zero cells included via the margin cross join —
+    // everything after the two tiny margin aggs is broadcast-sized.
+    "q164_chi_square" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val ml = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val ms = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val n = docs.count().toDouble
+      ml.crossJoin(ms)
+        .join(cells, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"),
+          coalesce(col("o"), lit(0L)).cast("double").as("o"),
+          (col("n_l") * col("n_s") / n).as("e"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"))
+    }),
+
+    // Time-to-convert percentiles: view→first-click-within-1h gaps
+    // (q102's interval join, first() per view), then EXACT nearest-rank
+    // p50/p90 via the two-pass bin machinery (CurationQueries.exactRanks)
+    // — no global sort, only the tiny bin table crosses the driver.
+    "q165_time_to_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val gaps = graft.runtime.Stage.scopedPersist(
+        v.join(c, col("user_id") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("view_id"))
+          .agg(((unix_micros(min(col("c_ts"))) - unix_micros(min(col("v_ts"))))
+            / lit(1000000L)).as("p"))
+          .select(col("view_id"), col("p").cast("double").as("p")))
+      val nGaps = gaps.count()
+      val ranks = CurationQueries.exactRanks(gaps,
+        Seq(math.ceil(0.5 * nGaps).toLong, math.ceil(0.9 * nGaps).toLong))
+      val p50 = ranks(math.ceil(0.5 * nGaps).toLong)
+      val p90 = ranks(math.ceil(0.9 * nGaps).toLong)
+      import s.implicits._
+      Seq((nGaps, p50, p90)).toDF("n_converted_views", "p50_s", "p90_s")
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1036,6 +1136,75 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q162_geo_bucket_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    ((c_custkey * 37) % 300) / 10.0 - 15.0 AS lat,
+        |    ((c_custkey * 73) % 600) / 10.0 AS lon
+        |  FROM customer),
+        |cand AS (
+        |  SELECT a.id AS ida, a.lat AS lata, a.lon AS lona,
+        |    b.id AS idb, b.lat AS latb, b.lon AS lonb
+        |  FROM pts a JOIN pts b ON a.id < b.id
+        |    AND abs(floor(a.lat) - floor(b.lat)) <= 1
+        |    AND abs(floor(a.lon) - floor(b.lon)) <= 1),
+        |dd AS (
+        |  SELECT ida, idb,
+        |    round(12742.0 * asin(sqrt(
+        |      pow(sin(radians(latb - lata) / 2), 2) +
+        |      cos(radians(lata)) * cos(radians(latb)) *
+        |        pow(sin(radians(lonb - lona) / 2), 2))), 3) AS dist_km
+        |  FROM cand)
+        |SELECT ida, idb, dist_km FROM dd WHERE dist_km <= 40.0""".stripMargin,
+
+    "q163_wow_lift" ->
+      """WITH w AS (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |x AS (
+        |  SELECT week, round(rev, 2) AS revenue,
+        |    round(rev / lag(rev) OVER (ORDER BY week) - 1, 6) AS wow_lift
+        |  FROM w)
+        |SELECT week, revenue, wow_lift FROM x WHERE wow_lift IS NOT NULL""".stripMargin,
+
+    "q164_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |ml AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |ms AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |x AS (
+        |  SELECT CAST(coalesce(c.o, 0) AS DOUBLE) AS o,
+        |    ml.n_l * ms.n_s / nn.n AS e
+        |  FROM ml CROSS JOIN ms CROSS JOIN nn
+        |  LEFT JOIN cells c ON c.lang = ml.lang AND c.source = ms.source)
+        |SELECT count(*) AS n_cells,
+        |  round(sum(pow(o - e, 2) / e), 6) AS chi2
+        |FROM x""".stripMargin,
+
+    "q165_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS v_ts FROM ev
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS c_ts FROM ev WHERE event_type = 'click'),
+        |g AS (
+        |  SELECT v.view_id,
+        |    date_diff('us', v.v_ts, min(c.c_ts)) / 1000000.0 AS p
+        |  FROM v JOIN c ON c.user_id = v.user_id AND c.c_ts >= v.v_ts
+        |    AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR
+        |  GROUP BY v.view_id, v.v_ts),
+        |r AS (
+        |  SELECT p, row_number() OVER (ORDER BY p) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM g)
+        |SELECT max(n) AS n_converted_views,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN p END) AS p50_s,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN p END) AS p90_s
+        |FROM r""".stripMargin,
 
     "q158_variant_json" ->
       """WITH x AS (
