@@ -855,6 +855,97 @@ object MiningQueries {
       Seq((nGaps, p50, p90)).toDF("n_converted_views", "p50_s", "p90_s")
     }),
 
+    // RFM segmentation (recency / frequency / monetary deciles): three
+    // per-customer aggregates, each quintile-coded with ntile over a
+    // unique-keyed ordering (deterministic across engines), then segment
+    // cell counts. The ntile windows are global but run over the
+    // already-reduced |customers-with-orders| table; at 100 TB the
+    // boundaries come from the q97/q104 two-pass rank machinery instead.
+    "q166_rfm" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("freq"),
+          // rounded BEFORE ranking (standing float-ranking convention)
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+      val r = ntile(5).over(Window.orderBy(col("last_order").desc, col("o_custkey").asc))
+      val f = ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey").asc))
+      val m = ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey").asc))
+      per.select(col("o_custkey"), r.as("r"), f.as("f"), m.as("m"))
+        .groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most recent
+    // click/view within 7 days — one keyed window (last_value IGNORE NULLS
+    // over the strictly-preceding frame) on the merged event stream, no
+    // self-join. The standard marketing-attribution fold; first-touch is
+    // the mirrored frame.
+    "q167_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("click", "view"),
+        struct(col("ts"), col("event_id"), col("event_type")))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("lt").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("lt.ts")) > 7L * 86400 * 1000000,
+            lit("none")).otherwise(col("lt.event_type")).as("attributed_to"))
+        .groupBy(col("attributed_to"))
+        .agg(count(lit(1)).as("n_purchases"))
+    }),
+
+    // Quarantine split (dead-letter pattern): one pass over a poisoned
+    // parse routes valid rows and rejects to separate parquet sinks; the
+    // result re-reads both and reports per-sink counts — exactly the
+    // "never kill the job, never drop silently" ingest contract. The scan
+    // is persisted so the two filtered writes share it.
+    "q168_quarantine_split" -> ((s, d) => {
+      val parsed = graft.runtime.Stage.scopedPersist(
+        Tables.events(s, d).select(col("event_id"), col("value"),
+          expr("try_cast(CASE WHEN value < 2 THEN 'poison' " +
+            "ELSE CAST(event_id AS STRING) END AS BIGINT)").as("parsed_id")))
+      val base = s"/tmp/graft_quarantine_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      parsed.filter(col("parsed_id").isNotNull)
+        .write.mode("overwrite").parquet(s"$base/valid")
+      parsed.filter(col("parsed_id").isNull)
+        .write.mode("overwrite").parquet(s"$base/quarantine")
+      val valid = s.read.parquet(s"$base/valid")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(lit("valid").as("sink"), col("n"), col("sum_value"))
+      val quar = s.read.parquet(s"$base/quarantine")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(lit("quarantine").as("sink"), col("n"), col("sum_value"))
+      valid.union(quar)
+    }),
+
+    // Max session concurrency (sweep line): session boundaries become
+    // +1/-1 deltas, the running sum's peak is the answer. Starts sort
+    // before ends at equal timestamps (overlap-counting convention, pinned
+    // by the delta desc tie-break). The sweep window runs over session
+    // BOUNDARIES (two rows per session, already reduced); at 100 TB the
+    // sweep partitions by day with carried-in open counts.
+    "q169_max_concurrency" -> ((s, d) => {
+      val sess = graft.ops.Sessionize.sessionize(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      val deltas = sess.select(col("start_ts").as("t"), lit(1).as("delta"),
+          col("user_id"), col("session_id"))
+        .union(sess.select(col("end_ts").as("t"), lit(-1).as("delta"),
+          col("user_id"), col("session_id")))
+      val w = Window.orderBy(col("t").asc, col("delta").desc,
+        col("user_id").asc, col("session_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.select(sum(col("delta")).over(w).as("open"))
+        .agg(count(lit(1)).cast("long").as("n_boundaries"),
+          max(col("open")).cast("long").as("max_concurrent"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1136,6 +1227,81 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q166_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    count(*) AS freq, round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1),
+        |x AS (
+        |  SELECT o_custkey,
+        |    ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        |  FROM per)
+        |SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+        |  count(*) AS n_customers
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
+
+    "q167_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN struct_pack(ts := ts, event_id := event_id,
+        |        et := event_type) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM ev)
+        |SELECT CASE WHEN lt IS NULL
+        |    OR date_diff('us', lt.ts, ts) > 604800000000 THEN 'none'
+        |    ELSE lt.et END AS attributed_to,
+        |  count(*) AS n_purchases
+        |FROM x WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "q168_quarantine_split" ->
+      """WITH x AS (
+        |  SELECT event_id, value,
+        |    TRY_CAST(CASE WHEN value < 2 THEN 'poison'
+        |      ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS p
+        |  FROM events)
+        |SELECT 'valid' AS sink, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x WHERE p IS NOT NULL
+        |UNION ALL
+        |SELECT 'quarantine', count(*), round(sum(value), 2)
+        |FROM x WHERE p IS NULL""".stripMargin,
+
+    "q169_max_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('us', lag(ts) OVER w, ts) >= 1800000000 THEN 1
+        |      ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s1),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+        |  FROM s2 GROUP BY 1, 2),
+        |d AS (
+        |  SELECT t0 AS t, 1 AS delta, user_id, session_id FROM sess
+        |  UNION ALL
+        |  SELECT t1, -1, user_id, session_id FROM sess),
+        |o AS (
+        |  SELECT sum(delta) OVER (ORDER BY t, delta DESC, user_id, session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_boundaries,
+        |  CAST(max(open) AS BIGINT) AS max_concurrent
+        |FROM o""".stripMargin,
 
     "q162_geo_bucket_join" ->
       """WITH pts AS (
