@@ -946,6 +946,72 @@ object MiningQueries {
           max(col("open")).cast("long").as("max_concurrent"))
     }),
 
+    // ORC round-trip (format matrix: parquet everywhere, CSV q114, text
+    // sink K1, JSONL q171): columnar-to-columnar fidelity including
+    // timestamps — written day-sorted so ORC's min/max stripe stats stay
+    // tight (the ORC-side analogue of the q107/q131 layout discipline).
+    "q170_orc_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_orc_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // JSON-lines round-trip with explicit schema (NO inference pass — at
+    // 100 TB schema inference is a full extra read): doubles survive via
+    // exact integer cents, timestamps as micros.
+    "q171_jsonl_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_jsonl_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .write.mode("overwrite").json(path)
+      s.read.schema("event_id LONG, ts_us LONG, user_id LONG, " +
+          "event_type STRING, value_cents LONG")
+        .json(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"),
+          min(col("ts_us")).as("min_ts_us"))
+    }),
+
+    // Catalog surface: CREATE TABLE ... USING parquet + INSERT INTO +
+    // catalog-name query — the metastore DDL lane next to the temp-view
+    // lane (q48/q128). The table is rebuilt idempotently per run.
+    "q172_catalog_table" -> ((s, d) => {
+      val tbl = s"graft_cat_orders_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl (
+               |  o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+               |USING parquet
+               |LOCATION '/tmp/graft_warehouse_$tbl'""".stripMargin)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite").insertInto(tbl)
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n,
+               |  round(sum(o_totalprice), 2) AS sum_price
+               |FROM $tbl GROUP BY 1""".stripMargin)
+    }),
+
+    // Parameterized SQL (named-parameter binding — the injection-safe API
+    // surface): threshold and priority arrive as parameters, not string
+    // splices.
+    "q173_parameterized_sql" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders_param")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  round(max(o_totalprice), 2) AS max_price
+          |FROM g_orders_param
+          |WHERE o_totalprice > :thr AND o_orderpriority <> :skip
+          |GROUP BY 1""".stripMargin,
+        Map("thr" -> Int.box(300000), "skip" -> "3-MEDIUM"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1227,6 +1293,30 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q170_orc_roundtrip" ->
+      """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q171_jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+        |  min(date_diff('us', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)))
+        |    AS min_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q172_catalog_table" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q173_parameterized_sql" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders
+        |WHERE o_totalprice > 300000 AND o_orderpriority <> '3-MEDIUM'
+        |GROUP BY 1""".stripMargin,
 
     "q166_rfm" ->
       """WITH per AS (
