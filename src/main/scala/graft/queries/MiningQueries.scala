@@ -1012,6 +1012,84 @@ object MiningQueries {
         Map("thr" -> Int.box(300000), "skip" -> "3-MEDIUM"))
     }),
 
+    // Incremental aggregation (materialized-view maintenance): the
+    // snapshot partials (days < 16) merge with the delta partials
+    // (days >= 16) by RE-AGGREGATING the partial (count, sum) rows —
+    // never rescanning the snapshot. The oracle is the direct full
+    // aggregate, proving merge ≡ recompute; at 100 TB this is the
+    // difference between a daily full scan and reading yesterday's MV +
+    // one day of delta.
+    "q174_incremental_agg" -> ((s, d) => {
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      val ev = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+      val snapshot = partial(ev.filter(col("day") < "2024-01-16"))
+      val delta = partial(ev.filter(col("day") >= "2024-01-16"))
+      snapshot.union(delta)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("n")).as("n_events"),
+          round(sum(col("sv")), 2).as("sum_value"))
+    }),
+
+    // CDC log compaction: latest record per key (the Kafka-compaction /
+    // upsert-table primitive) — one keyed window, ties broken by
+    // event_id so both engines keep the identical record.
+    "q175_cdc_compaction" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("latest_event"),
+          col("event_type").as("latest_type"), col("ts").as("latest_ts"))),
+
+    // Welch's t-test between two behavioral segments (the A/B-testing
+    // primitive): per-segment moments in one conditional-agg pass, then
+    // the closed-form t statistic and Welch–Satterthwaite df — all
+    // row-local after two tiny aggregates.
+    "q176_welch_ttest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("value"),
+          when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")).as("grp"))
+      val m = ev.groupBy(col("grp"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("value")).as("mu"),
+          var_samp(col("value")).as("v"))
+      val a = m.filter(col("grp") === "A")
+        .select(col("n").as("na"), col("mu").as("mua"), col("v").as("va"))
+      val b = m.filter(col("grp") === "B")
+        .select(col("n").as("nb"), col("mu").as("mub"), col("v").as("vb"))
+      a.crossJoin(b).select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("mua") - col("mub"), 6).as("mean_diff"),
+        round((col("mua") - col("mub"))
+          / sqrt(col("va") / col("na") + col("vb") / col("nb")), 6).as("t_stat"),
+        round(pow(col("va") / col("na") + col("vb") / col("nb"), 2)
+          / (pow(col("va") / col("na"), 2) / (col("na") - 1)
+            + pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 3).as("welch_df"))
+    }),
+
+    // Benford's-law screen: leading-digit distribution of order totals vs
+    // the log10(1+1/d) expectation, one chi-square-style deviation number
+    // — the classic fabricated-numbers detector, one hash agg + 9
+    // broadcast-sized rows.
+    "q177_benford" -> ((s, d) => {
+      val digit = substring(col("o_totalprice").cast("string"), 1, 1).cast("int")
+      val n = Tables.orders(s, d).count().toDouble
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .groupBy(digit.as("d"))
+        .agg(count(lit(1)).as("observed"))
+        .select(col("d"), col("observed"),
+          round(lit(n) * log(10.0, lit(1.0) + lit(1.0) / col("d")), 3)
+            .as("expected"),
+          round((col("observed") - lit(n) * log(10.0, lit(1.0) + lit(1.0) / col("d")))
+            / sqrt(lit(n) * log(10.0, lit(1.0) + lit(1.0) / col("d"))), 6)
+            .as("z"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1293,6 +1371,49 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q174_incremental_agg" ->
+      """SELECT event_type, user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q175_cdc_compaction" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS latest_event, event_type AS latest_type,
+        |  ts AS latest_ts
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q176_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+        |    CAST(count(*) AS DOUBLE) AS n, avg(value) AS mu,
+        |    var_samp(value) AS v
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT n AS na, mu AS mua, v AS va FROM m WHERE grp = 'A'),
+        |b AS (SELECT n AS nb, mu AS mub, v AS vb FROM m WHERE grp = 'B')
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(mua - mub, 6) AS mean_diff,
+        |  round((mua - mub) / sqrt(va / na + vb / nb), 6) AS t_stat,
+        |  round(pow(va / na + vb / nb, 2)
+        |    / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 3)
+        |    AS welch_df
+        |FROM a, b""".stripMargin,
+
+    "q177_benford" ->
+      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+        |x AS (
+        |  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS d,
+        |    count(*) AS observed
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1)
+        |SELECT d, observed,
+        |  round(nn.n * log10(1.0 + 1.0 / d), 3) AS expected,
+        |  round((observed - nn.n * log10(1.0 + 1.0 / d))
+        |    / sqrt(nn.n * log10(1.0 + 1.0 / d)), 6) AS z
+        |FROM x, nn""".stripMargin,
 
     "q170_orc_roundtrip" ->
       """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
