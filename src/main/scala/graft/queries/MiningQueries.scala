@@ -1090,6 +1090,53 @@ object MiningQueries {
             .as("z"))
     }),
 
+    // Scala UDF surface (the LAST-resort extension lane — native Columns
+    // and Catalyst Expressions beat it everywhere it matters; registered
+    // here to pin that the lane WORKS): a vowel-ratio UDF used from both
+    // the DataFrame API and SQL, oracled against the same closed form.
+    "q178_udf_surface" -> ((s, d) => {
+      val vowelRatio = udf((t: String) => {
+        val letters = t.count(_.isLetter)
+        if (letters == 0) 0.0
+        else t.count(c => "aeiou".contains(c)).toDouble / letters
+      })
+      s.udf.register("graft_vowel_ratio", vowelRatio)
+      Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          round(vowelRatio(col("text")), 6).as("vr_df"),
+          round(expr("graft_vowel_ratio(text)"), 6).as("vr_sql"))
+    }),
+
+    // Typed Aggregator registered as a SQL UDAF (functions.udaf; the
+    // TopKAggregator's scalar sibling): geometric mean with map-side
+    // partial merge (log-sum + count buffer), called from spark.sql with
+    // HAVING — oracle is the exp(avg(ln)) closed form.
+    "q179_udaf_geomean" -> ((s, d) => {
+      s.udf.register("graft_geomean",
+        udaf(graft.functions.GeoMeanAggregator,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      Tables.events(s, d).createOrReplaceTempView("g_events_udaf")
+      s.sql(
+        """SELECT event_type, count(*) AS n,
+          |  round(graft_geomean(value), 6) AS geomean_value
+          |FROM g_events_udaf
+          |WHERE value > 0
+          |GROUP BY event_type
+          |HAVING count(*) > 10""".stripMargin)
+    }),
+
+    // Join-hint API surface: the same star aggregation forced through a
+    // SortMergeJoin via .hint("merge") (MiningSpec pins the operator) —
+    // results identical to the planner's choice; the hint lane is how a
+    // 100 TB deployment pins a known-good strategy when stats mislead.
+    "q180_join_hints" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1371,6 +1418,31 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q178_udf_surface" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS letters,
+        |    length(regexp_replace(text, '[^aeiou]', '', 'g')) AS vowels
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN letters = 0 THEN 0.0
+        |    ELSE CAST(vowels AS DOUBLE) / letters END, 6) AS vr_df,
+        |  round(CASE WHEN letters = 0 THEN 0.0
+        |    ELSE CAST(vowels AS DOUBLE) / letters END, 6) AS vr_sql
+        |FROM x""".stripMargin,
+
+    "q179_udaf_geomean" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(exp(avg(ln(value))), 6) AS geomean_value
+        |FROM events WHERE value > 0
+        |GROUP BY event_type HAVING count(*) > 10""".stripMargin,
+
+    "q180_join_hints" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q174_incremental_agg" ->
       """SELECT event_type, user_id, count(*) AS n_events,

@@ -262,6 +262,14 @@ class MiningSpec extends AnyFunSuite {
       s"expected a bloom runtime filter in the optimized plan:\n$plan")
   }
 
+  test("q180 join hint: .hint(\"merge\") forces a SortMergeJoin") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.queries.MiningQueries.queries("q180_join_hints")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"expected SortMergeJoin under the merge hint:\n$plan")
+  }
+
   test("q124 rolling z-score: hand series, trailing frame excludes today") {
     val daily = Seq(
       ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
