@@ -1137,6 +1137,51 @@ object MiningQueries {
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"))),
 
+    // Join-key skew report (the pre-flight for salting/AQE decisions at
+    // 100 TB): heaviest keys with their share of total — one count agg,
+    // top-k heads, share against a broadcast one-row total.
+    "q181_skew_report" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("tot"))
+      counts.crossJoin(broadcast(total))
+        .select(col("l_orderkey"), col("cnt"),
+          round(col("cnt") / col("tot"), 6).as("share"))
+        .orderBy(col("cnt").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Cross-language vocabulary overlap (corpus-comparison Jaccard
+    // matrix): per-language distinct-word sets compared through one
+    // word-keyed self-join — the same prefix-join shape as q119, on
+    // linguistic rather than behavioral sets.
+    "q182_lang_vocab_overlap" -> ((s, d) => {
+      val vocab = graft.runtime.Stage.scopedPersist(
+        Ops.fanOut(Tables.documents(s, d))
+          .select(col("lang"), explode(graft.text.Tokenizer.tokens(col("text")))
+            .as("word"))
+          .distinct())
+      val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("sz"))
+      val inter = vocab.select(col("lang").as("lang_a"), col("word"))
+        .join(vocab.select(col("lang").as("lang_b"), col("word")), "word")
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("lang").as("lang_a"), col("sz").as("sa"))),
+          "lang_a")
+        .join(broadcast(sizes.select(col("lang").as("lang_b"), col("sz").as("sb"))),
+          "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("inter"),
+          round(col("inter") / (col("sa") + col("sb") - col("inter")), 6)
+            .as("jaccard"))
+    }),
+
+    // Append-mode windowed aggregation (finalized windows, exactly-once
+    // to batch consumers) — see streaming.StreamingAppendAgg for the
+    // watermark-finalization mechanics. Oracle = the batch daily counts.
+    "q183_stream_append_agg" -> ((s, d) =>
+      graft.streaming.StreamingAppendAgg.dailyFinalizedClickCounts(s, d)),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1418,6 +1463,34 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q181_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c)
+        |SELECT l_orderkey, cnt, round(cnt / t.tot, 6) AS share
+        |FROM c, t
+        |ORDER BY cnt DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q182_lang_vocab_overlap" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT lang, word
+         |  FROM (SELECT lang, unnest($toks) AS word FROM documents)),
+         |sz AS (SELECT lang, count(*) AS sz FROM v GROUP BY 1),
+         |i AS (
+         |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS inter
+         |  FROM v a JOIN v b ON a.word = b.word AND a.lang < b.lang
+         |  GROUP BY 1, 2)
+         |SELECT lang_a, lang_b, inter,
+         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM i JOIN sz sa ON sa.lang = i.lang_a
+         |  JOIN sz sb ON sb.lang = i.lang_b""".stripMargin,
+
+    "q183_stream_append_agg" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  count(*) AS n_clicks, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
 
     "q178_udf_surface" ->
       """WITH x AS (

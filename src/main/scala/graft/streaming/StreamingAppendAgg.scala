@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-mode windowed aggregation — the FINALIZED-window contract: a
+  * window row is emitted exactly once, only after the watermark passes its
+  * end (no retractions, no updates), which is what lets a downstream batch
+  * consumer treat the sink as immutable facts. Update/complete modes
+  * (StreamingHotTopics) trade that for lower latency; append is the
+  * exactly-once-to-batch handoff.
+  *
+  * Bounded-input subtlety, same as StreamingOuterJoin: watermarks advance
+  * only on data, so the last day's window would never finalize on a finite
+  * file. The runner unions one far-future SENTINEL click whose only job is
+  * to push the watermark past every real window; its own (far-future)
+  * window is dropped from the result.
+  */
+object StreamingAppendAgg {
+
+  private val SENTINEL_USER = -1L
+
+  /** Daily click counts, append-mode finalized. Returns (day, n_clicks,
+    * sum_value).
+    */
+  def dailyFinalizedClickCounts(spark: SparkSession, dir: String): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    val sentinelDir = s"/tmp/graft_appendagg_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val maxUs = graft.io.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val farNs = (maxUs + 36L * 3600L * 1000000L) * 1000L
+    spark.createDataFrame(Seq((-1L, farNs, SENTINEL_USER, "click", 0.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+
+    def src(path: String, glob: Option[String]): DataFrame = {
+      val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
+      glob.foreach(g => r.option("pathGlobFilter", g))
+      r.parquet(path).withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    }
+    val clicks = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+
+    val sink = s"stream_append_agg_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val q = clicks
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("value")).as("sv"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val maxRealDay = to_date(timestamp_micros(lit(maxUs)))
+    spark.table(sink)
+      .select(to_date(col("window.start")).as("day"), col("n_clicks"),
+        round(col("sv"), 2).as("sum_value"))
+      .filter(col("day") <= maxRealDay)
+  }
+}
