@@ -1182,6 +1182,100 @@ object MiningQueries {
     "q183_stream_append_agg" -> ((s, d) =>
       graft.streaming.StreamingAppendAgg.dailyFinalizedClickCounts(s, d)),
 
+    // Global clustering coefficient (3·triangles / wedges) over the
+    // co-click news graph — q110's triangle machinery plus one degree
+    // aggregate (wedges = Σ C(deg,2)); the transitivity statistic that
+    // separates community-structured graphs from random ones.
+    "q184_clustering_coeff" -> ((s, d) => {
+      val co = Tables.clicks(s, d)
+        .select(col("userId"), col("newsId")).distinct()
+      val edges = graft.runtime.Stage.scopedPersist(
+        co.select(col("userId"), col("newsId").as("a"))
+          .join(co.select(col("userId"), col("newsId").as("b")), "userId")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct())
+      val tri = graft.ext.Graph.triangleCount(edges)
+      val wedges = edges.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("w"))
+        .head().getLong(0)
+      import s.implicits._
+      Seq((tri, wedges,
+        BigDecimal(3.0 * tri / wedges).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+        .toDF("n_triangles", "n_wedges", "clustering_coeff")
+    }),
+
+    // Transition-entropy (behavior predictability): per source item, the
+    // Shannon entropy of its next-item distribution from the q135 Markov
+    // counts — low entropy = predictable next click. One extra keyed agg
+    // over the transition table.
+    "q185_transition_entropy" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 50).as("news"))
+        .withColumn("nxt", lead(col("news"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("news").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy("src").agg(sum(col("n")).as("tot"))
+      trans.join(tot, "src")
+        .select(col("src"), (col("n") / col("tot")).as("p"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_dsts"),
+          round(-sum(col("p") * log(col("p"))), 6).as("entropy"))
+    }),
+
+    // Degree assortativity (are hubs connected to hubs?): Pearson
+    // correlation of endpoint degrees over the edge list, both
+    // orientations — one degree join + the built-in corr moments.
+    "q186_degree_assortativity" -> ((s, d) => {
+      val co = Tables.clicks(s, d)
+        .select(col("userId"), col("newsId")).distinct()
+      val edges = co.select(col("userId"), col("newsId").as("a"))
+        .join(co.select(col("userId"), col("newsId").as("b")), "userId")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      sym
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .agg(count(lit(1)).as("n_directed_edges"),
+          round(corr(col("da").cast("double"), col("db").cast("double")), 6)
+            .as("assortativity"))
+    }),
+
+    // Sequential trigram paths: event-type 3-step patterns per user
+    // ordering (lead ×2 on one keyed window sort) — the n-step funnel
+    // without self-joins.
+    "q187_trigram_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+          col("t3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // OHLC time-bucketed aggregation (the finance candle): open/close via
+    // deterministic arg-min/arg-max on the (ts, event_id) order, high/low
+    // plain extremes — one hash agg, no window.
+    "q188_ohlc" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("min_by(value, struct(ts, event_id))"), 2).as("open"),
+          round(max(col("value")), 2).as("high"),
+          round(min(col("value")), 2).as("low"),
+          round(expr("max_by(value, struct(ts, event_id))"), 2).as("close"))),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1463,6 +1557,86 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q184_clustering_coeff" ->
+      """WITH co AS (
+        |  SELECT DISTINCT user_id AS u, (event_id % 500) AS n
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT DISTINCT a.n AS a, b.n AS b
+        |  FROM co a JOIN co b ON a.u = b.u AND a.n < b.n),
+        |tri AS (
+        |  SELECT count(*) AS t
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS w FROM deg)
+        |SELECT tri.t AS n_triangles, w.w AS n_wedges,
+        |  round(3.0 * tri.t / w.w, 6) AS clustering_coeff
+        |FROM tri, w""".stripMargin,
+
+    "q185_transition_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    (event_id % 50) AS news
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT news AS src,
+        |    lead(news) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM c),
+        |tc AS (
+        |  SELECT src, dst, count(*) AS n FROM t
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(sum(n) AS DOUBLE) AS tot FROM tc GROUP BY 1)
+        |SELECT tc.src, count(*) AS n_dsts,
+        |  round(-sum((tc.n / tot.tot) * ln(tc.n / tot.tot)), 6) AS entropy
+        |FROM tc JOIN tot ON tot.src = tc.src
+        |GROUP BY 1""".stripMargin,
+
+    "q186_degree_assortativity" ->
+      """WITH co AS (
+        |  SELECT DISTINCT user_id AS u, (event_id % 500) AS n
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT DISTINCT a.n AS a, b.n AS b
+        |  FROM co a JOIN co b ON a.u = b.u AND a.n < b.n),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)
+        |SELECT count(*) AS n_directed_edges,
+        |  round(corr(CAST(da.deg AS DOUBLE), CAST(db.deg AS DOUBLE)), 6)
+        |    AS assortativity
+        |FROM sym JOIN deg da ON da.v = sym.a JOIN deg db ON db.v = sym.b""".stripMargin,
+
+    "q187_trigram_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, count(*) AS n
+        |FROM x WHERE step3 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
+
+    "q188_ohlc" ->
+      """WITH r AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rf,
+        |    row_number() OVER (PARTITION BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rl
+        |  FROM events)
+        |SELECT day, count(*) AS n,
+        |  round(max(CASE WHEN rf = 1 THEN value END), 2) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  round(max(CASE WHEN rl = 1 THEN value END), 2) AS close
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q181_skew_report" ->
       """WITH c AS (
