@@ -1276,6 +1276,57 @@ object MiningQueries {
           round(min(col("value")), 2).as("low"),
           round(expr("max_by(value, struct(ts, event_id))"), 2).as("close"))),
 
+    // Malformed-CSV ingest (PERMISSIVE + corrupt-record column): poisoned
+    // lines land in _corrupt_record instead of killing the read or
+    // silently vanishing — the file-side sibling of the q168 quarantine
+    // split. Counts of clean vs corrupt rows are the contract.
+    "q189_csv_malformed" -> ((s, d) => {
+      val path = s"/tmp/graft_badcsv_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      // render: every 10th row gets a non-numeric id -> fails LONG parse
+      Tables.events(s, d)
+        .select(concat_ws(",",
+          when(col("event_id") % 10 === 0, lit("oops"))
+            .otherwise(col("event_id").cast("string")),
+          col("user_id"), col("event_type")).as("value"))
+        .write.mode("overwrite").text(path)
+      val parsed = s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+      // count(event_id) both reports parse successes AND forces the
+      // malformed column through the parser — with CSV column pruning a
+      // never-referenced column is never parsed, so its corruption would
+      // go undetected (the pruning trap this query pins)
+      parsed
+        .groupBy(col("_corrupt_record").isNotNull.as("is_corrupt"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"),
+          count(col("event_id")).as("n_parsed_ids"))
+    }),
+
+    // Codec round-trip (zstd parquet): the compression choice is a
+    // layout-level decision at 100 TB (scan-speed vs storage); fidelity is
+    // oracle-gated like every other format lane.
+    "q190_codec_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_zstd_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      Tables.orders(s, d)
+        .write.mode("overwrite").option("compression", "zstd").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // Bucket pruning: an equality filter on the bucketing key scans ONLY
+    // the matching bucket files (SelectedBucketsCount in the plan, pinned
+    // in MiningSpec) — the read-side payoff of the q84 layout beyond
+    // shuffle-free joins.
+    "q191_bucket_pruning" -> ((s, d) => {
+      val (orders, _) = graft.io.Bucketed.ordersLineitem(s, d)
+      orders.filter(col("o_orderkey").isin(42L, 4242L, 424242L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1557,6 +1608,24 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q189_csv_malformed" ->
+      """SELECT (event_id % 10 = 0) AS is_corrupt, count(*) AS n,
+        |  sum(user_id) AS sum_users,
+        |  CASE WHEN event_id % 10 = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE count(*) END AS n_parsed_ids
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q190_codec_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q191_bucket_pruning" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey IN (42, 4242, 424242)
+        |GROUP BY 1""".stripMargin,
 
     "q184_clustering_coeff" ->
       """WITH co AS (

@@ -270,6 +270,15 @@ class MiningSpec extends AnyFunSuite {
       s"expected SortMergeJoin under the merge hint:\n$plan")
   }
 
+  test("q191 bucket pruning: key-equality filter selects a bucket subset") {
+    val d = "/root/testdata/sf0.001"
+    val (orders, _) = graft.io.Bucketed.ordersLineitem(spark, d)
+    val plan = orders.filter(col("o_orderkey").isin(42L, 4242L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"expected bucket pruning (SelectedBucketsCount) in:\n$plan")
+  }
+
   test("q124 rolling z-score: hand series, trailing frame excludes today") {
     val daily = Seq(
       ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
