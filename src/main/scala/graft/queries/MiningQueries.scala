@@ -1320,12 +1320,19 @@ object MiningQueries {
     // the matching bucket files (SelectedBucketsCount in the plan, pinned
     // in MiningSpec) — the read-side payoff of the q84 layout beyond
     // shuffle-free joins.
-    "q191_bucket_pruning" -> ((s, d) => {
-      val (orders, _) = graft.io.Bucketed.ordersLineitem(s, d)
-      orders.filter(col("o_orderkey").isin(42L, 4242L, 424242L))
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
-    }),
+    // autoBucketedScan would silently fall back to a plain file scan here
+    // (a lone filter doesn't "need" bucketing in the planner's eyes), so
+    // the conf is scoped off and the tiny result materialized eagerly —
+    // q157's lazy-planning-vs-conf-restore discipline.
+    "q191_bucket_pruning" -> ((s, d) =>
+      withBucketedScan(s) {
+        val (orders, _) = graft.io.Bucketed.ordersLineitem(s, d)
+        orders.filter(col("o_orderkey").isin(42L, 4242L, 424242L))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .localCheckpoint()
+      }),
 
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
@@ -1405,6 +1412,21 @@ object MiningQueries {
        |  WHERE r.hops < 3)
        |SELECT news, CAST(min(hops) AS INT) AS min_hops, count(*) AS n_walks
        |FROM r GROUP BY news""".stripMargin
+
+  /** Forces bucketed scans on (autoBucketedScan off) for `f`, restoring
+    * after — bucket PRUNING only engages on a bucketed scan, and the
+    * planner's auto mode falls back to plain file scans for plans with no
+    * bucket-exploiting join/agg.
+    */
+  def withBucketedScan[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try f finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
 
   /** q157's join, exposed so MiningSpec can pin the optimized plan inside
     * the conf scope.

@@ -272,11 +272,15 @@ class MiningSpec extends AnyFunSuite {
 
   test("q191 bucket pruning: key-equality filter selects a bucket subset") {
     val d = "/root/testdata/sf0.001"
-    val (orders, _) = graft.io.Bucketed.ordersLineitem(spark, d)
-    val plan = orders.filter(col("o_orderkey").isin(42L, 4242L))
-      .queryExecution.executedPlan.toString
+    val plan = graft.queries.MiningQueries.withBucketedScan(spark) {
+      val (orders, _) = graft.io.Bucketed.ordersLineitem(spark, d)
+      orders.filter(col("o_orderkey").isin(42L, 4242L))
+        .queryExecution.executedPlan.toString
+    }
     assert(plan.contains("SelectedBucketsCount"),
       s"expected bucket pruning (SelectedBucketsCount) in:\n$plan")
+    assert(plan.matches("(?s).*SelectedBucketsCount: [12] out of 8.*"),
+      s"expected at most 2 of 8 buckets selected in:\n$plan")
   }
 
   test("q124 rolling z-score: hand series, trailing frame excludes today") {
