@@ -1334,6 +1334,28 @@ object MiningQueries {
           .localCheckpoint()
       }),
 
+    // Schema evolution (mergeSchema): two parquet generations — v2 adds a
+    // column — read as one table; v1 rows surface NULL for the new column
+    // and the aggregation coalesces them. The additive-evolution contract
+    // every long-lived 100 TB table depends on (and the reason readers
+    // must never infer: the MERGED schema is the table's schema).
+    "q192_schema_evolution" -> ((s, d) => {
+      val base = s"/tmp/graft_schemaevo_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val ev = Tables.events(s, d)
+      ev.filter(to_date(col("ts")) < "2024-01-16")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$base/g=1")
+      ev.filter(to_date(col("ts")) >= "2024-01-16")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value2"))
+        .write.mode("overwrite").parquet(s"$base/g=2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/g=1", s"$base/g=2")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value2").isNull.cast("long")).as("n_legacy_rows"),
+          round(sum(coalesce(col("value2"), lit(0.0))), 2).as("sum_value2"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1630,6 +1652,15 @@ object MiningQueries {
         |           WHERE o.o_custkey = c.c_custkey) t
         |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
         |GROUP BY c.c_mktsegment""".stripMargin,
+
+    "q192_schema_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(count(*) FILTER (
+        |    WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-16')
+        |    AS BIGINT) AS n_legacy_rows,
+        |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
+        |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q189_csv_malformed" ->
       """SELECT (event_id % 10 = 0) AS is_corrupt, count(*) AS n,

@@ -283,6 +283,52 @@ class MiningSpec extends AnyFunSuite {
       s"expected at most 2 of 8 buckets selected in:\n$plan")
   }
 
+  test("q122 chunking edge: token count exactly at chunk and stride boundaries") {
+    def alpha(i: Int) = s"t${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    // exactly CHUNK tokens -> one full chunk, then a suffix chunk from
+    // position 49 (48 < 64 means a second window starts inside the first)
+    val at64 = chunks((1 to 64).map(alpha), 64, 48)
+    assert(at64.length === 2 && at64.head.length === 64 && at64(1).length === 16)
+    // exactly STRIDE tokens -> one chunk only (next start = 48 >= n_tok)
+    val at48 = chunks((1 to 48).map(alpha), 64, 48)
+    assert(at48.length === 1 && at48.head.length === 48)
+    // STRIDE+1 tokens -> second chunk of exactly 1 token
+    val at49 = chunks((1 to 49).map(alpha), 64, 48)
+    assert(at49.length === 2 && at49(1) === Seq(alpha(49)))
+  }
+
+  test("q149 weighted median edge: single row and all-equal weights") {
+    val single = Seq(("en", 1L, 100L)).toDF("lang", "doc_id", "n_chars")
+      .withColumn("wt", col("n_chars") % 7 + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    def wmed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .withColumn("totw", sum(col("wt")).over(wp))
+      .groupBy("lang")
+      .agg(min(when(col("cumw") * 2 >= col("totw"), col("n_chars"))).as("wm"))
+      .as[(String, Long)].collect().toMap
+    assert(wmed(single)("en") === 100L)
+    // equal weights over 1..4 -> cumw*2 >= totw first at element 2
+    val four = (1L to 4L).map(i => ("en", i, i * 10)).toDF("lang", "doc_id", "n_chars")
+      .withColumn("wt", lit(1L))
+    assert(wmed(four)("en") === 20L)
+  }
+
+  test("q169 sweep line edge: identical start/end timestamps count overlap correctly") {
+    // two sessions: [10, 20] and [20, 30] — at t=20 the convention counts
+    // the starting session before the ending one closes -> peak 2
+    val deltas = Seq((20L, 1, 2L), (10L, 1, 1L), (20L, -1, 1L), (30L, -1, 2L))
+      .toDF("t", "delta", "sid")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").asc, col("delta").desc, col("sid").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val peak = deltas.select(sum(col("delta")).over(w).as("open"))
+      .agg(max(col("open"))).as[Long].collect().head
+    assert(peak === 2L)
+  }
+
   test("q124 rolling z-score: hand series, trailing frame excludes today") {
     val daily = Seq(
       ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
