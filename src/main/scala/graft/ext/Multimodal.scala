@@ -56,6 +56,74 @@ object Multimodal {
       }
   }
 
+  /** One cell of a "resized" (downsampled) image-like blob: the byte
+    * payload split into `cells` contiguous ranges, each reduced to exact
+    * integer (count, sum) — the thumbnail/pooling analogue. A real resize
+    * replaces the range-mean with a decoder + interpolation; the fan-out,
+    * batching, and exact-aggregation shape stay identical.
+    */
+  case class CellRow(doc_id: Long, cell: Int, n_bytes: Int, sum_bytes: Long)
+
+  /** Downsample each blob into `cells` contiguous byte-range cells.
+    * Iterator-to-iterator, no shuffle; integer-exact so the oracle can
+    * recompute cells from the same payload bytes.
+    */
+  def resizeGrid(blobs: DataFrame, cells: Int): Dataset[CellRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val L = bytes.length
+          (0 until cells).iterator.map { i =>
+            val from = (i.toLong * L / cells).toInt
+            val until = ((i + 1).toLong * L / cells).toInt
+            var s = 0L
+            var j = from
+            while (j < until) { s += (bytes(j) & 0xff); j += 1 }
+            CellRow(id, i, until - from, s)
+          }
+        }
+      }
+  }
+
+  /** One fixed-size window of an audio-like blob: bytes as samples, energy
+    * = Σ (b − 100)² over the window — exact integers, the RMS-energy
+    * feature shape (voice-activity detection, silence trimming) with the
+    * codec stubbed out.
+    */
+  case class EnergyRow(doc_id: Long, win_idx: Int, n_samples: Int, energy: Long)
+
+  /** Windowed energy over binary payloads (window = `win` bytes, last
+    * window ragged). Same contract as [[sampleFrames]]: generator fan-out,
+    * partition-batched, payloads never leave the executor.
+    */
+  def audioEnergy(blobs: DataFrame, win: Int): Dataset[EnergyRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val L = bytes.length
+          val n = (L + win - 1) / win
+          (0 until n).iterator.map { w =>
+            val from = w * win
+            val until = math.min(from + win, L)
+            var e = 0L
+            var j = from
+            while (j < until) {
+              val v = (bytes(j) & 0xff) - 100L
+              e += v * v
+              j += 1
+            }
+            EnergyRow(id, w, until - from, e)
+          }
+        }
+      }
+  }
+
   /** Documents-as-blobs view: text bytes stand in for media payloads. */
   def documentBlobs(spark: SparkSession, dir: String): DataFrame =
     graft.io.Tables.documents(spark, dir)

@@ -1356,6 +1356,19 @@ object MiningQueries {
           round(sum(coalesce(col("value2"), lit(0.0))), 2).as("sum_value2"))
     }),
 
+    // Multimodal "resize" (downsample-to-grid) over binary payloads — see
+    // ext.Multimodal.resizeGrid. Integer-exact cells, so the oracle
+    // recomputes them from the same bytes (text is ASCII: byte == ascii).
+    "q193_resize_grid" -> ((s, d) =>
+      graft.ext.Multimodal.resizeGrid(
+        graft.ext.Multimodal.documentBlobs(s, d), 4).toDF()),
+
+    // Multimodal windowed audio-energy — see ext.Multimodal.audioEnergy:
+    // bytes as PCM samples, Σ(b−100)² per 256-byte window, exact integers.
+    "q194_audio_energy" -> ((s, d) =>
+      graft.ext.Multimodal.audioEnergy(
+        graft.ext.Multimodal.documentBlobs(s, d), 256).toDF()),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1661,6 +1674,39 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q193_resize_grid" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS l FROM documents),
+        |c AS (SELECT t.*, unnest(range(0, 4)) AS cell FROM t),
+        |b AS (
+        |  SELECT doc_id, CAST(cell AS INT) AS cell,
+        |    CAST((cell + 1) * l // 4 - cell * l // 4 AS INT) AS n_bytes,
+        |    CAST(list_sum(list_transform(
+        |      range(CAST(cell * l // 4 + 1 AS BIGINT),
+        |            CAST((cell + 1) * l // 4 + 1 AS BIGINT)),
+        |      j -> ascii(substr(text, CAST(j AS INT), 1)))) AS BIGINT)
+        |      AS sum_bytes
+        |  FROM c)
+        |SELECT doc_id, cell, n_bytes, coalesce(sum_bytes, 0) AS sum_bytes
+        |FROM b""".stripMargin,
+
+    "q194_audio_energy" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS l FROM documents),
+        |w AS (
+        |  SELECT t.*, unnest(range(0, (l + 255) // 256)) AS win_idx FROM t),
+        |b AS (
+        |  SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+        |    CAST(least(win_idx * 256 + 256, l) - win_idx * 256 AS INT)
+        |      AS n_samples,
+        |    CAST(list_sum(list_transform(
+        |      range(CAST(win_idx * 256 + 1 AS BIGINT),
+        |            CAST(least(win_idx * 256 + 256, l) + 1 AS BIGINT)),
+        |      j -> (ascii(substr(text, CAST(j AS INT), 1)) - 100)
+        |           * (ascii(substr(text, CAST(j AS INT), 1)) - 100)))
+        |      AS BIGINT) AS energy
+        |  FROM w)
+        |SELECT doc_id, win_idx, n_samples, coalesce(energy, 0) AS energy
+        |FROM b""".stripMargin,
 
     "q189_csv_malformed" ->
       """SELECT (event_id % 10 = 0) AS is_corrupt, count(*) AS n,
