@@ -1369,6 +1369,52 @@ object MiningQueries {
       graft.ext.Multimodal.audioEnergy(
         graft.ext.Multimodal.documentBlobs(s, d), 256).toDF()),
 
+    // Observation metrics (df.observe — the zero-cost monitoring seam):
+    // named aggregates piggyback on an existing action and surface via the
+    // Observation handle, no second scan. The observed values ARE the
+    // result here, oracled against computing them directly — exactly the
+    // row-count/invariant checks a 100 TB pipeline attaches to every
+    // stage, paid for by the pass it already runs.
+    "q195_observe_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val df = Tables.orders(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      df.foreach(_ => ()) // the action the metrics ride on
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double],
+        m("max_price").asInstanceOf[Double]))
+        .toDF("n_rows", "sum_price", "max_price")
+    }),
+
+    // Trigger.AvailableNow: the incremental-batch trigger — drain
+    // everything available, checkpoint, STOP (the nightly-job pattern: a
+    // streaming query's exactly-once state machine with a batch job's
+    // lifecycle). Complete-mode counts land in the memory sink when the
+    // trigger finishes.
+    "q196_available_now" -> ((s, d) =>
+      graft.streaming.StreamingAvailableNow.dailyClickCounts(s, d)),
+
+    // unionByName with allowMissingColumns: schema-drift union (the
+    // code-level twin of q192's storage-level mergeSchema) — v1 rows
+    // surface NULL for v2-only columns, positions don't matter, names do.
+    "q197_union_by_name" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v1 = ev.filter(to_date(col("ts")) < "2024-01-16")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val v2 = ev.filter(to_date(col("ts")) >= "2024-01-16")
+        .select(col("event_type"), round(col("value"), 2).as("value2"),
+          col("user_id"), col("event_id")) // shuffled column order on purpose
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value2").isNull.cast("long")).as("n_v1_rows"),
+          round(sum(coalesce(col("value2"), lit(0.0))), 2).as("sum_value2"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1671,6 +1717,27 @@ object MiningQueries {
         |  CAST(count(*) FILTER (
         |    WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-16')
         |    AS BIGINT) AS n_legacy_rows,
+        |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
+        |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q195_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders""".stripMargin,
+
+    "q196_available_now" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  count(*) AS n_clicks
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin,
+
+    "q197_union_by_name" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(count(*) FILTER (
+        |    WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-16')
+        |    AS BIGINT) AS n_v1_rows,
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
