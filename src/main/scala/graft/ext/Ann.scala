@@ -219,6 +219,53 @@ object Ann {
       .select("q_id", "c_id", "adist", "rn")
   }
 
+  /** IVF-PQ (the FAISS IVFADC composite, and the billion-scale default):
+    * coarse cells prune the candidate set (only `nprobe` cells per query
+    * are visited), PQ codes score the survivors by asymmetric distance —
+    * candidates contribute one byte-sized code per subspace, never their
+    * floats. Cost model: O(N·nlist + N·numSub·K) one-time index build,
+    * then O(Q·(nlist + N·nprobe/nlist·numSub)) per query batch — the
+    * 100 TB shape where neither the vectors nor the pair matrix ever
+    * materializes. Returns (q_id, c_id, adist, rn) top-k per query.
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+                codebooks: DataFrame, numSub: Int, dim: Int, nprobe: Int, k: Int,
+                roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / numSub
+    val cells = ivfAssign(candidates, centroids, roundTo)
+      .select(col("vec_id").as("c_id2"), col("cell"))
+    val codes = pqEncode(candidates, codebooks, numSub, dim, roundTo)
+      .select(col("vec_id").as("c_id2"), col("m"), col("code"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("c_id").asc)
+    val probed = queries.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("c_emb"))))
+      .withColumn("dist2", round(dist2Col(col("embedding"), col("c_emb")), roundTo))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val lut = queries.select(col("vec_id").as("q_id"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("embedding"))
+      .select(col("q_id"), col("m").cast("long").as("_lm"),
+        slice(col("embedding"), col("m") * sub + lit(1), lit(sub)).as("qv"))
+      .join(broadcast(codebooks.withColumnRenamed("m", "_lm")), "_lm")
+      // distinct alias: lut shares the queries lineage with probed — an
+      // un-renamed q_id would be an ambiguous self-join reference
+      .select(col("q_id").as("_lq"), col("_lm"), col("k"),
+        round(dist2Col(col("qv"), col("cb")), roundTo).as("d"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id2").asc)
+    probed.join(cells, "cell")          // cell-pruned (q, c) pairs
+      .join(codes, "c_id2")
+      .join(broadcast(lut),
+        col("q_id") === col("_lq") && col("m") === col("_lm") &&
+          col("code") === col("k"))
+      .groupBy(col("q_id"), col("c_id2"))
+      .agg(round(sum(col("d")), roundTo).as("adist"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id2").as("c_id"), col("adist"), col("rn"))
+  }
+
   /** Bucketed ANN: cosine for pairs sharing a bucket (a < b) — the join is
     * an equi-join on the bucket key; no cross product.
     */

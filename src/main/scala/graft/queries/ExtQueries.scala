@@ -397,7 +397,7 @@ object ExtQueries {
 
   private val dotList =
     "list_sum(list_transform(list_zip(qe, ce), zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))"
-  private def dist2List(a: String, b: String): String =
+  private[queries] def dist2List(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), dp -> " +
       "(CAST(dp[1] AS DOUBLE) - CAST(dp[2] AS DOUBLE)) * (CAST(dp[1] AS DOUBLE) - CAST(dp[2] AS DOUBLE))))"
   private def normList(c: String): String =

@@ -1415,6 +1415,84 @@ object MiningQueries {
           round(sum(coalesce(col("value2"), lit(0.0))), 2).as("sum_value2"))
     }),
 
+    // IVF-PQ composite ANN (ext.Ann.ivfPqTopK — the FAISS IVFADC shape
+    // completing the ANN ladder: brute q30, LSH q32, IVF q45, PQ q68,
+    // IVF+PQ here): coarse cells prune, PQ codes score by ADC. Disjoint
+    // deterministic id ranges seed centroids and codebooks so the oracle
+    // unrolls the identical two-stage index.
+    "q198_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val seeds = emb.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+      val queries = emb.filter(col("vec_id") >= 24 && col("vec_id") < 34)
+      val cands = emb.filter(col("vec_id") >= 34)
+      graft.ext.Ann.ivfPqTopK(queries, cands, cents,
+        graft.ext.Ann.pqCodebooks(seeds, 8, 64), 8, 64, 2, 3)
+    }),
+
+    // End-to-end curation pipeline (the composed flagship: quality gate →
+    // exact dedup → bag-fingerprint near-dedup → chunk-budget report):
+    // every stage is an operator exercised individually elsewhere
+    // (q14/q79 quality, q15 exact, q34 fingerprints, q122 chunks); this
+    // query pins that they COMPOSE — one scoped token materialization
+    // feeds all stages, dedup keeps are deterministic (min doc_id), the
+    // quality ratio compares in exact integer arithmetic.
+    "q199_curation_pipeline" -> ((s, d) => {
+      val tk = graft.runtime.Stage.scopedPersist(
+        Ops.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+            graft.text.Tokenizer.tokens(col("text")).as("tk")))
+      val quality = tk.filter(
+        col("n_chars").between(200, 20000) &&
+          size(array_distinct(col("tk"))) * 10 >= size(col("tk")) * 3)
+      val exact = quality
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      val near = exact
+        .withColumn("_fp", md5(concat_ws(" ", sort_array(array_distinct(col("tk"))))))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_fp")).orderBy(col("doc_id").asc)))
+        .filter(col("_rn") === 1)
+      near.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk"))).as("n_tokens"),
+          sum(((size(col("tk")) + 511) / 512).cast("long")).as("n_chunks"))
+    }),
+
+    // Daily operations dashboard (the composed reporting flagship):
+    // volumes, actives, new-user inflow, revenue and the day's hottest
+    // item in one day-keyed join of four small aggregates — each a
+    // primitive proven elsewhere (q8/q148/q19/q49 family).
+    "q200_daily_dashboard" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val vol = ev.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("event_type") === "click").cast("long")).as("n_clicks"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 2).as("revenue"))
+      val actives = ev.select(col("day"), col("user_id")).distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("n_active_users"))
+      val newUsers = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new_users"))
+      val topNews = ev.filter(col("event_type") === "click")
+        .groupBy(col("day"), (col("event_id") % 500).as("news"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("day").orderBy(col("c").desc, col("news").asc)))
+        .filter(col("_rn") === 1)
+        .select(col("day"), col("news").as("top_news"),
+          col("c").as("top_news_clicks"))
+      vol.join(actives, "day")
+        .join(newUsers, Seq("day"), "left")
+        .join(topNews, Seq("day"), "left")
+        .select(col("day"), col("n_events"), col("n_clicks"),
+          col("n_active_users"),
+          coalesce(col("n_new_users"), lit(0L)).as("n_new_users"),
+          col("revenue"), col("top_news"), col("top_news_clicks"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1720,6 +1798,120 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q199_curation_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars, text, $toks AS tk FROM documents),
+         |q AS (
+         |  SELECT * FROM t
+         |  WHERE n_chars BETWEEN 200 AND 20000
+         |    AND len(list_distinct(tk)) * 10 >= len(tk) * 3),
+         |e AS (
+         |  SELECT * FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+         |      ORDER BY doc_id) AS rn
+         |    FROM q) x WHERE rn = 1),
+         |n AS (
+         |  SELECT * FROM (
+         |    SELECT e.*, row_number() OVER (
+         |      PARTITION BY md5(array_to_string(list_sort(list_distinct(tk)), ' '))
+         |      ORDER BY doc_id) AS rn2
+         |    FROM e) x WHERE rn2 = 1)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+         |  CAST(sum((len(tk) + 511) // 512) AS BIGINT) AS n_chunks
+         |FROM n GROUP BY 1""".stripMargin,
+
+    "q200_daily_dashboard" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |vol AS (
+        |  SELECT day, count(*) AS n_events,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |      AS n_clicks,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |      ELSE 0.0 END), 2) AS revenue
+        |  FROM ev GROUP BY 1),
+        |act AS (
+        |  SELECT day, count(DISTINCT user_id) AS n_active_users
+        |  FROM ev GROUP BY 1),
+        |nu AS (
+        |  SELECT day, count(*) AS n_new_users FROM (
+        |    SELECT user_id, min(day) AS day FROM ev GROUP BY 1) GROUP BY 1),
+        |tn AS (
+        |  SELECT day, news AS top_news, c AS top_news_clicks FROM (
+        |    SELECT day, (event_id % 500) AS news, count(*) AS c,
+        |      row_number() OVER (PARTITION BY day
+        |        ORDER BY count(*) DESC, (event_id % 500)) AS rn
+        |    FROM ev WHERE event_type = 'click' GROUP BY 1, 2) x
+        |  WHERE rn = 1)
+        |SELECT vol.day, n_events, n_clicks, n_active_users,
+        |  coalesce(nu.n_new_users, 0) AS n_new_users, revenue,
+        |  top_news, top_news_clicks
+        |FROM vol JOIN act ON act.day = vol.day
+        |LEFT JOIN nu ON nu.day = vol.day
+        |LEFT JOIN tn ON tn.day = vol.day""".stripMargin,
+
+    "q198_ivfpq" -> {
+      import ExtQueries.dist2List
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |cbt AS (
+         |  SELECT t.m, e.vec_id AS k,
+         |    list_slice(e.embedding, t.m*8+1, t.m*8+8) AS cb
+         |  FROM embeddings e CROSS JOIN range(8) t(m)
+         |  WHERE e.vec_id >= 8 AND e.vec_id < 24),
+         |cd AS (
+         |  SELECT e.vec_id, c.c_id,
+         |    round(${dist2List("e.embedding", "c.c_emb")}, 6) AS dist2
+         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 34),
+         |cells AS (
+         |  SELECT vec_id AS c_id2, c_id AS cell FROM (
+         |    SELECT vec_id, c_id, dist2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn
+         |    FROM cd) t WHERE rn = 1),
+         |codes AS (
+         |  SELECT vec_id AS c_id2, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.k AS code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY round(${dist2List("s.sv", "c.cb")}, 6), c.k) AS rn
+         |    FROM (SELECT e.vec_id, t.m,
+         |            list_slice(e.embedding, t.m*8+1, t.m*8+8) AS sv
+         |          FROM embeddings e CROSS JOIN range(8) t(m)
+         |          WHERE e.vec_id >= 34) s
+         |    JOIN cbt c ON c.m = s.m) t WHERE rn = 1),
+         |qd AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    round(${dist2List("e.embedding", "c.c_emb")}, 6) AS dist2
+         |  FROM embeddings e CROSS JOIN cent c
+         |  WHERE e.vec_id >= 24 AND e.vec_id < 34),
+         |probed AS (
+         |  SELECT vec_id AS q_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id, dist2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn
+         |    FROM qd) t WHERE rn <= 2),
+         |lut AS (
+         |  SELECT e.vec_id AS q_id, t.m, c.k,
+         |    round(${dist2List("list_slice(e.embedding, t.m*8+1, t.m*8+8)", "c.cb")}, 6) AS d
+         |  FROM embeddings e CROSS JOIN range(8) t(m)
+         |  JOIN cbt c ON c.m = t.m
+         |  WHERE e.vec_id >= 24 AND e.vec_id < 34),
+         |pairs AS (
+         |  SELECT p.q_id, cl.c_id2 FROM probed p JOIN cells cl ON p.cell = cl.cell),
+         |ad AS (
+         |  SELECT pr.q_id, pr.c_id2, round(sum(l.d), 6) AS adist
+         |  FROM pairs pr
+         |  JOIN codes cd2 ON cd2.c_id2 = pr.c_id2
+         |  JOIN lut l ON l.q_id = pr.q_id AND l.m = cd2.m AND l.k = cd2.code
+         |  GROUP BY 1, 2)
+         |SELECT q_id, c_id2 AS c_id, adist, rn FROM (
+         |  SELECT q_id, c_id2, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id2) AS rn
+         |  FROM ad) t WHERE rn <= 3""".stripMargin
+    },
 
     "q195_observe_metrics" ->
       """SELECT count(*) AS n_rows,
