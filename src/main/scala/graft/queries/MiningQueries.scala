@@ -1493,6 +1493,78 @@ object MiningQueries {
           col("revenue"), col("top_news"), col("top_news_clicks"))
     }),
 
+    // BM25 ranking (the IR scoring standard, k1=1.2 b=0.75) for the
+    // corpus's top-3-df term query: tf/df/dl are integer aggregates,
+    // avgdl is an exact integer ratio, so the per-(doc, term) score is
+    // the same IEEE expression in both engines; per-doc Σ over ≤3 terms
+    // rounds at 6. Everything joins through the word key — the inverted-
+    // index shape (SURVEY §4) that never materializes doc×term.
+    "q201_bm25" -> ((s, d) =>
+      bm25Scores(s, d)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))),
+
+    // Hybrid retrieval via reciprocal-rank fusion (RRF, k=60): the BM25
+    // keyword ranker fused with an embedding-cosine ranker (query vector
+    // = centroid of a fixed seed set; vec_id ≡ doc_id). Ranks are
+    // integers, so the fused score is bit-identical across engines. The
+    // modern lexical+vector retrieval stack in one query — both rankers
+    // are operators proven separately (q201, q30-family).
+    "q202_hybrid_rrf" -> ((s, d) => {
+      val ra = bm25Scores(s, d)
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("ra"))
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("dim")).agg(avg(col("v").cast("double")).as("v"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, v))), x -> x.v)")
+          .as("qv"))
+      val rb = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(
+            expr("""aggregate(zip_with(embedding, qv,
+                   |  (x, y) -> CAST(x AS DOUBLE) * y),
+                   |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) /
+              (sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")) *
+                sqrt(expr("aggregate(qv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))),
+            6).as("cos"))
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rb"))
+      ra.join(rb, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (col("ra") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rb") + 60), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), round(col("rrf"), 9).as("rrf"))
+    }),
+
+    // Survivorship / golden-record selection: within each near-dup
+    // fingerprint group keep the RICHEST record (max n_chars, tie min
+    // doc_id) — master-data dedup policy, in contrast to q199's keep-min.
+    // The policy-divergence counter reports how often the richest record
+    // is NOT the lowest id (what a naive keep-min would have lost).
+    "q203_survivorship" -> ((s, d) => {
+      val tk = Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(concat_ws(" ", sort_array(array_distinct(
+            graft.text.Tokenizer.tokens(col("text")))))).as("fp"))
+      val w = Window.partitionBy(col("fp"))
+      tk.withColumn("keep_id", min(struct(-col("n_chars"), col("doc_id"))).over(w)
+          .getField("doc_id"))
+        .withColumn("min_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum((col("keep_id") =!= col("min_id")).cast("long")).as("n_policy_differs"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1586,6 +1658,53 @@ object MiningQueries {
       case None    => s.conf.unset(key)
     }
   }
+
+  /** BM25 document scores for the corpus's top-3-df term query, shared by
+    * q201 (ranking) and q202 (fusion). All inputs to the per-(doc, term)
+    * expression are exact integers or exact integer ratios, so both
+    * engines evaluate the identical IEEE expression.
+    */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val tk = graft.runtime.Stage.scopedPersist(
+      Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk")))
+    val tf = tk.select(col("doc_id"), explode(col("tk")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = tk.select(col("doc_id"), size(col("tk")).as("dl"))
+    val n = tk.count().toDouble
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val terms = dfreq.orderBy(col("df").desc, col("word").asc).limit(3)
+    val avgdl = dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl"))
+    tf.join(broadcast(terms), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("sc"))
+      .groupBy("doc_id").agg(round(sum(col("sc")), 6).as("score"))
+  }
+
+  /** q201/q202's shared BM25 oracle fragment (CTEs ending in `bm`). */
+  private lazy val bm25Cte: String =
+    s"""t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |tf AS (
+       |  SELECT doc_id, word, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS word FROM t) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, len(tk) AS dl FROM t),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |terms AS (SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 3),
+       |stats AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |    CAST(count(*) AS DOUBLE) AS n
+       |  FROM dl),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0 + (st.n - t2.df + 0.5) / (t2.df + 0.5)) * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS sc
+       |  FROM tf JOIN terms t2 USING (word) JOIN dl USING (doc_id), stats st),
+       |bm AS (SELECT doc_id, round(sum(sc), 6) AS score FROM sc GROUP BY 1)""".stripMargin
 
   /** q157's join, exposed so MiningSpec can pin the optimized plan inside
     * the conf scope.
@@ -1798,6 +1917,61 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q201_bm25" ->
+      s"""WITH $bm25Cte,
+         |ranked AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM bm)
+         |SELECT doc_id, score, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 20""".stripMargin,
+
+    "q202_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         |ra AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+         |  FROM bm),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |qv AS (
+         |  SELECT list(v ORDER BY dim) AS qv FROM (
+         |    SELECT i AS dim, avg(x[i + 1]) AS v
+         |    FROM e, (SELECT unnest(range(0, 64)) AS i)
+         |    WHERE vec_id < 5 GROUP BY 1)),
+         |cosr AS (
+         |  SELECT vec_id AS doc_id, round(
+         |    list_sum(list_transform(list_zip(x, qv.qv),
+         |      zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(x, v -> v * v)))
+         |       * sqrt(list_sum(list_transform(qv.qv, v -> v * v)))), 6) AS cos
+         |  FROM e, qv),
+         |rb AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rb
+         |  FROM cosr),
+         |f AS (
+         |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |    coalesce(1.0 / (ra.ra + 60), 0.0)
+         |      + coalesce(1.0 / (rb.rb + 60), 0.0) AS rrf
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         |SELECT doc_id, round(rrf, 9) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q203_survivorship" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+         |  FROM documents),
+         |k AS (
+         |  SELECT t.*,
+         |    row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id)
+         |      AS rn,
+         |    min(doc_id) OVER (PARTITION BY fp) AS min_id
+         |  FROM t)
+         |SELECT lang, count(*) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(count(*) FILTER (WHERE doc_id <> min_id) AS BIGINT)
+         |    AS n_policy_differs
+         |FROM k WHERE rn = 1 GROUP BY 1""".stripMargin,
 
     "q199_curation_pipeline" ->
       s"""WITH t AS (
