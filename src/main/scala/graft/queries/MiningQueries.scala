@@ -1565,6 +1565,14 @@ object MiningQueries {
           sum((col("keep_id") =!= col("min_id")).cast("long")).as("n_policy_differs"))
     }),
 
+    // transformWithState EVENT-TIME TIMERS (the last TWS lane): rows only
+    // accumulate; the summary is EMITTED by handleExpiredTimer when the
+    // watermark passes the per-user quiet deadline — see streaming.
+    // StreamingTws.TimerSummaryProcessor. Oracle = batch per-user
+    // aggregate at ms precision.
+    "q204_tws_timers" -> ((s, d) =>
+      graft.streaming.StreamingTws.timerSummaries(s, d)),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1917,6 +1925,16 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q204_tws_timers" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    date_diff('us', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)) // 1000
+        |      AS ms
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(ms) AS first_ms, max(ms) AS last_ms
+        |FROM e GROUP BY 1""".stripMargin,
 
     "q201_bm25" ->
       s"""WITH $bm25Cte,

@@ -116,6 +116,100 @@ object StreamingTws {
     }
   }
 
+  case class TimedEv(userId: Long, tsMs: Long)
+  case class UserSummary(user_id: Long, n_events: Long,
+                         first_ms: Long, last_ms: Long)
+
+  /** Event-time TIMER variant (the remaining TWS lane after Value/List/
+    * MapState): rows only accumulate state; the OUTPUT is emitted by
+    * [[handleExpiredTimer]] when the watermark passes the registered
+    * event-time timer — the push-based "emit when the entity goes quiet"
+    * contract (session finalization, abandonment detection). Each batch
+    * re-registers one timer at last_ts + gap; an expiry emits the summary
+    * and clears state.
+    */
+  class TimerSummaryProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEv, UserSummary] {
+    @transient private var totals: ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[Totals]("totals",
+        Encoders.product[Totals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEv],
+                                 timerValues: TimerValues): Iterator[UserSummary] = {
+      val prev = if (totals.exists()) totals.get()
+        else Totals(0L, Long.MaxValue, Long.MinValue)
+      var n = prev.n
+      var first = prev.firstUs // ms here; field reused
+      var last = prev.lastUs
+      rows.foreach { e =>
+        n += 1
+        if (e.tsMs < first) first = e.tsMs
+        if (e.tsMs > last) last = e.tsMs
+      }
+      totals.update(Totals(n, first, last))
+      // one live timer per key: re-arm at the newest quiet deadline
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSummary] = {
+      val t = totals.get()
+      totals.clear()
+      Iterator.single(UserSummary(key, t.n, t.firstUs, t.lastUs))
+    }
+  }
+
+  /** Replays events through the timer processor: a far-future sentinel
+    * (excluded from state by user-id filter upstream of grouping is NOT
+    * possible — it must flow through the watermark, so it carries a
+    * sentinel key that is dropped from the result) advances the event-time
+    * watermark past every real timer, firing all summaries.
+    */
+  def timerSummaries(spark: SparkSession, dir: String): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    import spark.implicits._
+    withRocksDb(spark) {
+      val sink = s"tws_timers_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+      val sentinelDir = s"/tmp/graft_tws_timer_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+      val maxUs = graft.io.Tables.events(spark, dir)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val farNs = (maxUs + 48L * 3600L * 1000000L) * 1000L
+      spark.createDataFrame(Seq((-1L, farNs, -1L, "view", 0.0, "{}")))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+
+      def src(path: String, glob: Option[String]): DataFrame = {
+        val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
+        glob.foreach(g => r.option("pathGlobFilter", g))
+        r.parquet(path)
+      }
+      val evs = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("ets", "1 hour")
+        .select(col("user_id").as("userId"),
+          expr("unix_micros(ets) DIV 1000").as("tsMs")) // integral DIV: `/` is double division
+        .as[TimedEv]
+      implicit val outEnc: Encoder[UserSummary] = Encoders.product[UserSummary]
+      val out = evs.groupByKey(_.userId)
+        .transformWithState(new TimerSummaryProcessor(30L * 60 * 1000),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = out.toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(sink)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("n_events"), col("first_ms"), col("last_ms"))
+    }
+  }
+
   /** Scopes the RocksDB state-store provider (required by
     * transformWithState) to `f`, restoring the prior provider after.
     */
