@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.io.Tables
 import graft.ops.Ops
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1573,6 +1573,66 @@ object MiningQueries {
     "q204_tws_timers" -> ((s, d) =>
       graft.streaming.StreamingTws.timerSummaries(s, d)),
 
+    // A/B assignment + sample-ratio-mismatch check (the experimentation-
+    // platform gate): deterministic md5 arm assignment (reproducible,
+    // stable under user growth — q80's split discipline), arm sizes, the
+    // SRM z-score against the designed 50/50, and per-arm click-through.
+    // All inputs exact integers, one conditional-agg pass.
+    "q205_ab_srm" -> ((s, d) => {
+      val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 3), 16, 10)
+        .cast("int") % 2).as("arm")
+      val per = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), arm)
+        .groupBy(col("arm"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum((col("event_type") === "click").cast("long")).as("n_clicks"))
+      val a = per.filter(col("arm") === 0)
+        .select(col("n_users").as("ua"), col("n_events").as("ea"), col("n_clicks").as("ca"))
+      val b = per.filter(col("arm") === 1)
+        .select(col("n_users").as("ub"), col("n_events").as("eb"), col("n_clicks").as("cb"))
+      a.crossJoin(b).select(
+        col("ua").as("users_a"), col("ub").as("users_b"),
+        round((col("ua") - (col("ua") + col("ub")) / 2.0)
+          / sqrt((col("ua") + col("ub")) * 0.25), 6).as("srm_z"),
+        round(col("ca").cast("double") / col("ea"), 6).as("ctr_a"),
+        round(col("cb").cast("double") / col("eb"), 6).as("ctr_b"))
+    }),
+
+    // Decision-stump split search (the ML-side of the engine: one pass
+    // finds the best information-gain threshold): price binned equi-width,
+    // per-bin label counts, cumulative windows evaluate EVERY candidate
+    // split in one tiny frame — the distributed histogram-based split
+    // finding that gradient-boosting trainers run per feature. Entropies
+    // take exact integer counts; gain rounds at 6 before the argmax.
+    "q206_stump_split" -> ((s, d) => {
+      val binned = Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 30000), lit(19)).cast("int").as("bin"),
+          (col("o_orderpriority") === "1-URGENT").cast("long").as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      val tot = binned.agg(sum(col("n")).as("tn"), sum(col("pos")).as("tp"))
+      def ent(p: Column, n: Column): Column = {
+        val q = p.cast("double") / n
+        -(when(p === 0 || p === n, lit(0.0))
+          .otherwise(q * log(q) + (lit(1.0) - q) * log(lit(1.0) - q)))
+      }
+      binned
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cp", sum(col("pos")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("cn") < col("tn")) // split AFTER this bin; right side non-empty
+        .select(col("bin"),
+          round(ent(col("tp"), col("tn"))
+            - (col("cn") / col("tn").cast("double")) * ent(col("cp"), col("cn"))
+            - ((col("tn") - col("cn")) / col("tn").cast("double"))
+              * ent(col("tp") - col("cp"), col("tn") - col("cn")), 6).as("gain"))
+        .orderBy(col("gain").desc, col("bin").asc)
+        .limit(1)
+        .select(col("bin").as("best_split_bin"), col("gain"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1764,6 +1824,11 @@ object MiningQueries {
     s"(CAST(strpos('0123456789abcdef', substr(h, $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 3 - i).toLong})"
   }.mkString(" + ")
 
+  /** q205's md5(user_id) 3-hex-digit bucket (q62/q80 family). */
+  private val userHex3: String = (1 to 3).map { i =>
+    s"(CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 3 - i).toLong})"
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
 
     "q120_multiway_join" ->
@@ -1925,6 +1990,61 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q205_ab_srm" ->
+      s"""WITH x AS (
+         |  SELECT user_id, event_type,
+         |    ($userHex3) % 2 AS arm
+         |  FROM events),
+         |per AS (
+         |  SELECT arm, count(DISTINCT user_id) AS n_users,
+         |    count(*) AS n_events,
+         |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         |      AS n_clicks
+         |  FROM x GROUP BY 1),
+         |a AS (SELECT n_users AS ua, n_events AS ea, n_clicks AS ca
+         |      FROM per WHERE arm = 0),
+         |b AS (SELECT n_users AS ub, n_events AS eb, n_clicks AS cb
+         |      FROM per WHERE arm = 1)
+         |SELECT ua AS users_a, ub AS users_b,
+         |  round((ua - (ua + ub) / 2.0) / sqrt((ua + ub) * 0.25), 6) AS srm_z,
+         |  round(CAST(ca AS DOUBLE) / ea, 6) AS ctr_a,
+         |  round(CAST(cb AS DOUBLE) / eb, 6) AS ctr_b
+         |FROM a, b""".stripMargin,
+
+    "q206_stump_split" ->
+      """WITH binned AS (
+        |  SELECT CAST(least(floor(o_totalprice / 30000), 19) AS INT) AS bin,
+        |    count(*) AS n,
+        |    CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+        |      AS pos
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, n, pos,
+        |    sum(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    sum(pos) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM binned),
+        |tot AS (SELECT sum(n) AS tn, sum(pos) AS tp FROM binned),
+        |g AS (
+        |  SELECT bin,
+        |    round(
+        |      (CASE WHEN tp = 0 OR tp = tn THEN 0.0
+        |        ELSE -((CAST(tp AS DOUBLE)/tn) * ln(CAST(tp AS DOUBLE)/tn)
+        |          + (1.0 - CAST(tp AS DOUBLE)/tn) * ln(1.0 - CAST(tp AS DOUBLE)/tn)) END)
+        |      - (cn / CAST(tn AS DOUBLE)) *
+        |        (CASE WHEN cp = 0 OR cp = cn THEN 0.0
+        |          ELSE -((CAST(cp AS DOUBLE)/cn) * ln(CAST(cp AS DOUBLE)/cn)
+        |            + (1.0 - CAST(cp AS DOUBLE)/cn) * ln(1.0 - CAST(cp AS DOUBLE)/cn)) END)
+        |      - ((tn - cn) / CAST(tn AS DOUBLE)) *
+        |        (CASE WHEN tp - cp = 0 OR tp - cp = tn - cn THEN 0.0
+        |          ELSE -((CAST(tp - cp AS DOUBLE)/(tn - cn)) * ln(CAST(tp - cp AS DOUBLE)/(tn - cn))
+        |            + (1.0 - CAST(tp - cp AS DOUBLE)/(tn - cn))
+        |              * ln(1.0 - CAST(tp - cp AS DOUBLE)/(tn - cn))) END), 6) AS gain
+        |  FROM cum, tot WHERE cn < tn)
+        |SELECT bin AS best_split_bin, gain
+        |FROM g ORDER BY gain DESC, bin LIMIT 1""".stripMargin,
 
     "q204_tws_timers" ->
       """WITH e AS (
