@@ -329,6 +329,18 @@ class MiningSpec extends AnyFunSuite {
     assert(peak === 2L)
   }
 
+  test("q120 multiway join plan: date filter pushed to the orders scan, constant dims broadcast") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.queries.MiningQueries.queries("q120_multiway_join")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"expected the orders date filter pushed to the parquet scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for the constant dims:\n$plan")
+    // projection pruning: the lineitem scan must not read unused wide columns
+    assert(!plan.contains("l_comment") && plan.contains("l_extendedprice"))
+  }
+
   test("q124 rolling z-score: hand series, trailing frame excludes today") {
     val daily = Seq(
       ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
