@@ -1633,6 +1633,56 @@ object MiningQueries {
         .select(col("bin").as("best_split_bin"), col("gain"))
     }),
 
+    // Stream-stream FULL OUTER interval join — the last join mode next to
+    // q66 (inner) and q102 (left outer): unmatched clicks ALSO surface,
+    // view-side null — see streaming.StreamingOuterJoin.viewFunnelFull.
+    "q207_stream_full_outer" -> ((s, d) =>
+      graft.streaming.StreamingOuterJoin.viewFunnelFull(s, d)),
+
+    // Theil–Sen robust trend (median of pairwise slopes) on the global
+    // daily click series, next to the OLS slope for contrast — the
+    // estimator that shrugs off outlier days. The pair set is quadratic
+    // in |days| (bounded by the calendar, ~400 pairs), slopes are exact
+    // integer ratios, the median is a nearest-rank pick.
+    "q208_theil_sen" -> ((s, d) => {
+      val daily = Tables.clicks(s, d)
+        .groupBy(col("date")).agg(count(lit(1)).as("c"))
+        .select(datediff(col("date"), lit(java.sql.Date.valueOf("2024-01-01")))
+          .cast("double").as("x"), col("c").cast("double").as("y"))
+      val slopes = daily.select(col("x").as("x1"), col("y").as("y1"))
+        .join(daily.select(col("x").as("x2"), col("y").as("y2")),
+          col("x1") < col("x2"))
+        .select(((col("y2") - col("y1")) / (col("x2") - col("x1"))).as("s"))
+      val w = Window.orderBy(col("s").asc)
+      val ranked = slopes
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val sen = ranked
+        .agg(max(when(col("rn") === ceil(col("n") / 2), col("s"))).as("sen"),
+          count(lit(1)).as("n_pairs"))
+      val ols = daily.agg(round(expr("regr_slope(y, x)"), 6).as("ols"))
+      sen.crossJoin(ols)
+        .select(col("n_pairs"), round(col("sen"), 6).as("sen_slope"), col("ols")
+          .as("ols_slope"))
+    }),
+
+    // Longest consecutive-day streak per user (islands applied to
+    // engagement): day_ordinal − row_number is constant within a run; the
+    // answer is the max run length, reported as a streak-length
+    // distribution. Keyed windows only — partition-parallel.
+    "q209_longest_streak" -> ((s, d) => {
+      val act = Tables.clicks(s, d).select(col("userId"), col("date")).distinct()
+      val w = Window.partitionBy("userId").orderBy("date")
+      val runs = act
+        .withColumn("g",
+          datediff(col("date"), lit(java.sql.Date.valueOf("1970-01-01")))
+            - row_number().over(w))
+        .groupBy(col("userId"), col("g"))
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy(col("userId")).agg(max(col("len")).as("longest"))
+        .groupBy(col("longest")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -1990,6 +2040,57 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q207_stream_full_outer" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS v_ts FROM ev
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts FROM ev
+        |      WHERE event_type = 'click')
+        |SELECT coalesce(v.user_id, c.user_id) AS userId,
+        |  v.view_id, c.click_id,
+        |  date_diff('us', v.v_ts, c.c_ts) AS gap_us
+        |FROM v FULL OUTER JOIN c ON v.user_id = c.user_id
+        |  AND c.c_ts >= v.v_ts
+        |  AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "q208_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS DOUBLE) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+        |sl AS (
+        |  SELECT (b.y - a.y) / (b.x - a.x) AS s
+        |  FROM daily a JOIN daily b ON a.x < b.x),
+        |r AS (
+        |  SELECT s, row_number() OVER (ORDER BY s) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM sl),
+        |sen AS (
+        |  SELECT max(CASE WHEN rn = CAST(ceil(n / 2) AS BIGINT) THEN s END)
+        |      AS sen,
+        |    count(*) AS n_pairs
+        |  FROM r),
+        |ols AS (SELECT round(regr_slope(y, x), 6) AS ols FROM daily)
+        |SELECT n_pairs, round(sen.sen, 6) AS sen_slope, ols.ols AS ols_slope
+        |FROM sen, ols""".stripMargin,
+
+    "q209_longest_streak" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events WHERE event_type = 'click'),
+        |runs AS (
+        |  SELECT u, g, count(*) AS len FROM (
+        |    SELECT u, date_diff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY u ORDER BY day) AS g
+        |    FROM act) x GROUP BY 1, 2),
+        |lg AS (SELECT u, max(len) AS longest FROM runs GROUP BY 1)
+        |SELECT longest, count(*) AS n_users FROM lg GROUP BY 1""".stripMargin,
 
     "q205_ab_srm" ->
       s"""WITH x AS (

@@ -78,6 +78,55 @@ object StreamingOuterJoin {
         (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** FULL OUTER variant (completing the stream-stream join modes next to
+    * q66's inner and q102's left outer): unmatched VIEWS null-extend as in
+    * the left join, and unmatched CLICKS (those converting no view within
+    * the preceding hour) also emit, click-side null-extended, once the
+    * LEFT watermark passes `c_ts` (no earlier view can still arrive).
+    * State bounds are identical to the other modes. Emits (userId,
+    * view_id, click_id, gap_us) with nulls on whichever side is missing.
+    */
+  def viewFunnelFull(spark: SparkSession, dir: String): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    val sentinelDir = s"/tmp/graft_fouter_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    writeSentinel(spark, dir, sentinelDir)
+
+    def src(path: String, glob: Option[String]): DataFrame = {
+      val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
+      glob.foreach(g => r.option("pathGlobFilter", g))
+      r.parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    }
+    val events = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+
+    val sink = s"stream_full_outer_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val q = views.join(clicks,
+        expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 1 hour"),
+        "full_outer")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(sink)
+      .filter((col("v_user").isNull || col("v_user") =!= SENTINEL_USER) &&
+        (col("c_user").isNull || col("c_user") =!= SENTINEL_USER))
+      .select(coalesce(col("v_user"), col("c_user")).as("userId"),
+        col("view_id"), col("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** One far-future view + click under a user id no real row carries,
     * schema-identical to events.parquet (ts in nanos).
     */
