@@ -110,21 +110,27 @@ object MiningQueries {
       val tk = graft.runtime.Stage.scopedPersist(
         Ops.fanOut(Tables.documents(s, d))
           .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk")))
-      val bg = graft.runtime.Stage.scopedPersist(
+      // per-doc bigram MULTIPLICITIES, not occurrences: every downstream
+      // join and count shuffles distinct (doc, bigram) rows weighted by k
+      // — at 100 TB the in-document repetition factor is exactly what the
+      // raw-occurrence form would pay again in every exchange
+      val bgc = graft.runtime.Stage.scopedPersist(
         tk.filter(size(col("tk")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(tk)-1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i+1) AS w2))"))
             .as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
-      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+          .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("k")))
+      val c2 = bgc.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
+      val c1 = bgc.groupBy("w1").agg(sum(col("k")).as("c1"))
       val v = tk.select(explode(col("tk")).as("w")).distinct().count()
-      bg.join(c2, Seq("w1", "w2")).join(broadcast(c1), "w1")
-        .select(col("doc_id"),
-          log((col("c2") + 1).cast("double") / (col("c1") + lit(v.toDouble))).as("lp"))
+      bgc.join(c2, Seq("w1", "w2")).join(broadcast(c1), "w1")
+        .select(col("doc_id"), col("k"),
+          (col("k") * log((col("c2") + 1).cast("double")
+            / (col("c1") + lit(v.toDouble)))).as("lps"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(col("lp")), 6).as("avg_logp"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          round(sum(col("lps")) / sum(col("k")), 6).as("avg_logp"))
     }),
 
     // Rolling z-score spike detection on the per-event-type daily volume
