@@ -1689,6 +1689,40 @@ object MiningQueries {
         .groupBy(col("longest")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // Incremental (delta-vs-corpus) dedup — the daily-ingest shape: only
+    // the DELTA is fingerprinted and checked against the existing corpus
+    // (bloom pre-filter on the corpus fingerprints, exact anti join to
+    // close), plus delta-internal keep-one. The existing 100 TB corpus is
+    // never rescanned beyond its fingerprint column; q77's bloom
+    // discipline applied to q15's exact dedup.
+    "q210_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(col("doc_id") < 400)
+        .select(md5(col("text")).as("fp"))
+      val bloom = existing.stat.bloomFilter("fp", 1024, 0.01)
+      val mightContain = udf((fp: String) => bloom.mightContain(fp))
+      val delta = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+      // bloom routes: definite-new rows skip the corpus join entirely;
+      // only might-contain suspects pay the exact anti join (no false
+      // negatives, so nothing new is ever lost)
+      // explicit column order: the USING-style anti join moves fp first,
+      // and union is positional
+      val cols = Seq(col("doc_id"), col("lang"), col("fp"))
+      val definitelyNew = delta.filter(!mightContain(col("fp"))).select(cols: _*)
+      val suspects = delta.filter(mightContain(col("fp")))
+        .join(existing.select(col("fp")), Seq("fp"), "left_anti")
+        .select(cols: _*)
+      val survivors = definitelyNew.union(suspects)
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
+        .filter(col("_rn") === 1)
+      val nDelta = delta.count()
+      survivors.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_ingested"))
+        .withColumn("n_delta_total", lit(nDelta))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -2046,6 +2080,24 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q210_incremental_dedup" ->
+      """WITH existing AS (
+        |  SELECT md5(text) AS fp FROM documents WHERE doc_id < 400),
+        |delta AS (
+        |  SELECT doc_id, lang, md5(text) AS fp FROM documents
+        |  WHERE doc_id >= 400),
+        |fresh AS (
+        |  SELECT d.* FROM delta d
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = d.fp)),
+        |keep AS (
+        |  SELECT * FROM (
+        |    SELECT f.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+        |      AS rn
+        |    FROM fresh f) x WHERE rn = 1),
+        |n AS (SELECT count(*) AS n_delta_total FROM delta)
+        |SELECT lang, count(*) AS n_ingested, n.n_delta_total
+        |FROM keep, n GROUP BY 1, 3""".stripMargin,
 
     "q207_stream_full_outer" ->
       """WITH ev AS (
