@@ -1723,6 +1723,70 @@ object MiningQueries {
         .withColumn("n_delta_total", lit(nDelta))
     }),
 
+    // Consecutive-duplicate removal (debounce): drop events repeating the
+    // previous event_type within the same user stream — the telemetry
+    // de-noising pass (sensor chatter, double-clicks). One keyed window;
+    // the survivors are the SCD2 change rows (q78) without versioning.
+    "q211_debounce" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+
+    // Percent-of-parent in a dimension hierarchy (region → nation):
+    // revenue share of each nation within its region and of each region
+    // within the total, in one pass over the reduced (region, nation)
+    // aggregate — the drill-down report's ratio columns.
+    "q212_pct_of_parent" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val wr = Window.partitionBy("r_name")
+      val tot = base.agg(sum(col("rev")).as("tot"))
+      base.crossJoin(broadcast(tot))
+        .select(col("r_name"), col("n_name"), round(col("rev"), 2).as("revenue"),
+          round(col("rev") / sum(col("rev")).over(wr), 6).as("pct_of_region"),
+          round(col("rev") / col("tot"), 6).as("pct_of_total"))
+    }),
+
+    // Forecast calibration (reliability diagram): the q100 EWMA predicts
+    // the last day's count per news; predictions bucket into quintiles by
+    // rounded EWMA, and each bucket reports predicted-vs-actual means —
+    // the calibration check any deployed forecaster needs. Rides the
+    // shared fold contract; buckets are ntile over the rounded key.
+    "q213_forecast_calibration" -> ((s, d) => {
+      val counts = Tables.clicks(s, d)
+        .groupBy(col("newsId"), col("date"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val vals = transform(sort_array(collect_list(struct(col("date"), col("c")))),
+        x => x.getField("c"))
+      val series = counts.groupBy(col("newsId"))
+        .agg(vals.as("vals"))
+        .filter(size(col("vals")) >= 2)
+        .select(col("newsId"),
+          element_at(col("vals"), -1).as("actual"),
+          // q100's fold contract on the PREFIX: seed = first day, fold
+          // days 2..n-1 — predicts day n without seeing it
+          round(aggregate(
+            slice(col("vals"), lit(2), size(col("vals")) - 2),
+            element_at(col("vals"), 1),
+            (acc, x) => lit(0.3) * x + lit(0.7) * acc), 6).as("pred"))
+      series
+        .withColumn("bucket", ntile(5).over(
+          Window.orderBy(col("pred").asc, col("newsId").asc)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_series"),
+          round(avg(col("pred")), 6).as("avg_pred"),
+          round(avg(col("actual")), 6).as("avg_actual"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -2080,6 +2144,57 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q211_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |k AS (
+        |  SELECT user_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev,
+        |    event_type
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_kept
+        |FROM k WHERE prev IS NULL OR prev <> event_type
+        |GROUP BY 1""".stripMargin,
+
+    "q212_pct_of_parent" ->
+      """WITH base AS (
+        |  SELECT r_name, n_name, sum(o_totalprice) AS rev
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT sum(rev) AS tot FROM base)
+        |SELECT r_name, n_name, round(rev, 2) AS revenue,
+        |  round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS pct_of_region,
+        |  round(rev / tot.tot, 6) AS pct_of_total
+        |FROM base, tot""".stripMargin,
+
+    "q213_forecast_calibration" ->
+      """WITH c AS (
+        |  SELECT (event_id % 500) AS news_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |a AS (
+        |  SELECT news_id, CAST(list(c ORDER BY d) AS DOUBLE[]) AS vals
+        |  FROM c GROUP BY 1),
+        |s AS (
+        |  SELECT news_id, vals[-1] AS actual,
+        |    round(list_reduce(list_slice(vals, 1, len(vals) - 1),
+        |      (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS pred
+        |  FROM a WHERE len(vals) >= 2),
+        |b AS (
+        |  SELECT news_id, actual, pred,
+        |    ntile(5) OVER (ORDER BY pred, news_id) AS bucket
+        |  FROM s)
+        |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_series,
+        |  round(avg(pred), 6) AS avg_pred,
+        |  round(avg(actual), 6) AS avg_actual
+        |FROM b GROUP BY 1""".stripMargin,
 
     "q210_incremental_dedup" ->
       """WITH existing AS (
