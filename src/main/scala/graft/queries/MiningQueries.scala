@@ -1787,6 +1787,64 @@ object MiningQueries {
           round(avg(col("actual")), 6).as("avg_actual"))
     }),
 
+    // Metadata-filtered vector search (the vector-DB "filtered ANN"
+    // shape): top-3 cosine neighbors restricted to the SAME label —
+    // filter-then-search as a label equi-join, so the pair space is
+    // per-label blocks, never the full cross. At 100 TB the label
+    // partition IS the index partition (per-tenant / per-language vector
+    // stores).
+    "q214_filtered_ann" -> ((s, d) => {
+      import graft.functions.VectorExpressions.{floatVecDot, floatVecNormSq}
+      val emb = graft.runtime.Stage.scopedPersist(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          col("embedding"), sqrt(floatVecNormSq(col("embedding"))).as("_n")))
+      val q = emb.filter(col("vec_id") < 30)
+        .select(col("label"), col("vec_id").as("q_id"),
+          col("embedding").as("_qe"), col("_n").as("_qn"))
+      val c = emb.filter(col("vec_id") >= 30)
+        .select(col("label"), col("vec_id").as("c_id"),
+          col("embedding").as("_ce"), col("_n").as("_cn"))
+      q.join(c, "label") // the metadata filter IS the join key
+        .withColumn("cosine", round(
+          floatVecDot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("label"), col("c_id"), col("cosine"), col("rn"))
+    }),
+
+    // Recommendation diversity (intra-list distance, the beyond-accuracy
+    // metric): mean pairwise cosine DISSIMILARITY of each day's top-10
+    // hot list, embeddings keyed by news id — accuracy eval (q24/q125
+    // family) plus item vectors in one composition. Lists are 10 items,
+    // so the pair explosion is 45 rows per day.
+    "q215_rec_diversity" -> ((s, d) => {
+      val recs = Tables.clicks(s, d)
+        .groupBy(col("date"), col("newsId")).agg(count(lit(1)).as("c"))
+        .withColumn("p", row_number().over(
+          Window.partitionBy("date").orderBy(col("c").desc, col("newsId").asc)))
+        .filter(col("p") <= 10)
+        .select(col("date"), col("newsId"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(graft.functions.VectorExpressions.floatVecNormSq(col("embedding")))
+            .as("_n"))
+      val withVec = recs.join(emb, col("newsId") === col("vec_id"))
+        .select(col("date"), col("newsId"), col("embedding"), col("_n"))
+      val pairs = withVec.select(col("date"), col("newsId").as("a"),
+          col("embedding").as("_ae"), col("_n").as("_an"))
+        .join(withVec.select(col("date").as("d2"), col("newsId").as("b"),
+          col("embedding").as("_be"), col("_n").as("_bn")),
+          col("date") === col("d2") && col("a") < col("b"))
+      pairs
+        .select(col("date"),
+          (lit(1.0) - graft.functions.VectorExpressions.floatVecDot(
+            col("_ae"), col("_be")) / (col("_an") * col("_bn"))).as("dis"))
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("dis")), 6).as("avg_ild"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -2144,6 +2202,49 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q214_filtered_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings),
+        |q AS (SELECT label, vec_id AS q_id, x AS qe FROM e WHERE vec_id < 30),
+        |c AS (SELECT label, vec_id AS c_id, x AS ce FROM e WHERE vec_id >= 30),
+        |p AS (
+        |  SELECT q.q_id, q.label, c.c_id,
+        |    round(list_sum(list_transform(list_zip(qe, ce),
+        |        zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qe, v -> v * v)))
+        |         * sqrt(list_sum(list_transform(ce, v -> v * v)))), 6) AS cosine
+        |  FROM q JOIN c ON q.label = c.label)
+        |SELECT q_id, label, c_id, cosine, CAST(rn AS INT) AS rn FROM (
+        |  SELECT p.*, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, c_id) AS rn
+        |  FROM p) t WHERE rn <= 3""".stripMargin,
+
+    "q215_rec_diversity" ->
+      """WITH cl AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+        |    (event_id % 500) AS n
+        |  FROM events WHERE event_type = 'click'),
+        |daily AS (SELECT date, n, count(*) AS c FROM cl GROUP BY 1, 2),
+        |recs AS (
+        |  SELECT date, n FROM (
+        |    SELECT date, n,
+        |      row_number() OVER (PARTITION BY date ORDER BY c DESC, n) AS p
+        |    FROM daily) t WHERE p <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |wv AS (
+        |  SELECT r.date, r.n AS news, e.x FROM recs r
+        |  JOIN e ON e.vec_id = r.n),
+        |p AS (
+        |  SELECT a.date,
+        |    1.0 - list_sum(list_transform(list_zip(a.x, b.x),
+        |        zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.x, v -> v * v)))
+        |         * sqrt(list_sum(list_transform(b.x, v -> v * v)))) AS dis
+        |  FROM wv a JOIN wv b ON a.date = b.date AND a.news < b.news)
+        |SELECT date, count(*) AS n_pairs, round(avg(dis), 6) AS avg_ild
+        |FROM p GROUP BY 1""".stripMargin,
 
     "q211_debounce" ->
       """WITH e AS (
