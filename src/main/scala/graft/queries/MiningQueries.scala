@@ -1845,6 +1845,41 @@ object MiningQueries {
           round(avg(col("dis")), 6).as("avg_ild"))
     }),
 
+    // Cohort LTV curve: cumulative purchase revenue per (signup cohort,
+    // day age) — q108's retention matrix with money on it. The running
+    // sum is per cohort (keyed window over the reduced matrix); first-
+    // activity defines the cohort as in q148.
+    "q216_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("age"))
+        .agg(sum(col("value")).as("rev"))
+      val w = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.select(col("cohort"), col("age"),
+        round(col("rev"), 2).as("revenue"),
+        round(sum(col("rev")).over(w), 2).as("cum_revenue"))
+    }),
+
+    // Data-freshness report (pipeline SLO monitoring): per event type,
+    // latest arrival and its lag behind the globally freshest record —
+    // one agg + a one-row broadcast, the staleness gate a 100 TB ingest
+    // mesh checks before publishing.
+    "q217_freshness" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(max(col("ts")).as("latest"), count(lit(1)).as("n"))
+      val global = per.agg(max(col("latest")).as("gmax"))
+      per.crossJoin(broadcast(global))
+        .select(col("event_type"), col("n"), col("latest"),
+          // integral DIV: `/` is double division and can round across the
+          // minute boundary
+          expr("(unix_micros(gmax) - unix_micros(latest)) DIV 60000000")
+            .as("lag_minutes"))
+    }),
+
     // MapType surface: per-user event-type histogram built as a real map
     // (map_from_entries over the sorted entry list) and exploded back to
     // rows — pins map construction, key-value explosion, and the map
@@ -2202,6 +2237,35 @@ object MiningQueries {
         |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'
         |    THEN round(value, 2) ELSE 0.0 END), 2) AS sum_value2
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q216_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |co AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+        |rev AS (
+        |  SELECT co.cohort,
+        |    CAST(date_diff('day', co.cohort, ev.day) AS INT) AS age,
+        |    sum(ev.value) AS rev
+        |  FROM ev JOIN co ON co.user_id = ev.user_id
+        |  WHERE ev.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort, age, round(rev, 2) AS revenue,
+        |  round(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS cum_revenue
+        |FROM rev""".stripMargin,
+
+    "q217_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, max(CAST(ts AS TIMESTAMP)) AS latest,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(latest) AS gmax FROM per)
+        |SELECT event_type, n, latest,
+        |  date_diff('us', latest, g.gmax) // 60000000 AS lag_minutes
+        |FROM per, g""".stripMargin,
 
     "q214_filtered_ann" ->
       """WITH e AS (
