@@ -11,6 +11,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // r3 showed in-run timings up to 4x the standalone time for queries
+      // late in the sequence: dropped shuffle files / unpersisted blocks
+      // from earlier queries are only reclaimed when the driver GC runs
+      // the ContextCleaner. Default interval is 30 MINUTES — far longer
+      // than a whole bench run, so pressure accumulates. Sweep every 30s.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-reader warmup so the first timed query doesn't

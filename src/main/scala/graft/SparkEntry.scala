@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val raw = RelationalQueries.queries ++ TextQueries.queries ++ RecQueries.queries ++
       ExtQueries.queries ++ TextRankQueries.queries ++ ScaleQueries.queries ++
-      CurationQueries.queries ++ MiningQueries.queries
+      CurationQueries.queries ++ MiningQueries.queries ++ ParityQueries.queries
     // Scope boundary: entering a query releases the previous query's
     // scoped caches (graft.runtime.Stage) — queries run sequentially under
     // the driver contract.
@@ -38,5 +38,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ RecQueries.oracle ++
       ExtQueries.oracle ++ TextRankQueries.oracle ++ ScaleQueries.oracle ++
-      CurationQueries.oracle ++ MiningQueries.oracle
+      CurationQueries.oracle ++ MiningQueries.oracle ++ ParityQueries.oracle
 }

@@ -228,11 +228,26 @@ object CurationQueries {
     * Two jobs total for any number of ranks — the q104 decile case would
     * otherwise pay one sort-limit job per boundary.
     */
-  private[graft] def exactRanks(prices: DataFrame, ks: Seq[Long]): Map[Long, Double] = {
+  /** Driver-safety bound on the collected bin table: the bin count is a
+    * property of the DATA's value range (|range|/1000), not of the code, so
+    * a wide-domain input could otherwise OOM the driver silently. ~1e6 bins
+    * ≈ 24 MB of rows — loud failure far below driver-heap danger.
+    */
+  private[graft] val MaxBins = 1000000
+
+  private[graft] def exactRanks(prices: DataFrame, ks: Seq[Long],
+                                maxBins: Int = MaxBins): Map[Long, Double] = {
+    // limit(maxBins+1) bounds the collect itself (no unbounded driver
+    // transfer even on a pathological domain); one extra row is enough to
+    // detect overflow and fail loudly instead of OOMing.
     val bins = prices.groupBy(floor(col("p") / 1000).cast("long").as("bin"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("bin"))
+      .limit(maxBins + 1)
       .collect()
+    require(bins.length <= maxBins,
+      s"exactRanks: value domain spans more than $maxBins bins of width " +
+        "1000 — widen the bin width for this domain instead of collecting")
     val cum = bins.scanLeft(0L)(_ + _.getLong(1)).tail
     val targets = ks.distinct.map { k =>
       val i = cum.indexWhere(_ >= k)

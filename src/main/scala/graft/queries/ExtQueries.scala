@@ -304,7 +304,7 @@ object ExtQueries {
     * materialization for the similarity-variant queries (q37, q38); weights
     * rounded 6 as everywhere.
     */
-  private def docKeywords(s: SparkSession, d: String): DataFrame =
+  private[queries] def docKeywords(s: SparkSession, d: String): DataFrame =
     graft.runtime.Stage.shared(s, s"doc-kw8:$d") {
       graft.runtime.Stage.persistShared(
         graft.text.TfIdf.topKeywords(graft.ops.Ops.fanOut(Tables.documents(s, d)), "doc_id",

@@ -821,14 +821,19 @@ object MiningQueries {
     "q164_chi_square" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      // N rides the lang margin via a whole-frame window over the ≤|langs|
+      // rows (sum of per-lang counts = total docs) — no separate
+      // driver-side count job / extra table scan.
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       val ml = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        .withColumn("n", sum(col("n_l")).over(wAll).cast("double"))
       val ms = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
-      val n = docs.count().toDouble
       ml.crossJoin(ms)
         .join(cells, Seq("lang", "source"), "left")
         .select(col("lang"), col("source"),
           coalesce(col("o"), lit(0L)).cast("double").as("o"),
-          (col("n_l") * col("n_s") / n).as("e"))
+          (col("n_l") * col("n_s") / col("n")).as("e"))
         .agg(count(lit(1)).as("n_cells"),
           round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"))
     }),
@@ -1083,16 +1088,22 @@ object MiningQueries {
     // broadcast-sized rows.
     "q177_benford" -> ((s, d) => {
       val digit = substring(col("o_totalprice").cast("string"), 1, 1).cast("int")
-      val n = Tables.orders(s, d).count().toDouble
+      // n = total of the SAME filtered population the observed counts come
+      // from (consistent statistic), and it rides the digit aggregate via a
+      // whole-frame window over the ≤9-row digit table — one scan, no
+      // separate driver-side count job.
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.orders(s, d)
         .filter(col("o_totalprice") > 0)
         .groupBy(digit.as("d"))
         .agg(count(lit(1)).as("observed"))
+        .withColumn("n", sum(col("observed")).over(wAll).cast("double"))
         .select(col("d"), col("observed"),
-          round(lit(n) * log(10.0, lit(1.0) + lit(1.0) / col("d")), 3)
+          round(col("n") * log(10.0, lit(1.0) + lit(1.0) / col("d")), 3)
             .as("expected"),
-          round((col("observed") - lit(n) * log(10.0, lit(1.0) + lit(1.0) / col("d")))
-            / sqrt(lit(n) * log(10.0, lit(1.0) + lit(1.0) / col("d"))), 6)
+          round((col("observed") - col("n") * log(10.0, lit(1.0) + lit(1.0) / col("d")))
+            / sqrt(col("n") * log(10.0, lit(1.0) + lit(1.0) / col("d"))), 6)
             .as("z"))
     }),
 
@@ -2529,9 +2540,11 @@ object MiningQueries {
          |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
          |    coalesce(1.0 / (ra.ra + 60), 0.0)
          |      + coalesce(1.0 / (rb.rb + 60), 0.0) AS rrf
-         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+         |top AS (
+         |  SELECT doc_id, rrf FROM f ORDER BY f.rrf DESC, doc_id LIMIT 20)
          |SELECT doc_id, round(rrf, 9) AS rrf
-         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+         |FROM top ORDER BY rrf DESC, doc_id""".stripMargin,
 
     "q203_survivorship" ->
       s"""WITH t AS (
@@ -2720,7 +2733,7 @@ object MiningQueries {
 
     "q189_csv_malformed" ->
       """SELECT (event_id % 10 = 0) AS is_corrupt, count(*) AS n,
-        |  sum(user_id) AS sum_users,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_users,
         |  CASE WHEN event_id % 10 = 0 THEN CAST(0 AS BIGINT)
         |       ELSE count(*) END AS n_parsed_ids
         |FROM events GROUP BY 1""".stripMargin,
@@ -2901,16 +2914,18 @@ object MiningQueries {
         |FROM a, b""".stripMargin,
 
     "q177_benford" ->
-      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
-        |x AS (
+      """WITH x AS (
         |  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS d,
         |    count(*) AS observed
-        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1)
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |y AS (
+        |  SELECT d, observed, CAST(sum(observed) OVER () AS DOUBLE) AS n
+        |  FROM x)
         |SELECT d, observed,
-        |  round(nn.n * log10(1.0 + 1.0 / d), 3) AS expected,
-        |  round((observed - nn.n * log10(1.0 + 1.0 / d))
-        |    / sqrt(nn.n * log10(1.0 + 1.0 / d)), 6) AS z
-        |FROM x, nn""".stripMargin,
+        |  round(n * log10(1.0 + 1.0 / d), 3) AS expected,
+        |  round((observed - n * log10(1.0 + 1.0 / d))
+        |    / sqrt(n * log10(1.0 + 1.0 / d)), 6) AS z
+        |FROM y""".stripMargin,
 
     "q170_orc_roundtrip" ->
       """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
@@ -2919,7 +2934,7 @@ object MiningQueries {
 
     "q171_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(date_diff('us', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)))
         |    AS min_ts_us
         |FROM events GROUP BY 1""".stripMargin,
@@ -3113,7 +3128,7 @@ object MiningQueries {
         |  FROM events)
         |SELECT count(*) AS n_rows,
         |  CAST(count(*) FILTER (WHERE tc IS NULL) AS BIGINT) AS n_bad_cast,
-        |  sum(tc) AS sum_good_cast,
+        |  CAST(sum(tc) AS BIGINT) AS sum_good_cast,
         |  CAST(count(*) FILTER (WHERE td IS NULL) AS BIGINT) AS n_null_div,
         |  round(sum(td), 2) AS sum_div
         |FROM x""".stripMargin,
@@ -3241,8 +3256,9 @@ object MiningQueries {
         |  FROM events WHERE event_type = 'click' GROUP BY 1),
         |p AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
         |SELECT day, n_new,
-        |  sum(n_new) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
         |FROM p""".stripMargin,
 
     "q149_weighted_median" ->
@@ -3254,7 +3270,7 @@ object MiningQueries {
         |    sum(wt) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cumw,
         |    sum(wt) OVER (PARTITION BY lang) AS totw
         |  FROM b)
-        |SELECT lang, max(totw) AS total_weight,
+        |SELECT lang, CAST(max(totw) AS BIGINT) AS total_weight,
         |  min(CASE WHEN cumw * 2 >= totw THEN n_chars END) AS weighted_median
         |FROM c GROUP BY 1""".stripMargin,
 
@@ -3267,7 +3283,8 @@ object MiningQueries {
          |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
          |    o_orderpriority)) AS h
          |  FROM orders)
-         |SELECT count(*) AS n_rows, sum($hex8) AS checksum FROM r""".stripMargin,
+         |SELECT count(*) AS n_rows, CAST(sum($hex8) AS BIGINT) AS checksum
+         |FROM r""".stripMargin,
 
     "q143_null_aware_antijoin" ->
       """WITH keys AS (

@@ -141,6 +141,18 @@ object RecQueries {
     "q23_rec_lists" -> ((s, d) =>
       recDotLists(s, d).withColumn("news", concat_ws(",", col("news")))),
 
+    // T2 unbounded sorted collect (TF_IDF.java:206-221: the TF_IDF pipeline
+    // keeps EVERY positive-scoring candidate, ordered, where TextRank cuts
+    // at numRecommendations): limit=None through the same shared profiles —
+    // the full ranked list per (user, day), no top-k cut.
+    "q220_rec_unbounded" -> ((s, d) => {
+      val (newsKw, userKw) = profiles(s, d)
+      val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance)
+      RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
+          limit = None, scoreRound = Some(4))
+        .withColumn("news", concat_ws(",", col("news")))
+    }),
+
     // T1 via the partial-combining TopK Aggregator instead of a window —
     // same ranking contract, map-side-combined shuffle; under the same
     // oracle as the window form.
@@ -350,6 +362,12 @@ object RecQueries {
         |SELECT userId, day AS date,
         |  array_to_string(list(newsId ORDER BY rn), ',') AS news
         |FROM ranked WHERE rn <= 5 GROUP BY userId, day""".stripMargin),
+
+    "q220_rec_unbounded" -> (rankedCte +
+      """
+        |SELECT userId, day AS date,
+        |  array_to_string(list(newsId ORDER BY rn), ',') AS news
+        |FROM ranked GROUP BY userId, day""".stripMargin),
 
     "q46_precision_rec" -> (rankedCte +
       """,

@@ -179,6 +179,8 @@ object Similarities extends Serializable {
   val dotUdf = udf((a: Seq[org.apache.spark.sql.Row], b: Seq[org.apache.spark.sql.Row]) =>
     dot(toKw(a), toKw(b)))
   val rankDistanceUdf = udf((a: Seq[String], b: Seq[String]) => rankDistance(a, b))
+  val rankDistanceKwUdf = udf((a: Seq[org.apache.spark.sql.Row], b: Seq[org.apache.spark.sql.Row]) =>
+    rankDistanceKw(toKw(a), toKw(b)))
 
   def calculateXCol(a: Column, b: Column): Column = calculateXUdf(a, b)
   def dotCol(a: Column, b: Column): Column = dotUdf(a, b)

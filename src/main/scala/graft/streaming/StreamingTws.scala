@@ -204,8 +204,19 @@ object StreamingTws {
         .start()
       try q.processAllAvailable()
       finally q.stop()
+      // If the source ever splits a user's events across micro-batches
+      // (multiple files / maxFilesPerTrigger), the watermark can fire a
+      // user's timer mid-stream: a partial summary now plus another later,
+      // each covering a disjoint event segment (the timer expiry clears
+      // state). Merge segments per user — counts add, extremes min/max —
+      // so the result is stable under any batch split, mirroring
+      // userActivity's post-sink reduction.
       spark.table(sink)
         .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_events")).as("n_events"),
+          min(col("first_ms")).as("first_ms"),
+          max(col("last_ms")).as("last_ms"))
         .select(col("user_id"), col("n_events"), col("first_ms"), col("last_ms"))
     }
   }

@@ -21,6 +21,38 @@ class MiningSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("q164/q177: plan construction schedules no Spark job (N rides the aggregate, no count scan)") {
+    val sf = "/root/testdata/sf0.001"
+    // warm file listing + parquet schema caches so only a genuine driver
+    // action (the old `docs.count()` shape) could start a job below
+    graft.runtime.Stage.newQueryScope()
+    SparkEntry.queries("q164_chi_square")(spark, sf)
+    SparkEntry.queries("q177_benford")(spark, sf)
+    // parquet schema-inference jobs ("parquet at ...") are expected per
+    // read; what must NOT appear is an ACTION during construction — the old
+    // shape ran `docs.count()` while building the plan.
+    val actionJobs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        if (Seq("count at", "head at", "collect at", "take at")
+            .exists(site.contains)) { actionJobs.add(site); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val chi = SparkEntry.queries("q164_chi_square")(spark, sf)
+      val ben = SparkEntry.queries("q177_benford")(spark, sf)
+      Thread.sleep(500) // listener bus is async; give submitted jobs time to surface
+      assert(actionJobs.isEmpty,
+        s"building the plans must not run driver actions, saw: $actionJobs")
+      // and the lazily-built plans still evaluate correctly
+      assert(chi.collect().length === 1)
+      assert(ben.collect().length === 9)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   private def chunks(tokens: Seq[String], chunk: Int, stride: Int): Seq[Seq[String]] = {
     val df = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
       .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))

@@ -223,4 +223,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.forall { case (c, _, n) => n <= age0(c.toString) })
     assert(rows.forall(_._2 >= 0))
   }
+
+  test("exactRanks guard: a value domain wider than the bin bound fails loudly, never OOMs") {
+    import graft.queries.CurationQueries
+    // 200 distinct width-1000 bins against a bound of 100: the collect is
+    // capped at maxBins+1 rows and the overflow is a loud require, not an
+    // unbounded driver transfer.
+    val wide = spark.range(0, 200).select((col("id") * 1000.0).as("p"))
+    val e = intercept[IllegalArgumentException] {
+      CurationQueries.exactRanks(wide, Seq(1L), maxBins = 100)
+    }
+    assert(e.getMessage.contains("bins"))
+    // the normal path still resolves exact nearest-rank values
+    val narrow = spark.range(1, 101).select(col("id").cast("double").as("p"))
+    val r = CurationQueries.exactRanks(narrow, Seq(50L, 90L))
+    assert(r(50L) === 50.0 && r(90L) === 90.0)
+  }
 }
