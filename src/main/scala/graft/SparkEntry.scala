@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val raw = RelationalQueries.queries ++ TextQueries.queries ++ RecQueries.queries ++
       ExtQueries.queries ++ TextRankQueries.queries ++ ScaleQueries.queries ++
-      CurationQueries.queries ++ MiningQueries.queries ++ ParityQueries.queries
+      CurationQueries.queries ++ MiningQueries.queries ++ ParityQueries.queries ++
+      SurfaceQueries.queries
     // Scope boundary: entering a query releases the previous query's
     // scoped caches (graft.runtime.Stage) — queries run sequentially under
     // the driver contract.
@@ -38,5 +39,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ RecQueries.oracle ++
       ExtQueries.oracle ++ TextRankQueries.oracle ++ ScaleQueries.oracle ++
-      CurationQueries.oracle ++ MiningQueries.oracle ++ ParityQueries.oracle
+      CurationQueries.oracle ++ MiningQueries.oracle ++ ParityQueries.oracle ++
+      SurfaceQueries.oracle
 }

@@ -156,18 +156,35 @@ object RecommendPipeline {
             array_sort(collect_list(struct(col("rn"), col("newsId")))),
             x => x("newsId")).as("news"))
       case None =>
-        // T2 unbounded collect: no cut, so rank with the window form and
-        // gather the full ordered list.
-        val perDay = scores.join(newsDaysOf(newsKw, scene), "id")
-          .join(activeUsers, Seq("day", "userId"), "left_semi")
-          .select(col("day").as("date"), col("userId"), col("id").as("newsId"), col("score"))
-        val ranked = Ops.topKPerGroup(perDay, Seq("date", "userId"),
-          Seq(col("score").desc, col("newsId").asc), Int.MaxValue)
-        ranked
+        // T2 unbounded collect: no cut, so (a) no rank column — a window
+        // row_number would pay a full shuffle + sort only to produce
+        // ordinals the ordered collect immediately re-derives; sorting
+        // happens once per output list via array_sort on (-score, newsId)
+        // structs (struct order = score desc, newsId asc — identical
+        // ranking contract). And (b) the day-explode is BATCHED: scored
+        // pairs are first grouped into one array per (user, news date), so
+        // the ≤(numDays+1)-way day duplication and the (day,user) shuffle
+        // move array ROWS (thousands) instead of individual pairs
+        // (tens of millions) — same bytes, ~|pairs per (user,date)|× fewer
+        // row objects through the explode shuffle. The final merge is
+        // flatten + one array_sort per output list, bounded by the
+        // candidate window, never the corpus.
+        val withDate = scores.join(newsKw.select("id", "date").distinct(), "id")
+        val batched = withDate
           .groupBy(col("userId"), col("date"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("rn"), col("newsId")))),
+          .agg(collect_list(
+            struct((-col("score")).as("_s"), col("id").as("newsId"))).as("_batch"))
+        // news dates here are within [from, to+numDays] (pairScores
+        // pre-filter), so the sequence bounds are always valid
+        batched.withColumn("day", explode(sequence(
+            greatest(date_sub(col("date"), scene.numDays), lit(scene.fromDate)),
+            least(col("date"), lit(scene.toDate)),
+            expr("interval 1 day"))))
+          .join(activeUsers, Seq("day", "userId"), "left_semi")
+          .groupBy(col("userId"), col("day"))
+          .agg(transform(array_sort(flatten(collect_list(col("_batch")))),
             x => x("newsId")).as("news"))
+          .select(col("userId"), col("day").as("date"), col("news"))
     }
   }
 }

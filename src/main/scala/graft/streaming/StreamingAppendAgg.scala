@@ -60,4 +60,59 @@ object StreamingAppendAgg {
         round(col("sv"), 2).as("sum_value"))
       .filter(col("day") <= maxRealDay)
   }
+
+  /** Chained stateful operators (Spark's multiple-stateful-operator lane,
+    * SPARK-40925): an hourly windowed count per event type feeds a SECOND
+    * windowed aggregation — the daily profile over the hourly series — in
+    * ONE streaming query, append mode end-to-end. The downstream window
+    * keys on `window_time()` of the upstream window, which is what makes
+    * watermark propagation across the two stateful operators legal. At
+    * scale this collapses what would otherwise be two jobs with an
+    * intermediate sink (hourly table + daily rollup) into one pass with
+    * two bounded state stores.
+    *
+    * Returns (event_type, day, n_events, n_active_hours, max_hourly).
+    */
+  def dailyHourlyProfile(spark: SparkSession, dir: String): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    val sentinelDir = s"/tmp/graft_chainagg_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val maxUs = graft.io.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val farNs = (maxUs + 72L * 3600L * 1000000L) * 1000L
+    spark.createDataFrame(Seq((-1L, farNs, SENTINEL_USER, "click", 0.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
+
+    def src(path: String, glob: Option[String]): DataFrame = {
+      val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
+      glob.foreach(g => r.option("pathGlobFilter", g))
+      r.parquet(path).withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    }
+    val ev = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
+      .withWatermark("ts", "2 hours")
+
+    val hourly = ev
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val daily = hourly
+      .groupBy(col("event_type"), window(window_time(col("window")), "1 day"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_active_hours"),
+        max(col("n")).as("max_hourly"))
+
+    val sink = s"stream_chain_agg_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val q = daily.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val maxRealDay = to_date(timestamp_micros(lit(maxUs)))
+    spark.table(sink)
+      .select(col("event_type"), to_date(col("window.start")).as("day"),
+        col("n_events"), col("n_active_hours"), col("max_hourly"))
+      .filter(col("day") <= maxRealDay)
+  }
 }
