@@ -69,7 +69,70 @@ object SurfaceQueries {
     // of the hourly series, both stateful operators inside one append-mode
     // query (see StreamingAppendAgg.dailyHourlyProfile).
     "q227_stream_chained_agg" -> ((s, d) =>
-      graft.streaming.StreamingAppendAgg.dailyHourlyProfile(s, d))
+      graft.streaming.StreamingAppendAgg.dailyHourlyProfile(s, d)),
+
+    // Event-sequence pattern detection (the CEP surface, batch form): each
+    // user's history collapses to ONE ordered letter string (event types
+    // have distinct initials) via ordered collect — one shuffle on user —
+    // and patterns become regexes over it: non-overlapping view→click
+    // episodes (regexp_count) and the view→click→purchase path predicate.
+    // Per-user sequences are session-sized, so the string never exceeds a
+    // few KB; the pattern scan is embarrassingly parallel.
+    "q228_event_pattern" -> ((s, d) => {
+      val seqs = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")).as("_e"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", transform(array_sort(collect_list(col("_e"))),
+          x => x("c"))).as("seq"))
+      seqs.select(col("user_id"), length(col("seq")).as("n_events"),
+        regexp_count(col("seq"), lit("v[^c]*c")).as("n_view_click"),
+        col("seq").rlike("v.*c.*p").as("has_vcp_path"))
+    }),
+
+    // Vocabulary build + OOV rate (tokenizer prep): top-1000 vocabulary by
+    // corpus frequency (word tie-break — deterministic cut), then per-doc
+    // out-of-vocabulary share via a BROADCAST left join on the word — the
+    // vocab is k rows by construction, so the scan side never shuffles.
+    "q229_vocab_oov" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.text.Tokenizer.tokens(col("text"))).as("word"))
+      val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("_n"))
+        .orderBy(col("_n").desc, col("word").asc)
+        .limit(1000)
+        .select(col("word"), lit(1).as("_in_vocab"))
+      tok.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(sum(when(col("_in_vocab").isNull, 1.0).otherwise(0.0))
+            / count(lit(1)), 6).as("oov_rate"))
+    }),
+
+    // Domain-mix reweighting (corpus curation: per-source sampling weights
+    // that move the ACTUAL source mix toward a TARGET mix): everything
+    // rides one per-source aggregate + whole-frame windows over the
+    // ≤|sources| rows; weights capped at 3x (the practical upsampling
+    // bound) before use.
+    "q230_mix_weights" -> ((s, d) => {
+      val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val idx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+      Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("_i", idx)
+        .withColumn("actual_share",
+          round(col("n_docs") / sum(col("n_docs")).over(wAll), 6))
+        .withColumn("target_share",
+          round((col("_i") + 1) / sum(col("_i") + 1).over(wAll), 6))
+        .withColumn("weight",
+          round(least(col("target_share") / col("actual_share"), lit(3.0)), 6))
+        .select(col("source"), col("n_docs"), col("actual_share"),
+          col("target_share"), col("weight"))
+    })
   )
 
   // ---- DuckDB oracles ----
@@ -108,6 +171,49 @@ object SurfaceQueries {
         |  CAST(sum(n) AS BIGINT) AS n_events,
         |  count(*) AS n_active_hours,
         |  CAST(max(n) AS BIGINT) AS max_hourly
-        |FROM h GROUP BY 1, 2""".stripMargin
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "q228_event_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    substr(event_type, 1, 1) AS c
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[^c]*c')) AS INT) AS n_view_click,
+        |  regexp_matches(seq, 'v.*c.*p') AS has_vcp_path
+        |FROM s""".stripMargin,
+
+    "q229_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |v AS (SELECT word FROM (
+        |  SELECT word, count(*) AS n FROM tok GROUP BY 1
+        |  ORDER BY n DESC, word LIMIT 1000) t)
+        |SELECT tok.doc_id, count(*) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+        |  round(CAST(count(*) FILTER (WHERE v.word IS NULL) AS DOUBLE)
+        |    / count(*), 6) AS oov_rate
+        |FROM tok LEFT JOIN v ON tok.word = v.word
+        |GROUP BY 1""".stripMargin,
+
+    "q230_mix_weights" ->
+      """WITH a AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS i
+        |  FROM documents GROUP BY 1),
+        |b AS (
+        |  SELECT source, n_docs,
+        |    round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS actual_share,
+        |    round((i + 1) / CAST(sum(i + 1) OVER () AS DOUBLE), 6) AS target_share
+        |  FROM a)
+        |SELECT source, n_docs, actual_share, target_share,
+        |  round(least(target_share / actual_share, 3.0), 6) AS weight
+        |FROM b""".stripMargin
   )
 }

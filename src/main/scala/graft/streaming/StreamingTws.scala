@@ -187,44 +187,68 @@ object StreamingTws {
         glob.foreach(g => r.option("pathGlobFilter", g))
         r.parquet(path)
       }
-      val evs = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
-        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
-        .withWatermark("ets", "1 hour")
+      val raw = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
         .select(col("user_id").as("userId"),
-          expr("unix_micros(ets) DIV 1000").as("tsMs")) // integral DIV: `/` is double division
-        .as[TimedEv]
-      implicit val outEnc: Encoder[UserSummary] = Encoders.product[UserSummary]
-      val out = evs.groupByKey(_.userId)
-        .transformWithState(new TimerSummaryProcessor(30L * 60 * 1000),
-          TimeMode.EventTime(), OutputMode.Append())
-      val q = out.toDF().writeStream
-        .outputMode(OutputMode.Append)
-        .format("memory")
-        .queryName(sink)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      // If the source ever splits a user's events across micro-batches
-      // (multiple files / maxFilesPerTrigger), the watermark can fire a
-      // user's timer mid-stream: a partial summary now plus another later,
-      // each covering a disjoint event segment (the timer expiry clears
-      // state). Merge segments per user — counts add, extremes min/max —
-      // so the result is stable under any batch split, mirroring
-      // userActivity's post-sink reduction.
-      spark.table(sink)
-        .filter(col("user_id") =!= -1L)
-        .groupBy(col("user_id"))
-        .agg(sum(col("n_events")).as("n_events"),
-          min(col("first_ms")).as("first_ms"),
-          max(col("last_ms")).as("last_ms"))
-        .select(col("user_id"), col("n_events"), col("first_ms"), col("last_ms"))
+          expr("ts DIV 1000000").as("tsMs")) // integral DIV: `/` is double division
+      runTimerSummaries(spark, raw, sink)
     }
+  }
+
+  /** The streaming transform of [[timerSummaries]] — watermark + timer
+    * processor over a raw (userId, tsMs) stream. Factored out so specs can
+    * drive it from a MemoryStream in controlled micro-batches.
+    */
+  private[graft] def timerPipeline(spark: SparkSession, raw: DataFrame): DataFrame = {
+    import spark.implicits._
+    val evs = raw
+      .withColumn("ets", timestamp_millis(col("tsMs")))
+      .withWatermark("ets", "1 hour")
+      .select(col("userId"), col("tsMs"))
+      .as[TimedEv]
+    implicit val outEnc: Encoder[UserSummary] = Encoders.product[UserSummary]
+    evs.groupByKey(_.userId)
+      .transformWithState(new TimerSummaryProcessor(30L * 60 * 1000),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Post-sink merge of [[timerSummaries]]: if the source ever splits a
+    * user's events across micro-batches (multiple files /
+    * maxFilesPerTrigger / MemoryStream batches), the watermark can fire a
+    * user's timer mid-stream — a partial summary now plus another later,
+    * each covering a disjoint event segment (the timer expiry clears
+    * state). Merge segments per user — counts add, extremes min/max — so
+    * the result is stable under any batch split, mirroring userActivity's
+    * post-sink reduction.
+    */
+  private[graft] def mergeTimerSink(sinkTable: DataFrame): DataFrame =
+    sinkTable
+      .filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("first_ms")).as("first_ms"),
+        max(col("last_ms")).as("last_ms"))
+      .select(col("user_id"), col("n_events"), col("first_ms"), col("last_ms"))
+
+  /** Core of [[timerSummaries]]: run the pipeline to a memory sink in one
+    * drain, then merge.
+    */
+  private[graft] def runTimerSummaries(spark: SparkSession, raw: DataFrame,
+                                       sink: String): DataFrame = {
+    val q = timerPipeline(spark, raw).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    mergeTimerSink(spark.table(sink))
   }
 
   /** Scopes the RocksDB state-store provider (required by
     * transformWithState) to `f`, restoring the prior provider after.
     */
-  private def withRocksDb[T](spark: SparkSession)(f: => T): T = {
+  private[graft] def withRocksDb[T](spark: SparkSession)(f: => T): T = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,

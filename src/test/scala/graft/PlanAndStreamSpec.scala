@@ -379,6 +379,45 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("TWS timers: a user's timer firing mid-stream still merges to the full summary") {
+    // The ADVICE r3 scenario: a batch split lets the watermark pass a
+    // user's quiet deadline while MORE of their events are still coming —
+    // the timer fires mid-stream, emitting a partial summary, then a
+    // second one at the end. The post-sink merge must make the result
+    // identical to the unsplit run.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val min = 60L * 1000
+    graft.streaming.StreamingTws.withRocksDb(spark) {
+      val stream = MemoryStream[(Long, Long)]
+      val out = graft.streaming.StreamingTws.timerPipeline(
+        spark, stream.toDF().toDF("userId", "tsMs"))
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("tws_split_test").start()
+      try {
+        // batch 1: user 7 at t=0; user 8 at t=600min drives the watermark
+        // to 540min — past user 7's 30min-gap deadline, firing its timer
+        stream.addData(Seq((7L, 0L), (8L, 600 * min)))
+        q.processAllAvailable()
+        // batch 2: user 7 returns at t=560min (ahead of the watermark, so
+        // not late) — state restarts from empty after the expiry
+        stream.addData(Seq((7L, 560 * min)))
+        q.processAllAvailable()
+        // sentinel advances the watermark past every live timer
+        stream.addData(Seq((-1L, 100000 * min)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val sink = spark.table("tws_split_test")
+      // the split DID fire user 7's timer twice (two partial summaries)...
+      assert(sink.filter($"user_id" === 7L).count() === 2)
+      // ...and the merge reassembles the full summary
+      val merged = graft.streaming.StreamingTws.mergeTimerSink(sink)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(merged(7L) === ((2L, 0L, 560 * min)))
+      assert(merged(8L) === ((1L, 600 * min, 600 * min)))
+    }
+  }
+
   test("q94: the benchmark gram set joins as a broadcast (corpus side never re-shuffles for it)") {
     val p = SparkEntry.queries("q94_decontam")(spark, sf)
       .queryExecution.executedPlan.toString
