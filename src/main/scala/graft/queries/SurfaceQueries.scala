@@ -111,6 +111,58 @@ object SurfaceQueries {
             / count(lit(1)), 6).as("oov_rate"))
     }),
 
+    // Linear-interpolation gap fill (the arithmetic upgrade of q73's LOCF):
+    // per-user daily series on a per-user calendar (endpoints observed, so
+    // every gap has both neighbors), surrounding observations carried in
+    // by two one-pass windows (last/first ignoreNulls), interpolation is
+    // pure Column arithmetic. One shuffle on the series key; the calendar
+    // explode is bounded by the date span, never the event count.
+    "q231_gapfill_linear" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+        .select(col("user_id"),
+          explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day"))).as("day"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wNext = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+        .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("_pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("_pd", last(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("_nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("_nd", first(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("day"), col("v").isNotNull.as("observed"),
+          round(when(col("v").isNotNull, col("v"))
+            .otherwise(col("_pv") + (col("_nv") - col("_pv"))
+              * datediff(col("day"), col("_pd"))
+              / datediff(col("_nd"), col("_pd"))), 6).as("value"))
+    }),
+
+    // Quantile normalization (feature preprocessing: map each group's
+    // distribution onto a shared reference): per-lang ntile bins over a
+    // unique-keyed ordering, reference value = cross-group mean per bin,
+    // attached back by a BROADCAST join (the reference table is ≤ n_bins
+    // rows by construction).
+    "q232_quantile_norm" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      val binned = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("qbin", ntile(20).over(w))
+      val ref = binned.groupBy(col("qbin"))
+        .agg(round(avg(col("n_chars")), 6).as("norm_value"))
+      binned.join(broadcast(ref), "qbin")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("qbin"),
+          col("norm_value"))
+    }),
+
     // Domain-mix reweighting (corpus curation: per-source sampling weights
     // that move the ACTUAL source mix toward a TARGET mix): everything
     // rides one per-source aggregate + whole-frame windows over the
@@ -201,6 +253,49 @@ object SurfaceQueries {
         |    / count(*), 6) AS oov_rate
         |FROM tok LEFT JOIN v ON tok.word = v.word
         |GROUP BY 1""".stripMargin,
+
+    "q231_gapfill_linear" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b),
+        |j AS (
+        |  SELECT g.user_id, g.day, d.v
+        |  FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day),
+        |f AS (
+        |  SELECT user_id, day, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, day, v IS NOT NULL AS observed,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) * date_diff('day', pd, day)
+        |         / CAST(date_diff('day', pd, nd) AS DOUBLE) END, 6) AS value
+        |FROM f""".stripMargin,
+
+    "q232_quantile_norm" ->
+      """WITH binned AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(ntile(20) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS INT) AS qbin
+        |  FROM documents),
+        |ref AS (
+        |  SELECT qbin, round(avg(n_chars), 6) AS norm_value
+        |  FROM binned GROUP BY 1)
+        |SELECT b.doc_id, b.lang, b.n_chars, b.qbin, r.norm_value
+        |FROM binned b JOIN ref r USING (qbin)""".stripMargin,
 
     "q230_mix_weights" ->
       """WITH a AS (

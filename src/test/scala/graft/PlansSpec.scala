@@ -91,4 +91,22 @@ class PlansSpec extends AnyFunSuite {
     val after = graft.plans.CrossScoreToInvertedJoin(before)
     assert(after.toString.contains("Join Cross") || after == before)
   }
+
+  test("q224 LATERAL top-k decorrelates: ranked join, never a per-row nested loop") {
+    graft.runtime.Stage.newQueryScope()
+    val p = SparkEntry.queries("q224_lateral_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // Catalyst rewrites the correlated ORDER BY/LIMIT subquery into a
+    // window ranking + equi-join; a LocalLimit per row or a cartesian
+    // product here would mean decorrelation failed.
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q229 vocab join broadcasts: the corpus token scan never re-shuffles for the vocab") {
+    graft.runtime.Stage.newQueryScope()
+    val p = SparkEntry.queries("q229_vocab_oov")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }
