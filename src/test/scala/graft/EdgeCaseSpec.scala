@@ -99,4 +99,48 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(frames.forall(_.frame_off === 0L))
     assert(frames.map(_.frame_digest).distinct.length === 3) // digest still varies by idx
   }
+
+  test("linear gap fill edges: single-observation series and gap-free series pass through") {
+    // hand series: user 1 has one day (no grid to fill), user 2 has a
+    // 3-day gap (interpolates 10 -> 40 linearly), user 3 is dense
+    val daily = Seq(
+      (1L, "2024-01-05", 7.0),
+      (2L, "2024-01-01", 10.0), (2L, "2024-01-04", 40.0),
+      (3L, "2024-01-01", 1.0), (3L, "2024-01-02", 2.0)
+    ).toDF("user_id", "day", "v").withColumn("day", to_date($"day"))
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day").as("_d0"), max($"day").as("_d1"))
+      .select($"user_id",
+        explode(sequence($"_d0", $"_d1", expr("interval 1 day"))).as("day"))
+    val wP = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy("day").rowsBetween(Long.MinValue, 0)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy("day").rowsBetween(0, Long.MaxValue)
+    val out = grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("_pv", last($"v", ignoreNulls = true).over(wP))
+      .withColumn("_pd", last(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wP))
+      .withColumn("_nv", first($"v", ignoreNulls = true).over(wN))
+      .withColumn("_nd", first(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wN))
+      .select($"user_id", $"day",
+        when($"v".isNotNull, $"v")
+          .otherwise($"_pv" + ($"_nv" - $"_pv")
+            * datediff($"day", $"_pd") / datediff($"_nd", $"_pd")).as("value"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
+    assert(out((1L, "2024-01-05")) === 7.0)
+    assert(out((2L, "2024-01-02")) === 20.0) // 10 + (40-10)*1/3
+    assert(out((2L, "2024-01-03")) === 30.0)
+    assert(out((3L, "2024-01-02")) === 2.0)
+    assert(out.size === 1 + 4 + 2)
+  }
+
+  test("event-pattern regex: single-event users and no-match sequences count zero, never null") {
+    val seqs = Seq((1L, "v"), (2L, "ppp"), (3L, "vxcvc")).toDF("user_id", "seq")
+    val out = seqs.select($"user_id",
+        regexp_count($"seq", lit("v[^c]*c")).as("n"),
+        $"seq".rlike("v.*c.*p").as("path"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((0, false)))
+    assert(out(2L) === ((0, false)))
+    assert(out(3L) === ((2, false))) // non-overlapping: "vxc" and "vc"
+  }
 }
