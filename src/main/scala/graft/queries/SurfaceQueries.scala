@@ -71,6 +71,61 @@ object SurfaceQueries {
     "q227_stream_chained_agg" -> ((s, d) =>
       graft.streaming.StreamingAppendAgg.dailyHourlyProfile(s, d)),
 
+    // Deterministic rank-1 factorization (the ORACLE-GREEN sibling of
+    // q50's ALS, which is rows-only by nature): two alternating power
+    // iterations toward the dominant singular pair of the user×news count
+    // matrix. Each half-step is one equi-join + keyed aggregate; the
+    // normalizer is a broadcast one-row aggregate; intermediate vectors
+    // round to 6 so BOTH engines iterate on identical operands (the
+    // float-sum reorder noise of ~1e-15 relative is far below the
+    // rounding grid). Fixed iteration count — no driver-side convergence
+    // loop, the whole thing is one lazy plan.
+    "q233_power_factor" -> ((s, d) => {
+      val a = Tables.clicks(s, d)
+        .groupBy(col("userId"), col("newsId"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      def normalize(df: DataFrame, key: String, v: String): DataFrame = {
+        val n = df.agg(sqrt(sum(col(v) * col(v))).as("_nrm"))
+        df.crossJoin(broadcast(n))
+          .select(col(key), round(col(v) / col("_nrm"), 6).as(v))
+      }
+      val v0 = a.select(col("newsId")).distinct().withColumn("v", lit(1.0))
+      def uStep(v: DataFrame): DataFrame = normalize(
+        a.join(v, "newsId").groupBy(col("userId"))
+          .agg(sum(col("c") * col("v")).as("u")), "userId", "u")
+      def vStep(u: DataFrame): DataFrame = normalize(
+        a.join(u, "userId").groupBy(col("newsId"))
+          .agg(sum(col("c") * col("u")).as("v")), "newsId", "v")
+      vStep(uStep(vStep(uStep(v0))))
+    }),
+
+    // KMV (k minimum values) distinct-count sketch — the ORACLE-GREEN
+    // sibling of q74's HLL/GK lane (rows-only by nature): with a
+    // DETERMINISTIC hash (md5 hex prefix) the k-th smallest distinct hash
+    // is a plain rank, so estimate = (k-1)·2^32 / h_k reproduces exactly
+    // in both engines, next to the exact distinct count it approximates.
+    // The sketch property that matters at 100 TB: per-partition top-k
+    // minima merge associatively (here the window is over the already
+    // DISTINCT hash set, ≤ |users| rows per type).
+    "q234_kmv_sketch" -> ((s, d) => {
+      val k = 32
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val hashes = Tables.events(s, d)
+        .select(col("event_type"), h.as("h")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h")
+      val kth = hashes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k)
+        .select(col("event_type"), col("h").as("_hk"))
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(kth, Seq("event_type"), "left")
+        .select(col("event_type"), col("exact_users"),
+          round(lit((k - 1).toDouble) * lit(4294967296.0) / col("_hk"), 4)
+            .as("kmv_estimate"))
+    }),
+
     // Event-sequence pattern detection (the CEP surface, batch form): each
     // user's history collapses to ONE ordered letter string (event types
     // have distinct initials) via ordered collect — one shuffle on user —
@@ -189,7 +244,47 @@ object SurfaceQueries {
 
   // ---- DuckDB oracles ----
 
+  /** md5(user_id) first 8 hex digits as BIGINT (the q150/q153 hex idiom). */
+  private val userHex8: String = (1 to 8).map { i =>
+    s"(CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 8 - i).toLong})"
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q233_power_factor" ->
+      """WITH a AS (
+        |  SELECT user_id AS userId, event_id % 500 AS newsId,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT newsId, 1.0 AS v FROM a),
+        |u1r AS (SELECT a.userId, sum(a.c * v0.v) AS u
+        |  FROM a JOIN v0 USING (newsId) GROUP BY 1),
+        |u1 AS (SELECT userId,
+        |  round(u / (SELECT sqrt(sum(u*u)) FROM u1r), 6) AS u FROM u1r),
+        |v1r AS (SELECT a.newsId, sum(a.c * u1.u) AS v
+        |  FROM a JOIN u1 USING (userId) GROUP BY 1),
+        |v1 AS (SELECT newsId,
+        |  round(v / (SELECT sqrt(sum(v*v)) FROM v1r), 6) AS v FROM v1r),
+        |u2r AS (SELECT a.userId, sum(a.c * v1.v) AS u
+        |  FROM a JOIN v1 USING (newsId) GROUP BY 1),
+        |u2 AS (SELECT userId,
+        |  round(u / (SELECT sqrt(sum(u*u)) FROM u2r), 6) AS u FROM u2r),
+        |v2r AS (SELECT a.newsId, sum(a.c * u2.u) AS v
+        |  FROM a JOIN u2 USING (userId) GROUP BY 1)
+        |SELECT newsId,
+        |  round(v / (SELECT sqrt(sum(v*v)) FROM v2r), 6) AS v FROM v2r""".stripMargin,
+
+    "q234_kmv_sketch" ->
+      s"""WITH hx AS (SELECT DISTINCT event_type, $userHex8 AS h FROM events),
+         |kth AS (SELECT event_type, h AS hk FROM (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hx) t WHERE rn = 32),
+         |ex AS (SELECT event_type,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT ex.event_type, ex.exact_users,
+         |  round(31.0 * 4294967296.0 / kth.hk, 4) AS kmv_estimate
+         |FROM ex LEFT JOIN kth USING (event_type)""".stripMargin,
     "q224_lateral_topk" ->
       """SELECT c.c_custkey, t.o_orderkey, t.price
         |FROM customer c,
