@@ -3,6 +3,7 @@ package graft.queries
 import graft.io.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.sql.Date
 
 /** Round-4 surface additions: the SQL dependent-join lane (LATERAL), the
   * record-linkage blocking pattern (edit distance within deterministic
@@ -218,6 +219,54 @@ object SurfaceQueries {
           col("norm_value"))
     }),
 
+    // Day-of-week seasonal decomposition (anomaly-detection prep): daily
+    // series -> 7-day centered-MA trend (full windows only) -> per-dow
+    // seasonal mean of the detrended series -> residual. Three windows
+    // over the ≤|days| reduced table; dow is day-index arithmetic, not a
+    // locale-dependent dayofweek().
+    "q235_seasonal" -> ((s, d) => {
+      val w7 = org.apache.spark.sql.expressions.Window.orderBy("date")
+        .rowsBetween(-3, 3)
+      val daily = Tables.clicks(s, d)
+        .groupBy(col("date")).agg(count(lit(1)).cast("double").as("n"))
+      val t = daily
+        .withColumn("_cnt", count(col("n")).over(w7))
+        .withColumn("trend", avg(col("n")).over(w7))
+        .filter(col("_cnt") === 7)
+        .withColumn("_dow",
+          pmod(datediff(col("date"), lit(Date.valueOf("2024-01-01"))), lit(7)))
+        .withColumn("_detr", col("n") - col("trend"))
+      val wd = org.apache.spark.sql.expressions.Window.partitionBy("_dow")
+      t.withColumn("_seas", avg(col("_detr")).over(wd))
+        .select(col("date"), col("n"),
+          round(col("trend"), 6).as("trend"),
+          round(col("_seas"), 6).as("seasonal"),
+          round(col("_detr") - col("_seas"), 6).as("resid"))
+    }),
+
+    // Fuzzy-duplicate cluster resolution: q225's blocked edit-distance
+    // pairs become edges, and hash-min connected components (the q70
+    // machinery — BSP label propagation over edge-incident vertices only)
+    // resolve transitive fuzzy groups to canonical ids. Blocking bounds
+    // candidate generation; CC bounds live state to the pair graph.
+    "q236_fuzzy_clusters" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 8).as("blk"),
+        substring(col("text"), 1, 40).as("head"))
+      val a = t.select(col("blk"), col("doc_id").as("a"), col("head").as("_ha"))
+      val b = t.select(col("blk"), col("doc_id").as("b"), col("head").as("_hb"))
+      val edges = a.join(b, Seq("blk")).filter(col("a") < col("b"))
+        .filter(levenshtein(col("_ha"), col("_hb")) <= 10)
+        .select(col("a"), col("b"))
+      val labels = graft.ext.Dedup.connectedComponents(
+        Tables.documents(s, d).select(col("doc_id").as("_id")), edges)
+      Tables.documents(s, d)
+        .join(labels, col("doc_id") === col("_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+    }),
+
     // Domain-mix reweighting (corpus curation: per-source sampling weights
     // that move the ACTUAL source mix toward a TARGET mix): everything
     // rides one per-source aggregate + whole-frame windows over the
@@ -391,6 +440,42 @@ object SurfaceQueries {
         |  FROM binned GROUP BY 1)
         |SELECT b.doc_id, b.lang, b.n_chars, b.qbin, r.norm_value
         |FROM binned b JOIN ref r USING (qbin)""".stripMargin,
+
+    "q235_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS date, CAST(count(*) AS DOUBLE) AS n
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |t AS (
+        |  SELECT date, n, count(n) OVER w AS cnt, avg(n) OVER w AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY date ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (
+        |  SELECT date, n, trend, (date - DATE '2024-01-01') % 7 AS dow,
+        |    n - trend AS detr
+        |  FROM t WHERE cnt = 7),
+        |g AS (SELECT *, avg(detr) OVER (PARTITION BY dow) AS seasonal FROM f)
+        |SELECT date, n, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+        |  round(detr - seasonal, 6) AS resid
+        |FROM g""".stripMargin,
+
+    "q236_fuzzy_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 40) AS head
+        |  FROM documents),
+        |dup AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE levenshtein(a.head, b.head) <= 10),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        |          UNION SELECT doc_b, doc_a FROM dup),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
+        |lab AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
+        |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN lab l ON l.id = d.doc_id""".stripMargin,
 
     "q230_mix_weights" ->
       """WITH a AS (
