@@ -48,6 +48,39 @@ object Graph {
     graft.runtime.Stage.scopedPersist(ranks)
   }
 
+  /** Personalized PageRank: identical recurrence to [[pageRank]] except the
+    * teleport mass returns to the SEED set (1/|S| per seed, 0 elsewhere)
+    * instead of uniformly — the similarity/recommendation variant ("nodes
+    * near these"). Same per-round shape: one |E|-row shuffle; the seed
+    * vector is joined once up front and rides the checkpointed node frame.
+    *
+    * edges: (src, dst). seeds: one `id` column (must be graph vertices).
+    * Returns (id, r).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int, damping: Double): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").localCheckpoint()
+    val nodes = deg.select(col("src").as("id"))
+    val nSeeds = seeds.count().toDouble // one tiny action; seed sets are small by contract
+    val sVec = nodes
+      .join(seeds.select(col("id"), lit(1.0 / nSeeds).as("s")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
+      .localCheckpoint()
+    var ranks = sVec.select(col("id"), col("s").as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+      ranks = sVec.join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("s")
+            + lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    graft.runtime.Stage.scopedPersist(ranks)
+  }
+
   /** Exact triangle count over an undirected graph given as canonical
     * edges `(a, b)` with `a < b`, by degree-ordered orientation: every
     * edge points low-degree → high-degree (ties by id), wedges enumerate

@@ -219,6 +219,25 @@ object SurfaceQueries {
           col("norm_value"))
     }),
 
+    // Personalized PageRank over the click bipartite graph (q101's whole-
+    // graph variant with teleport restricted to a seed set — "news similar
+    // to these 5"): same one-|E|-shuffle-per-superstep shape; the seed
+    // vector rides the checkpointed node frame. Scores round(8) as q101.
+    "q237_personalized_pr" -> ((s, d) => {
+      val e0 = Tables.clicks(s, d)
+        .select((col("userId") * 2).as("u"), (col("newsId") * 2 + 1).as("v"))
+        .distinct()
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      val seeds = e0.select(col("v").as("id")).distinct()
+        .filter(expr("((id - 1) DIV 2) % 100 = 0")) // newsId % 100 = 0
+      graft.ext.Graph.personalizedPageRank(edges, seeds, 10, 0.85)
+        .select(
+          when(col("id") % 2 === 0, lit("user")).otherwise(lit("news")).as("kind"),
+          (col("id") / 2).cast("long").as("ref_id"),
+          round(col("r"), 8).as("rank"))
+    }),
+
     // Day-of-week seasonal decomposition (anomaly-detection prep): daily
     // series -> 7-day centered-MA trend (full windows only) -> per-dow
     // seasonal mean of the detrended series -> residual. Three windows
@@ -298,7 +317,44 @@ object SurfaceQueries {
     s"(CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 8 - i).toLong})"
   }.mkString(" + ")
 
+  /** q237's recurrence, unrolled (the q101 pattern with the seed teleport
+    * vector in place of the uniform base).
+    */
+  private val pprSteps: String = {
+    val dmp = "CAST(0.85 AS DOUBLE)"
+    (1 to 10).map { i =>
+      s"""p$i AS (
+         |  SELECT sv.id, (1 - $dmp) * sv.s + $dmp * coalesce(c.m, 0) AS r
+         |  FROM sv LEFT JOIN (
+         |    SELECT e.dst, sum(p.r / e.deg) AS m
+         |    FROM e JOIN p${i - 1} p ON p.id = e.src
+         |    GROUP BY e.dst) c ON c.dst = sv.id)""".stripMargin
+    }.mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q237_personalized_pr" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT user_id * 2 AS u, (event_id % 500) * 2 + 1 AS v
+         |  FROM events WHERE event_type = 'click'),
+         |sym AS (SELECT u AS src, v AS dst FROM e0
+         |        UNION ALL SELECT v, u FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+         |e AS (SELECT s.src, s.dst, dg.deg FROM sym s
+         |      JOIN deg dg ON dg.src = s.src),
+         |seeds AS (SELECT DISTINCT v AS id FROM e0
+         |          WHERE ((v - 1) // 2) % 100 = 0),
+         |sc AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds),
+         |sv AS (
+         |  SELECT dg.src AS id,
+         |    CASE WHEN sd.id IS NOT NULL THEN 1.0 / sc.c ELSE 0.0 END AS s
+         |  FROM deg dg LEFT JOIN seeds sd ON sd.id = dg.src, sc),
+         |p0 AS (SELECT id, s AS r FROM sv),
+         |$pprSteps
+         |SELECT CASE WHEN id % 2 = 0 THEN 'user' ELSE 'news' END AS kind,
+         |  id // 2 AS ref_id, round(r, 8) AS rank
+         |FROM p10""".stripMargin,
+
     "q233_power_factor" ->
       """WITH a AS (
         |  SELECT user_id AS userId, event_id % 500 AS newsId,
