@@ -187,12 +187,19 @@ object MiningQueries {
     "q127_merge_upsert" -> ((s, d) => {
       val tgt = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      // 10% uplift in EXACT integer cents (floor at the sub-cent):
+      // `round(bal * 1.1, 2)` lands exactly on half-cent ties (2 dp × 1.1 =
+      // 3 dp), where Spark's BigDecimal rounding and DuckDB's scaled-double
+      // rounding legitimately disagree — caught by the sf0.1 stress run.
+      // floorDiv via pmod is sign-safe (acctbal can be negative).
+      val c110 = (round(col("c_acctbal") * 100).cast("long") * 110)
       val chg = tgt.select(
           col("c_custkey").as("k"),
           when(col("c_custkey") % 10 === 0, lit("D"))
             .when(col("c_custkey") % 10 <= 3, lit("U"))
             .otherwise(lit(null)).as("op"),
-          round(col("c_acctbal") * 1.1, 2).as("new_bal"))
+          (((c110 - pmod(c110, lit(100L))).cast("double") / 100) / 100)
+            .as("new_bal"))
         .filter(col("op").isNotNull)
         .union(tgt.filter(col("c_custkey") % 10 === 4)
           .select((col("c_custkey") + 1000000).as("k"), lit("I").as("op"),
@@ -2215,8 +2222,11 @@ object MiningQueries {
         |  SELECT c_custkey AS k,
         |    CASE WHEN c_custkey % 10 = 0 THEN 'D'
         |         WHEN c_custkey % 10 <= 3 THEN 'U' END AS op,
-        |    round(c_acctbal * 1.1, 2) AS new_bal
-        |  FROM tgt WHERE c_custkey % 10 <= 3
+        |    CAST(c110 - ((c110 % 100) + 100) % 100 AS DOUBLE) / 100 / 100
+        |      AS new_bal
+        |  FROM (SELECT c_custkey,
+        |          CAST(round(c_acctbal * 100) AS BIGINT) * 110 AS c110
+        |        FROM tgt) x WHERE c_custkey % 10 <= 3
         |  UNION ALL
         |  SELECT c_custkey + 1000000, 'I', 0.0
         |  FROM tgt WHERE c_custkey % 10 = 4)

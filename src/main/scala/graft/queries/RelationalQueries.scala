@@ -394,8 +394,16 @@ object RelationalQueries {
     // Running window aggregate (rows-frame) with a total order → deterministic.
     "q12_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // l_quantity is part of the ORDER: the synthetic lineitem has
+      // duplicate (orderkey, linenumber) pairs (sf0.1: 2-row ties on all
+      // three keys with DIFFERENT quantities), and a ROWS-frame running
+      // sum over a non-total order is order-dependent — DuckDB itself
+      // returns different values run-to-run. With quantity in the order,
+      // remaining ties are value-identical rows, so the output multiset
+      // is deterministic.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc, col("l_quantity").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
@@ -513,7 +521,7 @@ object RelationalQueries {
     "q12_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
         |FROM lineitem""".stripMargin,
 

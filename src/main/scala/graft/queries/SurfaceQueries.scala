@@ -187,6 +187,18 @@ object SurfaceQueries {
       val wNext = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("day")
         .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      // Interpolation runs in EXACT integer micro-units with a pmod-based
+      // floor division: the rational (nv-pv)·k/m lands exactly on
+      // half-micro rounding ties (m=2,4,... gaps), where Spark's
+      // BigDecimal rounding and DuckDB's scaled-double rounding disagree
+      // — caught by the sf0.1 stress run. Micro-integers divided by 1e6
+      // have ≤6 decimals, so the display round is tie-free.
+      val pvU = round(col("_pv") * 1e6).cast("long")
+      val nvU = round(col("_nv") * 1e6).cast("long")
+      val num = (nvU - pvU) * datediff(col("day"), col("_pd"))
+      val den = datediff(col("_nd"), col("_pd")).cast("long")
+      val interpU = pvU.cast("double") +
+        (num - pmod(num, den)).cast("double") / den
       grid.join(daily, Seq("user_id", "day"), "left")
         .withColumn("_pv", last(col("v"), ignoreNulls = true).over(wPrev))
         .withColumn("_pd", last(when(col("v").isNotNull, col("day")),
@@ -196,9 +208,7 @@ object SurfaceQueries {
           ignoreNulls = true).over(wNext))
         .select(col("user_id"), col("day"), col("v").isNotNull.as("observed"),
           round(when(col("v").isNotNull, col("v"))
-            .otherwise(col("_pv") + (col("_nv") - col("_pv"))
-              * datediff(col("day"), col("_pd"))
-              / datediff(col("_nd"), col("_pd"))), 6).as("value"))
+            .otherwise(interpU / 1e6), 6).as("value"))
     }),
 
     // Quantile normalization (feature preprocessing: map each group's
@@ -478,12 +488,20 @@ object SurfaceQueries {
         |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY day
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-        |  FROM j)
+        |  FROM j),
+        |g AS (
+        |  SELECT user_id, day, v,
+        |    CAST(round(pv * 1000000) AS BIGINT) AS pvu,
+        |    (CAST(round(nv * 1000000) AS BIGINT)
+        |      - CAST(round(pv * 1000000) AS BIGINT))
+        |      * date_diff('day', pd, day) AS num,
+        |    date_diff('day', pd, nd) AS m
+        |  FROM f)
         |SELECT user_id, day, v IS NOT NULL AS observed,
         |  round(CASE WHEN v IS NOT NULL THEN v
-        |    ELSE pv + (nv - pv) * date_diff('day', pd, day)
-        |         / CAST(date_diff('day', pd, nd) AS DOUBLE) END, 6) AS value
-        |FROM f""".stripMargin,
+        |    ELSE (pvu + CAST(num - ((num % m) + m) % m AS DOUBLE) / m)
+        |         / 1000000.0 END, 6) AS value
+        |FROM g""".stripMargin,
 
     "q232_quantile_norm" ->
       """WITH binned AS (

@@ -41,6 +41,32 @@ class GraphTrendSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
 
+  test("personalizedPageRank: mass sums to 1, localizes around the seed, uniform seeds = pageRank") {
+    graft.runtime.Stage.newQueryScope()
+    // path graph 1-2-3-4, symmetrized; seed at node 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r = Graph.personalizedPageRank(edges, seeds, 20, 0.85).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // teleport returns to node 1, so each node outranks its same-degree
+    // mirror on the far side (degree confounds raw distance ordering: the
+    // seed's deg-2 neighbor legitimately outranks the deg-1 seed itself)
+    assert(r(1L) > r(4L)) // endpoints: seed vs far end
+    assert(r(2L) > r(3L)) // middles: near vs far
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // seeding EVERY node uniformly recovers whole-graph pageRank exactly
+    graft.runtime.Stage.newQueryScope()
+    val allSeeds = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("id")
+    val ppr = Graph.personalizedPageRank(edges, allSeeds, 10, 0.85).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    graft.runtime.Stage.newQueryScope()
+    val pr = Graph.pageRank(edges, 10, 0.85).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ppr.keySet === pr.keySet)
+    ppr.foreach { case (k, v) => assert(math.abs(v - pr(k)) < 1e-12) }
+  }
+
   test("EWMA fold: seed-first left fold matches the hand recurrence") {
     // [1,2,3] with α=0.3: 1 → 1.3 → 1.81
     val got = Seq(Seq(1.0, 2.0, 3.0)).toDF("vals")
