@@ -229,6 +229,41 @@ object SurfaceQueries {
           col("norm_value"))
     }),
 
+    // Association rules over co-click baskets (support / confidence /
+    // lift — the market-basket complement to q121's item-CF cosine):
+    // basket = (user, day), candidate pairs meet ONLY through a basket
+    // self-equi-join (bounded by per-basket item counts, never the
+    // catalog²), margins and the basket total ride broadcast one-row /
+    // per-item aggregates. Counts stay exact integers; only lift is a
+    // derived float.
+    "q238_assoc_rules" -> ((s, d) => {
+      val baskets = Tables.clicks(s, d)
+        .select(col("userId"), col("date"), col("newsId")).distinct()
+      val supp = baskets.groupBy(col("newsId")).agg(count(lit(1)).as("n_item"))
+      // n_baskets = distinct (user, day) count — one row, broadcast
+      val nB = baskets.select(col("userId"), col("date")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val a = baskets.select(col("userId"), col("date"), col("newsId").as("item_a"))
+      val b = baskets.select(col("userId"), col("date"), col("newsId").as("item_b"))
+      val pairs = a.join(b, Seq("userId", "date"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_pair"))
+      pairs
+        .join(broadcast(supp.select(col("newsId").as("item_a"), col("n_item").as("n_a"))), "item_a")
+        .join(broadcast(supp.select(col("newsId").as("item_b"), col("n_item").as("n_b"))), "item_b")
+        .crossJoin(broadcast(nB))
+        .select(col("item_a"), col("item_b"), col("n_pair"), col("n_a"),
+          col("n_b"), col("n_baskets"),
+          round(col("n_pair") * col("n_baskets")
+            / (col("n_a") * col("n_b")), 6).as("lift"))
+        // global top-100 rules by ROUNDED lift with a unique tie-break
+        // (round-before-rank convention); at production support floors
+        // the HAVING-style n_pair cut replaces the limit
+        .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
+        .limit(100)
+    }),
+
     // Personalized PageRank over the click bipartite graph (q101's whole-
     // graph variant with teleport restricted to a seed set — "news similar
     // to these 5"): same one-|E|-shuffle-per-superstep shape; the seed
@@ -343,6 +378,28 @@ object SurfaceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q238_assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT user_id AS userId, CAST(ts AS DATE) AS date,
+        |    event_id % 500 AS newsId
+        |  FROM events WHERE event_type = 'click'),
+        |supp AS (SELECT newsId, count(*) AS n_item FROM baskets GROUP BY 1),
+        |nb AS (SELECT count(*) AS n_baskets FROM
+        |  (SELECT DISTINCT userId, date FROM baskets) t),
+        |pairs AS (
+        |  SELECT a.newsId AS item_a, b.newsId AS item_b, count(*) AS n_pair
+        |  FROM baskets a JOIN baskets b
+        |    ON a.userId = b.userId AND a.date = b.date AND a.newsId < b.newsId
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_pair,
+        |  sa.n_item AS n_a, sb.n_item AS n_b, nb.n_baskets,
+        |  round(p.n_pair * nb.n_baskets
+        |    / CAST(sa.n_item * sb.n_item AS DOUBLE), 6) AS lift
+        |FROM pairs p
+        |JOIN supp sa ON sa.newsId = p.item_a
+        |JOIN supp sb ON sb.newsId = p.item_b, nb
+        |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin,
+
     "q237_personalized_pr" ->
       s"""WITH e0 AS (
          |  SELECT DISTINCT user_id * 2 AS u, (event_id % 500) * 2 + 1 AS v
