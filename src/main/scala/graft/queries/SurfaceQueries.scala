@@ -229,6 +229,50 @@ object SurfaceQueries {
           col("norm_value"))
     }),
 
+    // LM-based quality filtering (the perplexity-filter shape of
+    // pretraining curation): q123's corpus bigram LM scores every doc;
+    // docs bucket into deciles by ROUNDED avg log-probability (unique
+    // doc_id tie-break) and the bottom decile is the filtered set. The
+    // ntile runs over the already-reduced per-doc table. Composes the
+    // DECLARED q123 query — operator reuse is the library contract.
+    "q239_lm_quality" -> ((s, d) => {
+      val lm = MiningQueries.queries("q123_bigram_lm")(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_logp").asc, col("doc_id").asc)
+      lm.withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("avg_logp")), 6).as("min_logp"),
+          round(max(col("avg_logp")), 6).as("max_logp"))
+        .withColumn("filtered", col("decile") === 1)
+    }),
+
+    // PII scan (curation compliance): deterministic synthetic emails /
+    // phone strings are injected into a known doc subset, then detected
+    // with the same regexes in both engines — per-source incidence counts.
+    // Detection is pure per-row regexp_extract_all (codegen'd, no UDF).
+    "q240_pii_scan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val text = when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" contact: user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+        .when(col("doc_id") % 20 === 7,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"), col("source"), text.as("t"))
+        .select(col("source"),
+          (size(regexp_extract_all(col("t"),
+            lit("[a-z0-9]+@[a-z]+\\.[a-z]+"), lit(0))) > 0).as("has_email"),
+          (size(regexp_extract_all(col("t"),
+            lit("555-[0-9]{4}"), lit(0))) > 0).as("has_phone"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("has_email").cast("long")).as("n_email"),
+          sum(col("has_phone").cast("long")).as("n_phone"),
+          sum((col("has_email") || col("has_phone")).cast("long")).as("n_pii"))
+    }),
+
     // Association rules over co-click baskets (support / confidence /
     // lift — the market-basket complement to q121's item-CF cosine):
     // basket = (user, day), candidate pairs meet ONLY through a basket
@@ -377,7 +421,45 @@ object SurfaceQueries {
     }.mkString(",\n")
   }
 
+  // Composes the q123 oracle as a nested CTE subquery — the SQL mirror of
+  // the Spark side composing the declared q123 query.
+  private def lmQualityOracle: String =
+    s"""WITH lm AS (
+       |${MiningQueries.oracle("q123_bigram_lm")}
+       |),
+       |dd AS (
+       |  SELECT doc_id, avg_logp,
+       |    ntile(10) OVER (ORDER BY avg_logp, doc_id) AS decile
+       |  FROM lm)
+       |SELECT CAST(decile AS INT) AS decile, count(*) AS n_docs,
+       |  round(min(avg_logp), 6) AS min_logp,
+       |  round(max(avg_logp), 6) AS max_logp,
+       |  decile = 1 AS filtered
+       |FROM dd GROUP BY decile""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q239_lm_quality" -> lmQualityOracle,
+
+    "q240_pii_scan" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 20 = 0 THEN
+        |      text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    WHEN doc_id % 20 = 7 THEN
+        |      text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) > 0 AS has_email,
+        |    len(regexp_extract_all(t, '555-[0-9]{4}')) > 0 AS has_phone
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE has_email) AS BIGINT) AS n_email,
+        |  CAST(count(*) FILTER (WHERE has_phone) AS BIGINT) AS n_phone,
+        |  CAST(count(*) FILTER (WHERE has_email OR has_phone) AS BIGINT) AS n_pii
+        |FROM f GROUP BY 1""".stripMargin,
+
     "q238_assoc_rules" ->
       """WITH baskets AS (
         |  SELECT DISTINCT user_id AS userId, CAST(ts AS DATE) AS date,
