@@ -229,6 +229,60 @@ object SurfaceQueries {
           col("norm_value"))
     }),
 
+    // Snapshot diff (the lakehouse change-data-feed primitive, inverse of
+    // q175's CDC compaction): two keyed snapshots (a user's first- vs
+    // second-half activity profile) FULL OUTER join into INSERT / DELETE /
+    // UPDATE / UNCHANGED classes. One co-partitioned join on the key; the
+    // class rollup is a conditional aggregate.
+    "q241_snapshot_diff" -> ((s, d) => {
+      // disjoint user slices are dropped from each snapshot so all change
+      // classes are populated (pure time-split data would be all-update)
+      def snap(lo: Int, hi: Int, excl: Int, tag: String) = Tables.events(s, d)
+        .filter(dayofmonth(col("ts")).between(lo, hi) &&
+          col("user_id") % excl =!= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          round(sum(col("value")), 2).as(s"v_$tag"))
+      val old = snap(1, 15, 11, "old")
+      val neu = snap(16, 31, 7, "new")
+      old.join(neu, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("n_old").isNull, lit("insert"))
+            .when(col("n_new").isNull, lit("delete"))
+            .when(col("n_old") === col("n_new") && col("v_old") === col("v_new"),
+              lit("unchanged"))
+            .otherwise(lit("update")).as("change"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n_keys"))
+    }),
+
+    // Hard-negative mining (embedding-training data prep): for each query
+    // vector, the highest-cosine candidate with a DIFFERENT label — the
+    // pair a contrastive loss learns most from. Composes the exact-cosine
+    // machinery with a label inequality predicate; the query side is tiny
+    // and broadcast, so the candidate scan never shuffles.
+    "q242_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, a -> CAST(a AS DOUBLE))").as("x"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("x").as("qx"))
+      val c = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("x").as("cx"))
+      val dot = expr("aggregate(zip_with(qx, cx, (a, b) -> a * b), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      val nrm = (v: String) => expr(s"sqrt(aggregate(transform($v, a -> a * a), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+      val scored = c.join(broadcast(q), col("c_label") =!= col("q_label"))
+        .withColumn("cosine", round(dot / (nrm("qx") * nrm("cx")), 6))
+      graft.ops.Ops.topKPerGroup(
+        scored.select(col("q_id"), col("q_label"), col("c_id"),
+          col("c_label"), col("cosine")),
+        Seq("q_id"), Seq(col("cosine").desc, col("c_id").asc), 3)
+    }),
+
     // LM-based quality filtering (the perplexity-filter shape of
     // pretraining curation): q123's corpus bigram LM scores every doc;
     // docs bucket into deciles by ROUNDED avg log-probability (unique
@@ -438,6 +492,46 @@ object SurfaceQueries {
        |FROM dd GROUP BY decile""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q241_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT user_id, count(*) AS n_old, round(sum(value), 2) AS v_old
+        |  FROM events WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 1 AND 15
+        |    AND user_id % 11 <> 0
+        |  GROUP BY 1),
+        |n AS (
+        |  SELECT user_id, count(*) AS n_new, round(sum(value), 2) AS v_new
+        |  FROM events WHERE day(CAST(ts AS TIMESTAMP)) BETWEEN 16 AND 31
+        |    AND user_id % 7 <> 0
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT CASE WHEN o.user_id IS NULL THEN 'insert'
+        |              WHEN n.user_id IS NULL THEN 'delete'
+        |              WHEN o.n_old = n.n_new AND o.v_old = n.v_new
+        |                THEN 'unchanged'
+        |              ELSE 'update' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.user_id = n.user_id)
+        |SELECT change, count(*) AS n_keys FROM j GROUP BY 1""".stripMargin,
+
+    "q242_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, x AS qx FROM e
+        |      WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, label AS c_label, x AS cx FROM e
+        |      WHERE vec_id >= 10),
+        |s AS (
+        |  SELECT q_id, q_label, c_id, c_label,
+        |    round(list_sum(list_transform(list_zip(qx, cx),
+        |        zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qx, v -> v * v)))
+        |         * sqrt(list_sum(list_transform(cx, v -> v * v)))), 6) AS cosine
+        |  FROM q JOIN c ON c_label <> q_label)
+        |SELECT q_id, q_label, c_id, c_label, cosine, CAST(rn AS INT) AS rn
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, c_id) AS rn
+        |  FROM s) t WHERE rn <= 3""".stripMargin,
+
     "q239_lm_quality" -> lmQualityOracle,
 
     "q240_pii_scan" ->
