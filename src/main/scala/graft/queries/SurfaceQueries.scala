@@ -229,6 +229,43 @@ object SurfaceQueries {
           col("norm_value"))
     }),
 
+    // Hierarchical path rollup (usage-analytics over a path dimension):
+    // each doc's synthetic corpus path root/<lang>/<source> explodes into
+    // its prefixes map-side (≤ depth rows per doc), then ONE hash
+    // aggregate gives counts/bytes at every tree level — no recursive
+    // walk, no per-level scans.
+    "q243_path_rollup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(array(lit("root"),
+            concat(lit("root/"), col("lang")),
+            concat(lit("root/"), col("lang"), lit("/"), col("source"))))
+            .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))),
+
+    // Two-hop neighborhood features (GNN-sampling / graph-feature prep):
+    // per news item, distinct 1-hop users and distinct 2-hop co-clicked
+    // news. Both hops are equi-joins over the DISTINCT user-news edge
+    // set; the 2-hop count aggregates (item, item') pairs — bounded by
+    // Σ deg² of users, the standard wedge budget (cap/sample users at a
+    // degree threshold for power-law graphs at 100 TB).
+    "q244_two_hop" -> ((s, d) => {
+      val edges = graft.runtime.Stage.scopedPersist(
+        Tables.clicks(s, d).select(col("userId"), col("newsId")).distinct())
+      val hop1 = edges.groupBy(col("newsId"))
+        .agg(countDistinct(col("userId")).as("n_users"))
+      val hop2 = edges.select(col("userId"), col("newsId").as("a"))
+        .join(edges.select(col("userId"), col("newsId").as("b")), "userId")
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a").as("newsId"))
+        .agg(countDistinct(col("b")).as("n_two_hop_news"))
+      hop1.join(hop2, Seq("newsId"), "left")
+        .select(col("newsId"), col("n_users"),
+          coalesce(col("n_two_hop_news"), lit(0L)).as("n_two_hop_news"))
+    }),
+
     // Snapshot diff (the lakehouse change-data-feed primitive, inverse of
     // q175's CDC compaction): two keyed snapshots (a user's first- vs
     // second-half activity profile) FULL OUTER join into INSERT / DELETE /
@@ -492,6 +529,31 @@ object SurfaceQueries {
        |FROM dd GROUP BY decile""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q243_path_rollup" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    unnest(['root', 'root/' || lang, 'root/' || lang || '/' || source])
+        |      AS path
+        |  FROM documents)
+        |SELECT path, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q244_two_hop" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS userId, event_id % 500 AS newsId
+        |  FROM events WHERE event_type = 'click'),
+        |h1 AS (SELECT newsId, CAST(count(DISTINCT userId) AS BIGINT) AS n_users
+        |       FROM e GROUP BY 1),
+        |h2 AS (
+        |  SELECT a.newsId,
+        |    CAST(count(DISTINCT b.newsId) AS BIGINT) AS n_two_hop_news
+        |  FROM e a JOIN e b ON a.userId = b.userId AND a.newsId <> b.newsId
+        |  GROUP BY 1)
+        |SELECT h1.newsId, h1.n_users,
+        |  coalesce(h2.n_two_hop_news, 0) AS n_two_hop_news
+        |FROM h1 LEFT JOIN h2 ON h2.newsId = h1.newsId""".stripMargin,
+
     "q241_snapshot_diff" ->
       """WITH o AS (
         |  SELECT user_id, count(*) AS n_old, round(sum(value), 2) AS v_old
