@@ -52,6 +52,28 @@ object Ops {
     dateCol.between(lo, hi)
   }
 
+  /** Linear gap-fill interpolation in exact integer micro-units (q231's
+    * production arithmetic, factored so tests exercise the shipped formula,
+    * not a lookalike). The rational (nv-pv)·k/m is computed over
+    * micro-integers with a pmod floor division: plain double division lands
+    * exactly on half-micro rounding ties (m = 2, 4, ... day gaps) where
+    * Spark's BigDecimal rounding and DuckDB's scaled-double rounding
+    * disagree. Micro-integers divided by 1e6 carry ≤ 6 decimals, so a
+    * 6-place display round is tie-free.
+    *
+    * @param pv previous observed value, @param nv next observed value,
+    * @param pd previous observed day,   @param nd next observed day,
+    * @param day the grid day being filled (pd < day < nd).
+    */
+  def linearInterpMicro(pv: Column, nv: Column, pd: Column, nd: Column,
+                        day: Column): Column = {
+    val pvU = round(pv * 1e6).cast("long")
+    val nvU = round(nv * 1e6).cast("long")
+    val num = (nvU - pvU) * datediff(day, pd)
+    val den = datediff(nd, pd).cast("long")
+    (pvU.cast("double") + (num - pmod(num, den)).cast("double") / den) / 1e6
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `rightTime <= leftTime` on the same key (DuckDB/kdb ASOF JOIN
     * semantics, inner variant). Spark lacks the operator; rather than a

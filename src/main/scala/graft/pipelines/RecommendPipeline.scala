@@ -81,13 +81,22 @@ object RecommendPipeline {
       .select(col("userId"), col("id"), col("score"))
   }
 
+  /** Distinct (id, date) pairs restricted to [from, to+numDays]. pairScores
+    * pre-filters the SCORED side to this range, but a news id can carry a
+    * second, out-of-range date row; joining the unfiltered distinct would
+    * hand `sequence(greatest(..), least(..))` a start > end and fail at
+    * runtime. Every recommendAll/newsDaysOf consumer must go through here.
+    */
+  private def newsDatesInRange(newsKw: DataFrame, scene: Scene): DataFrame =
+    newsKw.select("id", "date").distinct()
+      .filter(col("date").between(lit(scene.fromDate), date_add(lit(scene.toDate), scene.numDays)))
+
   /** Day eligibility: news doc is a candidate for day ∈ [date-numDays, date]
     * ∩ [from, to] (direction-1 DateZoneFilter) — exploded once per news doc
     * (≤ numDays+1 rows each), never per word or per pair.
     */
   private def newsDaysOf(newsKw: DataFrame, scene: Scene): DataFrame =
-    newsKw.select("id", "date").distinct()
-      .filter(col("date").between(lit(scene.fromDate), date_add(lit(scene.toDate), scene.numDays)))
+    newsDatesInRange(newsKw, scene)
       .withColumn("day", explode(sequence(
         greatest(date_sub(col("date"), scene.numDays), lit(scene.fromDate)),
         least(col("date"), lit(scene.toDate)),
@@ -136,12 +145,12 @@ object RecommendPipeline {
         // same sort plus typed-buffer serialization (benchmarked 3x slower
         // at sf0.1). Window for many-small-groups, Aggregator for
         // few-huge-groups.
-        val withDate = scores.join(newsKw.select("id", "date").distinct(), "id")
+        val withDate = scores.join(newsDatesInRange(newsKw, scene), "id")
         val pre = Ops.topKPerGroup(withDate, Seq("userId", "date"),
           Seq(col("score").desc, col("id").asc), k, rankCol = "_prn")
           .drop("_prn")
-        // news dates here are already within [from, to+numDays] (pairScores
-        // pre-filter), so the sequence bounds are always valid
+        // news dates are within [from, to+numDays] (newsDatesInRange
+        // filter), so the sequence bounds are always valid
         val perDay = pre.withColumn("day", explode(sequence(
             greatest(date_sub(col("date"), scene.numDays), lit(scene.fromDate)),
             least(col("date"), lit(scene.toDate)),
@@ -169,13 +178,13 @@ object RecommendPipeline {
         // row objects through the explode shuffle. The final merge is
         // flatten + one array_sort per output list, bounded by the
         // candidate window, never the corpus.
-        val withDate = scores.join(newsKw.select("id", "date").distinct(), "id")
+        val withDate = scores.join(newsDatesInRange(newsKw, scene), "id")
         val batched = withDate
           .groupBy(col("userId"), col("date"))
           .agg(collect_list(
             struct((-col("score")).as("_s"), col("id").as("newsId"))).as("_batch"))
-        // news dates here are within [from, to+numDays] (pairScores
-        // pre-filter), so the sequence bounds are always valid
+        // news dates are within [from, to+numDays] (newsDatesInRange
+        // filter), so the sequence bounds are always valid
         batched.withColumn("day", explode(sequence(
             greatest(date_sub(col("date"), scene.numDays), lit(scene.fromDate)),
             least(col("date"), lit(scene.toDate)),

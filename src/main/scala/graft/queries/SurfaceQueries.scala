@@ -187,18 +187,11 @@ object SurfaceQueries {
       val wNext = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("day")
         .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      // Interpolation runs in EXACT integer micro-units with a pmod-based
-      // floor division: the rational (nv-pv)·k/m lands exactly on
-      // half-micro rounding ties (m=2,4,... gaps), where Spark's
-      // BigDecimal rounding and DuckDB's scaled-double rounding disagree
-      // — caught by the sf0.1 stress run. Micro-integers divided by 1e6
-      // have ≤6 decimals, so the display round is tie-free.
-      val pvU = round(col("_pv") * 1e6).cast("long")
-      val nvU = round(col("_nv") * 1e6).cast("long")
-      val num = (nvU - pvU) * datediff(col("day"), col("_pd"))
-      val den = datediff(col("_nd"), col("_pd")).cast("long")
-      val interpU = pvU.cast("double") +
-        (num - pmod(num, den)).cast("double") / den
+      // Interpolation arithmetic lives in Ops.linearInterpMicro (exact
+      // integer micro-units, pmod floor division — rationale documented
+      // there) so edge-case tests drive the exact production formula.
+      val interp = graft.ops.Ops.linearInterpMicro(
+        col("_pv"), col("_nv"), col("_pd"), col("_nd"), col("day"))
       grid.join(daily, Seq("user_id", "day"), "left")
         .withColumn("_pv", last(col("v"), ignoreNulls = true).over(wPrev))
         .withColumn("_pd", last(when(col("v").isNotNull, col("day")),
@@ -208,7 +201,7 @@ object SurfaceQueries {
           ignoreNulls = true).over(wNext))
         .select(col("user_id"), col("day"), col("v").isNotNull.as("observed"),
           round(when(col("v").isNotNull, col("v"))
-            .otherwise(interpU / 1e6), 6).as("value"))
+            .otherwise(interp), 6).as("value"))
     }),
 
     // Quantile normalization (feature preprocessing: map each group's

@@ -123,8 +123,8 @@ class EdgeCaseSpec extends AnyFunSuite {
       .withColumn("_nd", first(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wN))
       .select($"user_id", $"day",
         when($"v".isNotNull, $"v")
-          .otherwise($"_pv" + ($"_nv" - $"_pv")
-            * datediff($"day", $"_pd") / datediff($"_nd", $"_pd")).as("value"))
+          .otherwise(graft.ops.Ops.linearInterpMicro(
+            $"_pv", $"_nv", $"_pd", $"_nd", $"day")).as("value"))
       .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
     assert(out((1L, "2024-01-05")) === 7.0)
     assert(out((2L, "2024-01-02")) === 20.0) // 10 + (40-10)*1/3

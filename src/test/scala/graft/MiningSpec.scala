@@ -44,7 +44,9 @@ class MiningSpec extends AnyFunSuite {
     try {
       val chi = SparkEntry.queries("q164_chi_square")(spark, sf)
       val ben = SparkEntry.queries("q177_benford")(spark, sf)
-      Thread.sleep(500) // listener bus is async; give submitted jobs time to surface
+      // listener bus is async; block until every posted event is delivered
+      // (a fixed sleep can miss a late-posted job or flake under load)
+      org.apache.spark.graft.TestBridge.waitForListenerBus(spark.sparkContext, 30000L)
       assert(actionJobs.isEmpty,
         s"building the plans must not run driver actions, saw: $actionJobs")
       // and the lazily-built plans still evaluate correctly
