@@ -52,6 +52,53 @@ object Ops {
     dateCol.between(lo, hi)
   }
 
+  /** Degree-capped edge set: drop every row whose `keyCol` value appears in
+    * more than `cap` rows. This is THE guard for self-join wedge explosions
+    * on power-law graphs: a key with degree d contributes d² pairs to an
+    * equi-self-join, so one hub key can dominate the whole shuffle (the
+    * distributed rebirth of the reference's all-pairs cross,
+    * /root/reference/TextRank.java:258-280). Capping bounds every key's
+    * contribution at cap² rows — the skew ceiling becomes a constant.
+    *
+    * Shape: one count aggregate on the key + an equi-join of the ≤-cap key
+    * set back onto the edges. Both are key-partitioned; nothing is
+    * collected. Callers own the semantic decision that over-cap keys are
+    * EXCLUDED (GraphSAGE-style neighbor capping), and must mirror the bound
+    * in any cross-engine oracle.
+    */
+  def degreeCappedEdges(edges: DataFrame, keyCol: String, cap: Int): DataFrame = {
+    val ok = edges.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") <= cap)
+      .select(col(keyCol))
+    edges.join(ok, keyCol)
+  }
+
+  /** Size-capped blocking for candidate-pair generation (fuzzy dedup /
+    * record linkage): assigns each row the composite block id
+    * `<blockKey>#<ordinal/cap>`, deterministically splitting any block
+    * larger than `cap` rows into ≤-cap sub-blocks (ordinal = row_number by
+    * `orderCol` within the raw block). A block equi-join on the result has
+    * a HARD quadratic ceiling of cap² pairs per block — a corpus where
+    * millions of documents share a boilerplate prefix can no longer
+    * degenerate to block². Pairs straddling a sub-block split are lost;
+    * that recall trade-off is the standard price of bounded blocking and
+    * must be mirrored verbatim in any cross-engine oracle (the split is
+    * deterministic, so both engines lose exactly the same pairs).
+    *
+    * Cost shape: one window (shuffle on the raw key + in-partition sort)
+    * before the join — linear in |rows|, skew-bounded by the sort (the hot
+    * raw block sorts within one partition but never self-joins whole).
+    */
+  def cappedBlocks(df: DataFrame, blockKey: Column, orderCol: String,
+                   cap: Int, blkName: String = "blk"): DataFrame = {
+    val w = Window.partitionBy(col("_blk0")).orderBy(col(orderCol))
+    df.withColumn("_blk0", blockKey)
+      .withColumn(blkName, concat_ws("#", col("_blk0"),
+        floor((row_number().over(w) - 1) / cap).cast("long").cast("string")))
+      .drop("_blk0")
+  }
+
   /** Linear gap-fill interpolation in exact integer micro-units (q231's
     * production arithmetic, factored so tests exercise the shipped formula,
     * not a lookalike). The rational (nv-pv)·k/m is computed over

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.io.Tables
+import graft.ops.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.sql.Date
@@ -12,6 +13,50 @@ import java.sql.Date
   */
 object SurfaceQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** q225/q236's block-size ceiling: a raw block (shared 8-char prefix +
+    * length bucket) larger than this is deterministically split, so the
+    * blocked self-join's quadratic term is ≤ cap² per block no matter how
+    * much boilerplate the corpus shares. Mirrored in both DuckDB oracles.
+    */
+  val FuzzyBlockCap = 256
+
+  /** The shared q225/q236 blocking frame: (doc_id, head, blk) where blk is
+    * the skew-proof composite key — 8-char prefix (content locality) +
+    * length÷64 bucket (splits boilerplate-prefix corpora by size; edit
+    * distance ≤ 10 implies near-equal lengths, so true near-dups rarely
+    * straddle a bucket) — size-capped via Ops.cappedBlocks. Keep in exact
+    * sync with `fuzzyBlockSql` below.
+    */
+  private def fuzzyBlocks(s: SparkSession, d: String): DataFrame =
+    Ops.cappedBlocks(
+      Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("|", substring(col("text"), 1, 8),
+          floor(length(col("text")) / 64).cast("long").cast("string")).as("_bk"),
+        substring(col("text"), 1, 40).as("head")),
+      blockKey = col("_bk"), orderCol = "doc_id", cap = FuzzyBlockCap)
+      .drop("_bk")
+
+  /** DuckDB rendering of [[fuzzyBlocks]] — CTEs `t0` (raw composite key)
+    * and `t` (size-capped block id), identical split semantics.
+    */
+  private val fuzzyBlockSql: String =
+    """t0 AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 8) || '|' || CAST(length(text) // 64 AS VARCHAR) AS bk,
+      |    substr(text, 1, 40) AS head
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, head,
+      |    bk || '#' || CAST((row_number() OVER (PARTITION BY bk ORDER BY doc_id) - 1) // 256 AS VARCHAR) AS blk
+      |  FROM t0)""".stripMargin
+
+  /** q244's wedge budget: users above this distinct-item degree are excluded
+    * from the hop-2 self-join (hop-1 stays exact). Part of the query
+    * contract — the DuckDB oracle applies the same HAVING bound. 128 keeps
+    * per-user wedge fan-out ≤ 128² = 16,384 rows regardless of corpus skew.
+    */
+  val TwoHopDegreeCap = 128
 
   val queries: Map[String, Q] = Map(
     // LATERAL correlated subquery with ORDER BY/LIMIT — the dependent-join
@@ -32,16 +77,15 @@ object SurfaceQueries {
     }),
 
     // Record-linkage blocking: candidate pairs meet only inside a
-    // deterministic block (shared 8-char prefix), and the expensive exact
-    // edit distance runs on candidates only — the fuzzy-dedup sibling of
-    // the LSH band join (never all-pairs; the quadratic term is bounded by
-    // block size). A production corpus would block on a stronger key
-    // (hashed shingle, phonetic code) for skew; the SHAPE — block equi-join
-    // then per-pair scoring — is what this pins.
+    // deterministic block, and the expensive exact edit distance runs on
+    // candidates only — the fuzzy-dedup sibling of the LSH band join
+    // (never all-pairs). The block key is SKEW-PROOF, not just
+    // deterministic: composite (8-char prefix + length bucket) splits
+    // boilerplate-prefix corpora, and Ops.cappedBlocks hard-bounds every
+    // block at FuzzyBlockCap rows, so the quadratic term has a cap²
+    // ceiling per block regardless of corpus shape (see fuzzyBlocks).
     "q225_fuzzy_block_dedup" -> ((s, d) => {
-      val t = Tables.documents(s, d).select(col("doc_id"),
-        substring(col("text"), 1, 8).as("blk"),
-        substring(col("text"), 1, 40).as("head"))
+      val t = fuzzyBlocks(s, d)
       val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("head").as("_ha"))
       val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("head").as("_hb"))
       a.join(b, Seq("blk"))
@@ -241,16 +285,25 @@ object SurfaceQueries {
     // Two-hop neighborhood features (GNN-sampling / graph-feature prep):
     // per news item, distinct 1-hop users and distinct 2-hop co-clicked
     // news. Both hops are equi-joins over the DISTINCT user-news edge
-    // set; the 2-hop count aggregates (item, item') pairs — bounded by
-    // Σ deg² of users, the standard wedge budget (cap/sample users at a
-    // degree threshold for power-law graphs at 100 TB).
+    // set. The wedge budget is ENFORCED, not just stated: the hop-2
+    // self-join runs only over users with degree ≤ TWO_HOP_DEGREE_CAP, so
+    // one power-law hub with degree d can no longer contribute d² pairs
+    // (the reference's all-pairs hazard, TextRank.java:258-280, reborn as
+    // a hot key). Hop-1 counts stay exact — they are linear in |E|; the
+    // cap is a documented approximation of hop-2 only (GraphSAGE-style
+    // neighbor capping: hubs' co-click sets are dominated by sheer
+    // popularity, not signal). The cap is part of the query's contract and
+    // is mirrored in the DuckDB oracle; ScaleSpec pins the bound on a
+    // skewed fixture.
     "q244_two_hop" -> ((s, d) => {
       val edges = graft.runtime.Stage.scopedPersist(
         Tables.clicks(s, d).select(col("userId"), col("newsId")).distinct())
       val hop1 = edges.groupBy(col("newsId"))
         .agg(countDistinct(col("userId")).as("n_users"))
-      val hop2 = edges.select(col("userId"), col("newsId").as("a"))
-        .join(edges.select(col("userId"), col("newsId").as("b")), "userId")
+      val wedgeEdges = Ops.degreeCappedEdges(
+        edges, "userId", SurfaceQueries.TwoHopDegreeCap)
+      val hop2 = wedgeEdges.select(col("userId"), col("newsId").as("a"))
+        .join(wedgeEdges.select(col("userId"), col("newsId").as("b")), "userId")
         .filter(col("a") =!= col("b"))
         .groupBy(col("a").as("newsId"))
         .agg(countDistinct(col("b")).as("n_two_hop_news"))
@@ -442,9 +495,7 @@ object SurfaceQueries {
     // resolve transitive fuzzy groups to canonical ids. Blocking bounds
     // candidate generation; CC bounds live state to the pair graph.
     "q236_fuzzy_clusters" -> ((s, d) => {
-      val t = Tables.documents(s, d).select(col("doc_id"),
-        substring(col("text"), 1, 8).as("blk"),
-        substring(col("text"), 1, 40).as("head"))
+      val t = fuzzyBlocks(s, d)
       val a = t.select(col("blk"), col("doc_id").as("a"), col("head").as("_ha"))
       val b = t.select(col("blk"), col("doc_id").as("b"), col("head").as("_hb"))
       val edges = a.join(b, Seq("blk")).filter(col("a") < col("b"))
@@ -538,10 +589,12 @@ object SurfaceQueries {
         |  FROM events WHERE event_type = 'click'),
         |h1 AS (SELECT newsId, CAST(count(DISTINCT userId) AS BIGINT) AS n_users
         |       FROM e GROUP BY 1),
+        |ok AS (SELECT userId FROM e GROUP BY 1 HAVING count(*) <= 128),
+        |ec AS (SELECT e.* FROM e JOIN ok USING (userId)),
         |h2 AS (
         |  SELECT a.newsId,
         |    CAST(count(DISTINCT b.newsId) AS BIGINT) AS n_two_hop_news
-        |  FROM e a JOIN e b ON a.userId = b.userId AND a.newsId <> b.newsId
+        |  FROM ec a JOIN ec b ON a.userId = b.userId AND a.newsId <> b.newsId
         |  GROUP BY 1)
         |SELECT h1.newsId, h1.n_users,
         |  coalesce(h2.n_two_hop_news, 0) AS n_two_hop_news
@@ -697,9 +750,7 @@ object SurfaceQueries {
         |WHERE c.c_custkey % 100 = 0""".stripMargin,
 
     "q225_fuzzy_block_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 40) AS head
-        |  FROM documents)
+      s"""WITH $fuzzyBlockSql
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.head, b.head) AS INT) AS dist
         |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -821,9 +872,7 @@ object SurfaceQueries {
         |FROM g""".stripMargin,
 
     "q236_fuzzy_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 40) AS head
-        |  FROM documents),
+      s"""WITH RECURSIVE $fuzzyBlockSql,
         |dup AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id

@@ -239,4 +239,57 @@ class ScaleSpec extends AnyFunSuite {
     val r = CurationQueries.exactRanks(narrow, Seq(50L, 90L))
     assert(r(50L) === 50.0 && r(90L) === 90.0)
   }
+
+  test("degree cap bounds the wedge join on a power-law fixture: hub user excluded, tail exact") {
+    import graft.ops.Ops
+    // skewed fixture: user 0 is a hub touching ALL 500 items (500² =
+    // 250,000 wedges uncapped); users 1..200 touch 3 items each.
+    val hub = spark.range(0, 500).select(lit(0L).as("userId"), col("id").as("newsId"))
+    val tail = spark.range(1, 201).select(col("id").as("userId"),
+        explode(array(col("id") % 500, (col("id") * 7) % 500, (col("id") * 13) % 500))
+          .as("newsId"))
+      .distinct()
+    val edges = hub.union(tail)
+    val capped = Ops.degreeCappedEdges(edges, "userId", cap = 128)
+    // the hub is gone, every tail edge survives
+    assert(capped.filter(col("userId") === 0L).count() === 0L)
+    assert(capped.count() === tail.count())
+    // wedge join over the capped set is bounded by Σ deg² of tail users
+    // (≤ 200·3² = 1800), not the hub's 250,000
+    val wedges = capped.select(col("userId"), col("newsId").as("a"))
+      .join(capped.select(col("userId"), col("newsId").as("b")), "userId")
+      .filter(col("a") =!= col("b"))
+    val nWedges = wedges.count()
+    assert(nWedges <= 1800L, s"wedge count $nWedges escaped the degree cap")
+    // and capping is idempotent on an already-bounded graph
+    assert(Ops.degreeCappedEdges(tail, "userId", cap = 128).count() === tail.count())
+  }
+
+  test("capped blocking bounds block sizes on a boilerplate-prefix corpus, loses no in-block rows") {
+    import graft.ops.Ops
+    // worst case for prefix blocking: 5,000 docs share one boilerplate
+    // prefix AND one length bucket — the raw block is the whole corpus
+    val docs = spark.range(0, 5000).select(col("id").as("doc_id"),
+      concat(lit("TERMS OF SERVICE - the same boilerplate preamble "),
+        col("id").cast("string")).as("text"))
+    val blocked = Ops.cappedBlocks(docs,
+      blockKey = substring(col("text"), 1, 8), orderCol = "doc_id", cap = 256)
+    val sizes = blocked.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+    // every block is ≤ cap, every row lands in exactly one block
+    assert(sizes.agg(max(col("n"))).as[Long].head() <= 256L)
+    assert(blocked.count() === 5000L)
+    assert(blocked.select("doc_id").distinct().count() === 5000L)
+    // the blocked self-join's quadratic term is bounded by cap² per block:
+    // ceil(5000/256)=20 blocks of ≤256 → < 20·256² pairs, not 5000²
+    val pairs = blocked.select(col("blk"), col("doc_id").as("a"))
+      .join(blocked.select(col("blk"), col("doc_id").as("b")), "blk")
+      .filter(col("a") < col("b")).count()
+    assert(pairs < 20L * 256L * 256L / 2L + 20L * 256L)
+    assert(pairs > 0L)
+    // split ordinals are deterministic: same input → same block ids
+    val again = Ops.cappedBlocks(docs,
+      blockKey = substring(col("text"), 1, 8), orderCol = "doc_id", cap = 256)
+    assert(blocked.select("doc_id", "blk").except(
+      again.select("doc_id", "blk")).count() === 0L)
+  }
 }
