@@ -194,10 +194,10 @@ object Dedup {
     * Returns (_id, label).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+                          maxIter: Int = 25,
+                          reroot: graft.runtime.Reroot = graft.runtime.Reroot.Local): DataFrame = {
+    val sym = reroot(edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst"))))
     // Every iteration re-roots `labels` with an EAGER localCheckpoint:
     //  - the logical plan stays one join deep, instead of growing by two
     //    joins per round (re-analysis/optimization of an N-round lineage is
@@ -209,11 +209,10 @@ object Dedup {
     //    when their RDDs go unreferenced.
     // On a multi-executor cluster localCheckpoint trades fault-tolerance
     // for speed (executor loss forfeits the blocks and fails the job — the
-    // loop would restart); reliable `checkpoint(dir)` is the drop-in
-    // alternative where that tradeoff reverses.
-    var labels = sym.select(col("src").as("_id")).distinct()
-      .select(col("_id"), col("_id").as("label"))
-      .localCheckpoint()
+    // loop would restart); pass `reroot = Reroot.Reliable(dir)` where that
+    // tradeoff reverses (see graft.runtime.Reroot).
+    var labels = reroot(sym.select(col("src").as("_id")).distinct()
+      .select(col("_id"), col("_id").as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -222,11 +221,10 @@ object Dedup {
       // Carry the previous label alongside the new one so the convergence
       // probe is a filter over the just-materialized frame — not an extra
       // self-join per round.
-      val next = labels.join(nbrMin, col("_id") === col("src"), "left")
+      val next = reroot(labels.join(nbrMin, col("_id") === col("src"), "left")
         .select(col("_id"),
           least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
-          col("label").as("_old"))
-        .localCheckpoint()
+          col("label").as("_old")))
       converged = next.filter(col("label") =!= col("_old")).limit(1).isEmpty
       labels = next.select(col("_id"), col("label"))
       i += 1

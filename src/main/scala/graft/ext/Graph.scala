@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Distributed whole-graph algorithms beyond the per-document graphs of
   * TextRank (whose graphs never cross a row boundary and stay in a UDF).
   * Like [[Dedup.connectedComponents]], iteration follows the BSP shape —
-  * one shuffle join per superstep, eager `localCheckpoint` re-rooting so
-  * the plan stays one join deep and AQE keeps re-planning each round.
+  * one shuffle join per superstep, eager re-rooting (localCheckpoint by
+  * default; pass `reroot = Reroot.Reliable(dir)` for fault-tolerant
+  * checkpoints — see graft.runtime.Reroot) so the plan stays one join deep
+  * and AQE keeps re-planning each round.
   */
 object Graph {
 
@@ -27,23 +29,22 @@ object Graph {
     * convergence probe actions). Billions of edges ⇒ each round is one
     * shuffle of |E| rows — the standard Pregel-without-Pregel formulation.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+               reroot: graft.runtime.Reroot = graft.runtime.Reroot.Local): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg): the static per-round probe side, checkpointed once.
-    val e = edges.join(deg, "src").localCheckpoint()
-    val nodes = deg.select(col("src").as("id")).localCheckpoint()
+    val e = reroot(edges.join(deg, "src"))
+    val nodes = reroot(deg.select(col("src").as("id")))
     val n = nodes.count()
     val base = (1.0 - damping) / n
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
-      .localCheckpoint()
+    var ranks = reroot(nodes.select(col("id"), lit(1.0 / n).as("r")))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("deg")).as("m"))
-      ranks = nodes.join(contribs, col("id") === col("dst"), "left")
+      ranks = reroot(nodes.join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
-        .localCheckpoint()
+          (lit(base) + lit(damping) * coalesce(col("m"), lit(0.0))).as("r")))
     }
     graft.runtime.Stage.scopedPersist(ranks)
   }
@@ -58,25 +59,24 @@ object Graph {
     * Returns (id, r).
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-                           iters: Int, damping: Double): DataFrame = {
+                           iters: Int, damping: Double,
+                           reroot: graft.runtime.Reroot = graft.runtime.Reroot.Local): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src").localCheckpoint()
+    val e = reroot(edges.join(deg, "src"))
     val nodes = deg.select(col("src").as("id"))
     val nSeeds = seeds.count().toDouble // one tiny action; seed sets are small by contract
-    val sVec = nodes
+    val sVec = reroot(nodes
       .join(seeds.select(col("id"), lit(1.0 / nSeeds).as("s")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
-      .localCheckpoint()
+      .select(col("id"), coalesce(col("s"), lit(0.0)).as("s")))
     var ranks = sVec.select(col("id"), col("s").as("r"))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("deg")).as("m"))
-      ranks = sVec.join(contribs, col("id") === col("dst"), "left")
+      ranks = reroot(sVec.join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * col("s")
-            + lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
-        .localCheckpoint()
+            + lit(damping) * coalesce(col("m"), lit(0.0))).as("r")))
     }
     graft.runtime.Stage.scopedPersist(ranks)
   }

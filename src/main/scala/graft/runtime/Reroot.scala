@@ -1,0 +1,50 @@
+package graft.runtime
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan re-rooting strategy for iterative BSP operators
+  * ([[graft.ext.Dedup.connectedComponents]], [[graft.ext.Graph]] PageRank
+  * variants). Each superstep must cut lineage — otherwise the logical plan
+  * grows by two joins per round and re-analysis cost is quadratic in the
+  * round count — but WHERE the cut's blocks live is a deployment decision,
+  * not an algorithm one:
+  *
+  *  - [[Reroot.Local]] (default): `localCheckpoint` into executor
+  *    block-manager memory/disk. Fastest; on a multi-executor cluster an
+  *    executor loss forfeits the blocks and fails the job (the loop would
+  *    restart from scratch). The right choice for short loops, local mode,
+  *    and any run whose restart cost is acceptable.
+  *  - [[Reroot.Reliable]]: `checkpoint` into a fault-tolerant directory
+  *    (HDFS/object store). Each round pays a write + read of the frame, but
+  *    executor loss recomputes only from the last checkpoint — the right
+  *    choice for long iterations on preemptible/large clusters.
+  *
+  * Both produce a plain `LogicalRDD` root, so AQE stays free to re-plan
+  * each round's shuffles (unlike `persist`, whose cached-plan output
+  * partitioning is pinned).
+  */
+sealed trait Reroot {
+  def apply(df: DataFrame): DataFrame
+}
+
+object Reroot {
+
+  /** Executor-memory lineage cut (`localCheckpoint`, eager). */
+  case object Local extends Reroot {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  /** Fault-tolerant lineage cut (`checkpoint`, eager) rooted at `dir`.
+    * Sets the context's checkpoint directory on first use; passing two
+    * different dirs to one SparkContext keeps the first (Spark's
+    * checkpoint dir is context-global) — callers on a shared session
+    * should treat the dir as session-scoped configuration.
+    */
+  final case class Reliable(dir: String) extends Reroot {
+    def apply(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.Graph
+import graft.ext.{Dedup, Graph}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -39,6 +39,41 @@ class GraphTrendSpec extends AnyFunSuite {
     assert(r(0L) > r(1L))
     assert(r(1L) == r(2L) && r(2L) == r(3L)) // identical float paths
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("reliable checkpoint path: pageRank and connectedComponents match the localCheckpoint results") {
+    graft.runtime.Stage.newQueryScope()
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck").toString
+    val reliable = graft.runtime.Reroot.Reliable(ckDir)
+    try {
+      // pageRank: bit-identical float path under either rerooting
+      val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
+      val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+      val local = Graph.pageRank(edges, 8, 0.85).collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      graft.runtime.Stage.newQueryScope()
+      val rel = Graph.pageRank(edges, 8, 0.85, reroot = reliable).collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(rel === local)
+      // the reliable run actually wrote RDD checkpoints into the directory
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(wrote > 0L, "Reroot.Reliable must materialize checkpoint dirs")
+      // connectedComponents: same labels under either rerooting
+      graft.runtime.Stage.newQueryScope()
+      val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("_id")
+      val ccEdges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+      val ccLocal = Dedup.connectedComponents(verts, ccEdges).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      graft.runtime.Stage.newQueryScope()
+      val ccRel = Dedup.connectedComponents(verts, ccEdges, reroot = reliable)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(ccRel === ccLocal)
+      assert(ccRel === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+    } finally {
+      graft.runtime.Stage.newQueryScope()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir)); ()
+    }
   }
 
   test("personalizedPageRank: mass sums to 1, localizes around the seed, uniform seeds = pageRank") {
