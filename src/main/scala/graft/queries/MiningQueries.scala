@@ -123,11 +123,15 @@ object MiningQueries {
           .agg(count(lit(1)).as("k")))
       val c2 = bgc.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
       val c1 = bgc.groupBy("w1").agg(sum(col("k")).as("c1"))
-      val v = tk.select(explode(col("tk")).as("w")).distinct().count()
+      // Vocabulary size V rides a one-row broadcast aggregate instead of a
+      // distinct().count() driver action (the q164/q177 pattern).
+      val vc = tk.select(explode(col("tk")).as("w")).distinct()
+        .agg(count(lit(1)).cast("double").as("_v"))
       bgc.join(c2, Seq("w1", "w2")).join(broadcast(c1), "w1")
+        .crossJoin(broadcast(vc))
         .select(col("doc_id"), col("k"),
           (col("k") * log((col("c2") + 1).cast("double")
-            / (col("c1") + lit(v.toDouble)))).as("lps"))
+            / (col("c1") + col("_v")))).as("lps"))
         .groupBy("doc_id")
         .agg(sum(col("k")).as("n_bigrams"),
           round(sum(col("lps")) / sum(col("k")), 6).as("avg_logp"))
@@ -2004,15 +2008,17 @@ object MiningQueries {
     val tf = tk.select(col("doc_id"), explode(col("tk")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dl = tk.select(col("doc_id"), size(col("tk")).as("dl"))
-    val n = tk.count().toDouble
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val terms = dfreq.orderBy(col("df").desc, col("word").asc).limit(3)
-    val avgdl = dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl"))
+    // Corpus N rides the same one-row broadcast aggregate as avgdl (the
+    // q164/q177 pattern) — no separate tk.count() driver action/job.
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
     tf.join(broadcast(terms), "word")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") * 2.2) /
           (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
           .as("sc"))

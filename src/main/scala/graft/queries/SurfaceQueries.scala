@@ -358,8 +358,13 @@ object SurfaceQueries {
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
       val nrm = (v: String) => expr(s"sqrt(aggregate(transform($v, a -> a * a), " +
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
-      val scored = c.join(broadcast(q), col("c_label") =!= col("q_label"))
-        .withColumn("cosine", round(dot / (nrm("qx") * nrm("cx")), 6))
+      // Norms are attached per ROW before the join (candidates appear |q|
+      // times post-join; computing each O(dim) norm once per row instead of
+      // once per pair removes a |q|x redundancy from the scan).
+      val qn = q.withColumn("_qn", nrm("qx"))
+      val cn = c.withColumn("_cn", nrm("cx"))
+      val scored = cn.join(broadcast(qn), col("c_label") =!= col("q_label"))
+        .withColumn("cosine", round(dot / (col("_qn") * col("_cn")), 6))
       graft.ops.Ops.topKPerGroup(
         scored.select(col("q_id"), col("q_label"), col("c_id"),
           col("c_label"), col("cosine")),

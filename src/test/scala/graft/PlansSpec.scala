@@ -109,4 +109,27 @@ class PlansSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("q242 per-side norms are computed below the join, once per row, never per pair") {
+    import org.apache.spark.sql.catalyst.expressions.Sqrt
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    graft.runtime.Stage.newQueryScope()
+    val plan = SparkEntry.queries("q242_hard_negatives")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    def hasSqrt(p: LogicalPlan): Boolean =
+      p.expressions.exists(_.find(_.isInstanceOf[Sqrt]).isDefined)
+    val join = plan.collectFirst { case j: Join => j }.get
+    // the O(dim) sqrt-norm must appear in each side's projection UNDER the
+    // theta-join — otherwise every candidate row pays it once per query row
+    assert(join.children.forall(_.collect {
+      case p: LogicalPlan if hasSqrt(p) => p
+    }.nonEmpty), "each join side must compute its own norm below the join")
+    // and NOTHING above the join recomputes a norm: the cosine projection
+    // references only the precomputed _qn/_cn columns
+    // pre-order prefix up to the join = the node chain above it (the plan
+    // is linear between root and the single join)
+    val aboveJoin = plan.collect { case p => p }.takeWhile(_ ne join)
+    assert(!aboveJoin.exists(hasSqrt),
+      "no sqrt may run above the join (per-pair recomputation)")
+  }
 }
