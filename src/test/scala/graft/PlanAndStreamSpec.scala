@@ -307,6 +307,72 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("interval join killed mid-stream resumes from checkpoint: buffered state joins post-restart rows, file sink stays exactly-once") {
+    import java.sql.Timestamp
+    val base = java.nio.file.Files.createTempDirectory("graft_ij_restart").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    def t(min: Int) = Timestamp.valueOf(f"2024-03-01 10:$min%02d:00")
+    val cols = Seq("user_id", "event_id", "event_type", "ts")
+    // pre-restart slices (two files so maxFilesPerTrigger=1 leaves a real
+    // mid-stream kill point between batches)
+    val sliceA = Seq((1L, 100L, "view", t(0)), (2L, 101L, "view", t(5)),
+      (3L, 102L, "view", t(10)))
+    val sliceB = Seq((2L, 200L, "click", t(20)))
+    // post-restart slice: clicks 201/203 join VIEWS BUFFERED BEFORE THE
+    // KILL — they can only appear if the join's state store recovered
+    val sliceC = Seq((1L, 201L, "click", t(30)), (2L, 202L, "click", t(40)),
+      (3L, 203L, "click", t(55)))
+    sliceA.toDF(cols: _*).coalesce(1).write.mode("append").parquet(srcDir)
+    sliceB.toDF(cols: _*).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def start() = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val views = src.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val clicks = src.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      graft.streaming.StreamingIntervalJoin.join(views, clicks)
+        .select($"c_user".as("userId"), $"view_id", $"click_id")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+    }
+    // run 1: kill after at least one committed batch, before the backlog
+    // is drained — whatever the exact kill point, recovery must converge
+    val q1 = start()
+    val deadline = System.currentTimeMillis + 30000
+    while (q1.recentProgress.length < 1 && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    // backlog lands while nothing is running
+    sliceC.toDF(cols: _*).coalesce(1).write.mode("append").parquet(srcDir)
+    // run 2: fresh query, same checkpoint — offsets AND join state resume
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch oracle: the same theta join over the union of all slices
+    val all = (sliceA ++ sliceB ++ sliceC).toDF(cols: _*)
+    val expected = graft.streaming.StreamingIntervalJoin.join(
+        all.filter($"event_type" === "view")
+          .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("v_ts")),
+        all.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts")))
+      .select($"c_user", $"view_id", $"click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === expected)
+    // the pairs that REQUIRE recovered state (view buffered pre-kill,
+    // click arriving post-restart) are present
+    assert(out.contains((1L, 100L, 201L)) && out.contains((3L, 102L, 203L)))
+    // exactly-once across the restart: no pair emitted twice
+    assert(spark.read.parquet(outDir).count() === expected.size.toLong)
+  }
+
   test("flatMapGroupsWithState cumulative counts carry state across day-aligned batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
