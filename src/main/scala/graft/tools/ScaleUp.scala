@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stress-data generator: replicates the driver's sf0.1 tables `factor`×
+  * with disjoint key offsets, producing a larger-decade dataset (sf1 for
+  * factor=10) WITHOUT touching /root/testdata. Referential integrity is
+  * preserved per replica — fact foreign keys are offset by the same stride
+  * as their dimension's primary key, so joins fan out exactly as a larger
+  * corpus would (10× users, 10× docs, 10× orders; dims region/nation stay
+  * fixed like real reference data). Document text is replicated verbatim:
+  * that makes every doc a 10-way exact duplicate, which is the WORST case
+  * for the dedup/blocking lanes — precisely what a skew stress run wants.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  * This is a test harness utility (like Bench/Verify), not a query lane.
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    // Key strides: one power-of-ten above each table's max id, so replica
+    // key ranges are disjoint and ids stay readable (replica i of key k is
+    // i*stride + k).
+    def stride(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head().getLong(0)
+      var s = 1L
+      while (s <= mx) s *= 10
+      s
+    }
+
+    def replicate(df: DataFrame, offsets: Map[String, Long]): DataFrame =
+      (0 until factor).map { i =>
+        offsets.foldLeft(df) { case (acc, (c, st)) =>
+          acc.withColumn(c, col(c) + lit(i * st))
+        }
+      }.reduce(_ unionByName _)
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    val custS = stride(t("customer"), "c_custkey")
+    val suppS = stride(t("supplier"), "s_suppkey")
+    val partS = stride(t("part"), "p_partkey")
+    val ordS  = stride(t("orders"), "o_orderkey")
+    val evtS  = stride(t("events"), "event_id")
+    val userS = stride(t("events"), "user_id")
+    val docS  = stride(t("documents"), "doc_id")
+    val vecS  = stride(t("embeddings"), "vec_id")
+
+    // dimensions shared by every replica (like real reference data)
+    write(t("region"), "region")
+    write(t("nation"), "nation")
+    write(replicate(t("customer"), Map("c_custkey" -> custS)), "customer")
+    write(replicate(t("supplier"), Map("s_suppkey" -> suppS)), "supplier")
+    write(replicate(t("part"), Map("p_partkey" -> partS)), "part")
+    write(replicate(t("orders"),
+      Map("o_orderkey" -> ordS, "o_custkey" -> custS)), "orders")
+    write(replicate(t("lineitem"),
+      Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)),
+      "lineitem")
+    write(replicate(t("events"),
+      Map("event_id" -> evtS, "user_id" -> userS)), "events")
+    write(replicate(t("documents"), Map("doc_id" -> docS)), "documents")
+    write(replicate(t("embeddings"), Map("vec_id" -> vecS)), "embeddings")
+
+    spark.stop()
+  }
+}
