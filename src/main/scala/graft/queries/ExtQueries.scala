@@ -67,7 +67,8 @@ object ExtQueries {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
-    Dedup.connectedComponents(verts, dup)
+    Dedup.connectedComponents(verts, dup,
+      reroot = graft.runtime.Reroot.fromEnv())
       .select(col("_id").as("doc_id"), col("label").as("cluster"),
         (col("_id") === col("label")).as("is_canonical"))
   }

@@ -563,7 +563,8 @@ object ScaleQueries {
         .distinct()
       val edges = e0.select(col("u").as("src"), col("v").as("dst"))
         .union(e0.select(col("v").as("src"), col("u").as("dst")))
-      Graph.pageRank(edges, PR_ITERS, PR_DAMP)
+      Graph.pageRank(edges, PR_ITERS, PR_DAMP,
+        reroot = graft.runtime.Reroot.fromEnv())
         .select(
           when(col("id") % 2 === 0, lit("user")).otherwise(lit("news")).as("kind"),
           (col("id") / 2).cast("long").as("ref_id"),

@@ -462,7 +462,8 @@ object SurfaceQueries {
         .union(e0.select(col("v").as("src"), col("u").as("dst")))
       val seeds = e0.select(col("v").as("id")).distinct()
         .filter(expr("((id - 1) DIV 2) % 100 = 0")) // newsId % 100 = 0
-      graft.ext.Graph.personalizedPageRank(edges, seeds, 10, 0.85)
+      graft.ext.Graph.personalizedPageRank(edges, seeds, 10, 0.85,
+        reroot = graft.runtime.Reroot.fromEnv())
         .select(
           when(col("id") % 2 === 0, lit("user")).otherwise(lit("news")).as("kind"),
           (col("id") / 2).cast("long").as("ref_id"),
@@ -507,7 +508,8 @@ object SurfaceQueries {
         .filter(levenshtein(col("_ha"), col("_hb")) <= 10)
         .select(col("a"), col("b"))
       val labels = graft.ext.Dedup.connectedComponents(
-        Tables.documents(s, d).select(col("doc_id").as("_id")), edges)
+        Tables.documents(s, d).select(col("doc_id").as("_id")), edges,
+        reroot = graft.runtime.Reroot.fromEnv())
       Tables.documents(s, d)
         .join(labels, col("doc_id") === col("_id"), "left")
         .select(col("doc_id"),

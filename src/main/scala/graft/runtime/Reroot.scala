@@ -29,6 +29,16 @@ sealed trait Reroot {
 
 object Reroot {
 
+  /** Deployment default: `Reliable(dir)` when `SPARK_GRAFT_CHECKPOINT_DIR`
+    * is set (cluster/preemptible runs point it at HDFS or an object store),
+    * else `Local`. Every iterative query lane resolves its strategy through
+    * here, so flipping a whole deployment to fault-tolerant checkpoints is
+    * one env var — no code change, and the local driver gate keeps the
+    * fast path.
+    */
+  def fromEnv(): Reroot =
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").map(Reliable.apply).getOrElse(Local)
+
   /** Executor-memory lineage cut (`localCheckpoint`, eager). */
   case object Local extends Reroot {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()

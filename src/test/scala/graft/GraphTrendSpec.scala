@@ -45,6 +45,9 @@ class GraphTrendSpec extends AnyFunSuite {
     graft.runtime.Stage.newQueryScope()
     val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck").toString
     val reliable = graft.runtime.Reroot.Reliable(ckDir)
+    // deployment default: Local unless SPARK_GRAFT_CHECKPOINT_DIR is set
+    assert(!sys.env.contains("SPARK_GRAFT_CHECKPOINT_DIR"))
+    assert(graft.runtime.Reroot.fromEnv() === graft.runtime.Reroot.Local)
     try {
       // pageRank: bit-identical float path under either rerooting
       val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
