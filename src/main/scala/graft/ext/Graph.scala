@@ -64,10 +64,15 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val e = reroot(edges.join(deg, "src"))
     val nodes = deg.select(col("src").as("id"))
-    val nSeeds = seeds.count().toDouble // one tiny action; seed sets are small by contract
+    // 1/|S| rides a one-row broadcast aggregate (the q164/q177 pattern) —
+    // the teleport vector is one lazy plan, no driver-side count action.
+    val nSeeds = seeds.agg(count(lit(1)).cast("double").as("_ns"))
     val sVec = reroot(nodes
-      .join(seeds.select(col("id"), lit(1.0 / nSeeds).as("s")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("s"), lit(0.0)).as("s")))
+      .join(seeds.select(col("id"), lit(1).as("_m")), Seq("id"), "left")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("id"),
+        when(col("_m").isNotNull, lit(1.0) / col("_ns"))
+          .otherwise(lit(0.0)).as("s")))
     var ranks = sVec.select(col("id"), col("s").as("r"))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("id"))
