@@ -74,6 +74,36 @@ object Ops {
     edges.join(ok, keyCol)
   }
 
+  /** Σ price·(1−discount) in EXACT integer ten-thousandths of a currency
+    * unit (price and discount carry ≤ 2 decimals by the TPC-H-style data
+    * contract, so price·100 and discount·100 are integers and the product
+    * is exact). Summing longs is exact and associative — no float-reorder
+    * noise — which is what makes the final cent rounding tie-free across
+    * engines. The sf1 stress run caught the double-path version landing on
+    * a half-cent tie (x.xx5) where Spark and DuckDB legally round apart.
+    */
+  def discountedRevenueUnits(price: Column, disc: Column): Column =
+    sum(round(price * 100).cast("long") *
+      (lit(100L) - round(disc * 100).cast("long")))
+
+  /** Integer-exact half-up cent rounding of a 1e-4-unit long: (u+50) div
+    * 100 cents, as dollars with ≤ 2 decimals. pmod-floor division (the
+    * linearInterpMicro idiom) keeps the arithmetic exact for |u| ≤ 2^53;
+    * beyond that (full 100 TB global sums) switch the cast to
+    * decimal(38,0) — group-level sums stay far below the bound.
+    */
+  def centsHalfUpFromUnits(u: Column): Column = {
+    val x = u + lit(50L)
+    (x - pmod(x, lit(100L))) / lit(100L) / lit(100.0)
+  }
+
+  /** `round(sum(price·(1−disc)), 2)` in exact integer arithmetic — the
+    * drop-in tie-free replacement for the double-sum form. Mirror with
+    * `SqlFragments.discountedRevenueSql` in DuckDB oracles.
+    */
+  def discountedRevenue(price: Column, disc: Column): Column =
+    centsHalfUpFromUnits(discountedRevenueUnits(price, disc))
+
   /** Size-capped blocking for candidate-pair generation (fuzzy dedup /
     * record linkage): assigns each row the composite block id
     * `<blockKey>#<ordinal/cap>`, deterministically splitting any block

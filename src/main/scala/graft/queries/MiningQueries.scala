@@ -45,12 +45,13 @@ object MiningQueries {
       val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          col("l_extendedprice"), col("l_discount"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("rev")), 2).as("revenue"),
+        .agg(Ops.discountedRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -338,16 +339,20 @@ object MiningQueries {
     // (one-row aggregate broadcast back — NOT an unpartitioned window,
     // which would single-partition the table at scale).
     "q137_share_of_total" -> ((s, d) => {
+      // exact integer 1e-4 units (Ops.discountedRevenueUnits) drive BOTH
+      // the cent display and the share ratios — the scalar unit factor
+      // cancels in the ratios, and the cent rounding is tie-free
       val base = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      val total = base.agg(sum(col("revenue")).as("tot"))
+        .agg(Ops.discountedRevenueUnits(
+          col("l_extendedprice"), col("l_discount")).as("_u"))
+      val total = base.agg(sum(col("_u")).as("_totu"))
       val wf = Window.partitionBy("l_returnflag")
       base.crossJoin(broadcast(total))
         .select(col("l_returnflag"), col("l_linestatus"),
-          round(col("revenue"), 2).as("revenue"),
-          round(col("revenue") / sum(col("revenue")).over(wf), 6).as("share_flag"),
-          round(col("revenue") / col("tot"), 6).as("share_total"))
+          Ops.centsHalfUpFromUnits(col("_u")).as("revenue"),
+          round(col("_u") / sum(col("_u")).over(wf), 6).as("share_flag"),
+          round(col("_u") / col("_totu"), 6).as("share_total"))
     }),
 
     // transformWithState (Spark 4's arbitrary-stateful operator, RocksDB-
@@ -2104,7 +2109,7 @@ object MiningQueries {
 
     "q120_multiway_join" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -3456,13 +3461,15 @@ object MiningQueries {
     "q137_share_of_total" ->
       """WITH base AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |    sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount*100) AS BIGINT))) AS u
         |  FROM lineitem GROUP BY 1, 2),
-        |tot AS (SELECT sum(revenue) AS tot FROM base)
-        |SELECT l_returnflag, l_linestatus, round(revenue, 2) AS revenue,
-        |  round(revenue / sum(revenue) OVER (PARTITION BY l_returnflag), 6)
+        |tot AS (SELECT sum(u) AS totu FROM base)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST((u + 50) // 100 AS DOUBLE) / 100 AS revenue,
+        |  round(u / CAST(sum(u) OVER (PARTITION BY l_returnflag) AS DOUBLE), 6)
         |    AS share_flag,
-        |  round(revenue / tot.tot, 6) AS share_total
+        |  round(u / CAST(tot.totu AS DOUBLE), 6) AS share_total
         |FROM base, tot""".stripMargin,
 
     "q130_tws_activity" ->

@@ -29,7 +29,7 @@ object RelationalQueries {
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          Ops.discountedRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -55,7 +55,7 @@ object RelationalQueries {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          Ops.discountedRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -136,7 +136,7 @@ object RelationalQueries {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          Ops.discountedRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -147,7 +147,9 @@ object RelationalQueries {
       Tables.orders(s, d).createOrReplaceTempView("g_orders")
       s.sql(
         """SELECT o_orderpriority,
-          |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |  CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT)
+          |            * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50)
+          |       DIV 100 AS DOUBLE) / 100 AS revenue,
           |  count(*) AS n_lines
           |FROM g_lineitem JOIN g_orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority""".stripMargin)
@@ -417,7 +419,7 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS sum_disc_price,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_discount),4) AS avg_disc,
         | count(*) AS count_order
@@ -432,7 +434,7 @@ object RelationalQueries {
 
     "q3_join_agg" ->
       """SELECT c_mktsegment, o_orderpriority,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -483,7 +485,7 @@ object RelationalQueries {
 
     "q11_star_join" ->
       """SELECT r_name, n_name,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -493,7 +495,7 @@ object RelationalQueries {
 
     "q48_sql_surface" ->
       """SELECT o_orderpriority,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,

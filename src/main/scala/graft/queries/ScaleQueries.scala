@@ -151,7 +151,7 @@ object ScaleQueries {
       val (o, l) = graft.io.Bucketed.ordersLineitem(s, d)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(Ops.discountedRevenue(col("l_extendedprice"), col("l_discount"))
           .as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
@@ -462,7 +462,7 @@ object ScaleQueries {
       fact.join(dim,
           col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(Ops.discountedRevenue(col("l_extendedprice"), col("l_discount"))
           .as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
@@ -846,7 +846,7 @@ object ScaleQueries {
 
     "q106_salted_join" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
@@ -1075,7 +1075,7 @@ object ScaleQueries {
 
     "q84_bucketed_join" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice*(1.0-l_discount)), 2) AS revenue,
+        |  CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,

@@ -74,8 +74,27 @@ object ScaleUp {
     write(replicate(t("lineitem"),
       Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)),
       "lineitem")
-    write(replicate(t("events"),
-      Map("event_id" -> evtS, "user_id" -> userS)), "events")
+    // events needs TWO layout properties the other tables don't:
+    //  - `ts` as a real µs TIMESTAMP (the source is TIMESTAMP(NANOS),
+    //    which this session reads as a raw long — writing the long back
+    //    would leave DuckDB oracles unable to CAST(ts AS TIMESTAMP));
+    //  - a SINGLE FILE named events.parquet (the streaming lanes discover
+    //    input via pathGlobFilter=events.parquet, which matches leaf file
+    //    names — a directory of part files would stream zero rows).
+    val ev = replicate(t("events"), Map("event_id" -> evtS, "user_id" -> userS))
+    val evTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => ev
+    }
+    evTs.coalesce(1).write.mode("overwrite").parquet(s"$out/_events_tmp")
+    val tmp = new java.io.File(s"$out/_events_tmp")
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val tgt = new java.io.File(s"$out/events.parquet")
+    if (tgt.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }; rm(tgt) }
+    require(part.renameTo(tgt), s"rename ${part} -> $tgt failed")
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    println(s"[scaleup] events: ${spark.read.parquet(s"$out/events.parquet").count()} rows (single file, µs ts)")
     write(replicate(t("documents"), Map("doc_id" -> docS)), "documents")
     write(replicate(t("embeddings"), Map("vec_id" -> vecS)), "embeddings")
 

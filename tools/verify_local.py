@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness check.
 
-Usage: python3 tools/verify_local.py <outDir> <sfDir>
+Usage: python3 tools/verify_local.py <outDir> <sfDir> [q1,q2,...]
 
 Reads <outDir>/<name>/ parquet (written by graft.Verify) and
 <outDir>/oracle_sql.json, runs each oracle SQL in DuckDB with views over
@@ -32,7 +32,7 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -41,6 +41,8 @@ def main(out_dir, sf_dir):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
@@ -89,4 +91,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
