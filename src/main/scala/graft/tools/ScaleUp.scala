@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   * for the dedup/blocking lanes — precisely what a skew stress run wants.
   *
   * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
-  * This is a test harness utility (like Bench/Verify), not a query lane.
+  * then:  python3 tools/nanosify_events.py <outDir>
+  * (the post-step rewrites events.ts to parquet TIMESTAMP(NANOS), the
+  * driver's exact layout — Spark cannot write nanos itself; see the
+  * events write below and tools/nanosify_events.py for why both consumers
+  * need it). This is a test harness utility (like Bench/Verify), not a
+  * query lane.
   */
 object ScaleUp {
 
