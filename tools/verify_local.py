@@ -32,7 +32,7 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(out_dir, sf_dir, only=None):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -40,6 +40,11 @@ def main(out_dir, sf_dir, only=None):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main(out_dir, sf_dir, only=None):
+    con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracles = {k: v for k, v in oracles.items() if k in only}
@@ -59,8 +64,15 @@ def main(out_dir, sf_dir, only=None):
             ocols = [d[0] for d in o.description]
             orows = o.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}")
+            print(f"FAIL {name}: oracle error {e}", flush=True)
             n_fail += 1
+            # a spill-to-disk failure (e.g. disk full) can invalidate the
+            # connection; reconnect so one heavy oracle doesn't sink the rest
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sf_dir)
             continue
         sc, sr = canon(srows, scols)
         oc, orr = canon(orows, ocols)
