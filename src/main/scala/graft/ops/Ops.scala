@@ -104,6 +104,20 @@ object Ops {
   def discountedRevenue(price: Column, disc: Column): Column =
     centsHalfUpFromUnits(discountedRevenueUnits(price, disc))
 
+  /** Exact half-up rational rounding: half_up(num/den) / 10^outScale for
+    * positive integer-valued `num`/`den` columns (longs). Integer identity
+    * half_up(a/b) = (2a+b) div (2b), computed with the pmod-floor idiom —
+    * the avg()-sibling of [[centsHalfUpFromUnits]] for `round(avg(x), p)`
+    * over fixed-decimal inputs, where the double path can land on the
+    * rounding grid's half-points. Callers pre-scale `num` so num/den is
+    * the target value × 10^outScale (e.g. Σx·100 × 100 / n for a 2-decimal
+    * input averaged to 4 decimals).
+    */
+  def ratioHalfUp(num: Column, den: Column, outScale: Int): Column = {
+    val y = num * 2 + den
+    round((y - pmod(y, den * 2)) / (den * 2)) / math.pow(10, outScale.toDouble)
+  }
+
   /** Size-capped blocking for candidate-pair generation (fuzzy dedup /
     * record linkage): assigns each row the composite block id
     * `<blockKey>#<ordinal/cap>`, deterministically splitting any block

@@ -30,8 +30,15 @@ object RelationalQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           Ops.discountedRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          // exact-rational avg rounding (Ops.ratioHalfUp): quantity and
+          // discount are 2-decimal fixed, so avg·10⁴ can land exactly on a
+          // half-point where double rounding is engine-dependent
+          Ops.ratioHalfUp(
+            sum(round(col("l_quantity") * 100).cast("long")) * 100,
+            count(lit(1)), 4).as("avg_qty"),
+          Ops.ratioHalfUp(
+            sum(round(col("l_discount") * 100).cast("long")) * 100,
+            count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -420,8 +427,10 @@ object RelationalQueries {
         | round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
         | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_discount),4) AS avg_disc,
+        | CAST((2*(sum(CAST(round(l_quantity*100) AS BIGINT)) * 100) + count(*))
+        |      // (2*count(*)) AS DOUBLE) / 10000 AS avg_qty,
+        | CAST((2*(sum(CAST(round(l_discount*100) AS BIGINT)) * 100) + count(*))
+        |      // (2*count(*)) AS DOUBLE) / 10000 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 

@@ -150,4 +150,29 @@ class OpsSpec extends AnyFunSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("exact rational/cent rounding resolves grid half-points the double path misses") {
+    import spark.implicits._
+    // U=101 hundredths over n=200 rows: avg·10⁴ = 50.5, an exact half-point.
+    // The double path round(avg, 4) sees 0.005049999...  → 0.0050; the
+    // integer identity half_up gives the deterministic 0.0051 both engines
+    // agree on.
+    val df = Seq((101L, 200L)).toDF("u", "n")
+    val r = df.select(Ops.ratioHalfUp(col("u") * 100, col("n"), 4).as("v"))
+      .as[Double].head()
+    assert(r === 0.0051)
+    // and a non-tie value matches plain rounding
+    val r2 = df.select(Ops.ratioHalfUp(lit(123L) * 100, col("n"), 4).as("v"))
+      .as[Double].head()
+    assert(r2 === 0.0062) // 123*100/200 = 61.5 → ALSO a tie → 62; pick non-tie:
+    val r3 = df.select(Ops.ratioHalfUp(lit(124L) * 100, col("n"), 4).as("v"))
+      .as[Double].head()
+    assert(r3 === 0.0062) // 124*100/200 = 62 exact
+    // centsHalfUpFromUnits: 12345 ten-thousandths = 1.2345 → half-up 1.23;
+    // 12350 = 1.235 → the half-cent tie rounds UP to 1.24 deterministically
+    val c = Seq(12345L, 12350L).toDF("u")
+      .select(Ops.centsHalfUpFromUnits(col("u")).as("v"))
+      .as[Double].collect().toList
+    assert(c === List(1.23, 1.24))
+  }
 }
