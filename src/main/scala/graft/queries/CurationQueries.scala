@@ -149,9 +149,12 @@ object CurationQueries {
       val prices = Stage.scopedPersist(
         Tables.orders(s, d).select(col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("p")))
-      val n = prices.count()
-      val p01 = exactRankK(prices, math.ceil(0.01 * n).toLong)
-      val p99 = exactRankK(prices, math.ceil(0.99 * n).toLong)
+      // N rides the bin-table collect (exactRanksWithTotal) — no separate
+      // count() job; both boundary ranks resolve in the same two passes.
+      val (n, ranks) = exactRanksWithTotal(prices,
+        n => Seq(math.ceil(0.01 * n).toLong, math.ceil(0.99 * n).toLong))
+      val p01 = ranks(math.ceil(0.01 * n).toLong)
+      val p99 = ranks(math.ceil(0.99 * n).toLong)
       val clipped = least(greatest(col("p"), lit(p01)), lit(p99))
       prices.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
@@ -236,7 +239,17 @@ object CurationQueries {
   private[graft] val MaxBins = 1000000
 
   private[graft] def exactRanks(prices: DataFrame, ks: Seq[Long],
-                                maxBins: Int = MaxBins): Map[Long, Double] = {
+                                maxBins: Int = MaxBins): Map[Long, Double] =
+    exactRanksWithTotal(prices, _ => ks, maxBins)._2
+
+  /** Total-aware form: rank positions that depend on the row count N
+    * (quantiles k = ceil(q·N)) are derived from the SAME collected bin
+    * table that locates them — N is Σ bin counts, so no separate `count()`
+    * job precedes the two-pass machinery. `ksOf` receives N and returns the
+    * rank positions, keeping each caller's exact rank arithmetic.
+    */
+  private[graft] def exactRanksWithTotal(prices: DataFrame, ksOf: Long => Seq[Long],
+                                         maxBins: Int = MaxBins): (Long, Map[Long, Double]) = {
     // limit(maxBins+1) bounds the collect itself (no unbounded driver
     // transfer even on a pathological domain); one extra row is enough to
     // detect overflow and fail loudly instead of OOMing.
@@ -249,6 +262,8 @@ object CurationQueries {
       s"exactRanks: value domain spans more than $maxBins bins of width " +
         "1000 — widen the bin width for this domain instead of collecting")
     val cum = bins.scanLeft(0L)(_ + _.getLong(1)).tail
+    val total = cum.lastOption.getOrElse(0L)
+    val ks = ksOf(total)
     val targets = ks.distinct.map { k =>
       val i = cum.indexWhere(_ >= k)
       require(i >= 0, s"rank $k exceeds row count ${cum.lastOption.getOrElse(0L)}")
@@ -265,7 +280,7 @@ object CurationQueries {
       .select(col("bin"), col("rn"), col("p"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getDouble(2)).toMap
-    targets.map { case (k, b, r) => k -> hits((b, r)) }.toMap
+    (total, targets.map { case (k, b, r) => k -> hits((b, r)) }.toMap)
   }
 
   private val toks =

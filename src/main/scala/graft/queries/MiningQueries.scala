@@ -873,9 +873,10 @@ object MiningQueries {
           .agg(((unix_micros(min(col("c_ts"))) - unix_micros(min(col("v_ts"))))
             / lit(1000000L)).as("p"))
           .select(col("view_id"), col("p").cast("double").as("p")))
-      val nGaps = gaps.count()
-      val ranks = CurationQueries.exactRanks(gaps,
-        Seq(math.ceil(0.5 * nGaps).toLong, math.ceil(0.9 * nGaps).toLong))
+      // nGaps rides the bin-table collect (exactRanksWithTotal) — no
+      // separate count() job before the two-pass rank machinery.
+      val (nGaps, ranks) = CurationQueries.exactRanksWithTotal(gaps,
+        n => Seq(math.ceil(0.5 * n).toLong, math.ceil(0.9 * n).toLong))
       val p50 = ranks(math.ceil(0.5 * nGaps).toLong)
       val p90 = ranks(math.ceil(0.9 * nGaps).toLong)
       import s.implicits._
@@ -1744,10 +1745,12 @@ object MiningQueries {
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
         .filter(col("_rn") === 1)
-      val nDelta = delta.count()
+      // delta total rides a one-row broadcast aggregate (the bm25/q123
+      // fold pattern) — no separate count() job / extra delta scan.
+      val nDelta = delta.agg(count(lit(1)).as("n_delta_total"))
       survivors.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_ingested"))
-        .withColumn("n_delta_total", lit(nDelta))
+        .crossJoin(broadcast(nDelta))
     }),
 
     // Consecutive-duplicate removal (debounce): drop events repeating the

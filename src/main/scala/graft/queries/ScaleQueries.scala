@@ -512,9 +512,11 @@ object ScaleQueries {
     "q104_equidepth" -> ((s, d) => {
       val prices = graft.runtime.Stage.scopedPersist(
         Tables.orders(s, d).select(round(col("o_totalprice"), 2).as("p")))
-      val n = prices.count()
+      // n rides the bin-table collect (exactRanksWithTotal) — no separate
+      // count() job; all 9 decile boundaries resolve in the same two passes.
+      val (n, bounds) = CurationQueries.exactRanksWithTotal(prices,
+        n => (1 to 9).map(i => math.ceil(i * n / 10.0).toLong))
       val ks = (1 to 9).map(i => math.ceil(i * n / 10.0).toLong)
-      val bounds = CurationQueries.exactRanks(prices, ks)
       val bucket = ks.map(k => when(col("p") > bounds(k), 1).otherwise(0))
         .reduce(_ + _)
       prices.groupBy(bucket.as("bucket"))

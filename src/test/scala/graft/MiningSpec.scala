@@ -55,6 +55,37 @@ class MiningSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("q165/q210/q97/q104: no count() driver action during construction (totals ride the bin collect / broadcast agg)") {
+    val sf = "/root/testdata/sf0.001"
+    // warm caches, then listen: the rank machinery's two collect jobs are
+    // the design; what must NOT appear is a separate `count at` job (the
+    // old gaps.count()/delta.count()/prices.count() shapes).
+    graft.runtime.Stage.newQueryScope()
+    SparkEntry.queries("q165_time_to_convert")(spark, sf)
+    val countJobs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        if (site.contains("count at")) { countJobs.add(site); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      for (q <- Seq("q165_time_to_convert", "q210_incremental_dedup",
+                    "q97_winsorize", "q104_equidepth")) {
+        graft.runtime.Stage.newQueryScope()
+        val df = SparkEntry.queries(q)(spark, sf)
+        assert(df.collect().nonEmpty, s"$q must still evaluate")
+      }
+      org.apache.spark.graft.TestBridge.waitForListenerBus(spark.sparkContext, 30000L)
+      // the queries' own final collect above IS a "collect", never a
+      // "count"; any `count at` job means a scalar driver count survived
+      assert(countJobs.isEmpty,
+        s"no construction-time count() actions expected, saw: $countJobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   private def chunks(tokens: Seq[String], chunk: Int, stride: Int): Seq[Seq[String]] = {
     val df = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
       .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
