@@ -74,6 +74,29 @@ object Ops {
     edges.join(ok, keyCol)
   }
 
+  /** Null-safe (`<=>`) equi-join with a null-bucket budget. The null
+    * bucket of a null-safe join is a semantic CROSS — every null-key left
+    * row pairs with every null-key right row — so a high-null key silently
+    * turns the join quadratic at scale. This wrapper projects that pair
+    * count with two tiny column-pruned aggregates BEFORE launching the
+    * join and fails loudly over budget; the deliberate cost of two small
+    * probe jobs buys a guarantee no plan inspection gives (the explosion
+    * depends on data, not the plan). Callers that have proven their null
+    * rates can call `<=>` directly.
+    */
+  def nullSafeJoinGuarded(left: DataFrame, leftKey: Column,
+                          right: DataFrame, rightKey: Column,
+                          maxNullPairs: Long = 100000000L): DataFrame = {
+    val ln = left.filter(leftKey.isNull).count()
+    val rn = right.filter(rightKey.isNull).count()
+    require(ln * rn <= maxNullPairs,
+      s"null-safe join: the null bucket would produce $ln × $rn = " +
+        s"${ln * rn} pairs (budget $maxNullPairs). A null-heavy key makes " +
+        "<=> a cross join at scale — pre-filter nulls or join them " +
+        "separately with bounded semantics.")
+    left.join(right, leftKey <=> rightKey)
+  }
+
   /** Σ price·(1−discount) in EXACT integer ten-thousandths of a currency
     * unit (price and discount carry ≤ 2 decimals by the TPC-H-style data
     * contract, so price·100 and discount·100 are integers and the product
@@ -116,6 +139,23 @@ object Ops {
   def ratioHalfUp(num: Column, den: Column, outScale: Int): Column = {
     val y = num * 2 + den
     round((y - pmod(y, den * 2)) / (den * 2)) / math.pow(10, outScale.toDouble)
+  }
+
+  /** Tie-free `round(avg(x), outScale)` for a fixed-decimal input column
+    * with `inScale` decimals — the aggregate packaging of [[ratioHalfUp]]
+    * (num = Σ round(x·10^inScale) · 10^(outScale−inScale), den = n), so
+    * every avg-of-money/avg-of-count site shares ONE arithmetic instead of
+    * re-deriving the pre-scaling. Mirror with `SqlFragments.avgFixedSql`
+    * (DuckDB) / `SqlFragments.avgFixedSparkSql` (spark.sql lanes).
+    * Input column must be non-null (den is count(*), matching avg over a
+    * non-null column — same contract as the q1 flagship usage).
+    */
+  def avgFixedHalfUp(c: Column, inScale: Int, outScale: Int): Column = {
+    require(outScale >= inScale,
+      s"avgFixedHalfUp: outScale $outScale must be >= inScale $inScale")
+    val units = sum(round(c * math.pow(10, inScale.toDouble)).cast("long"))
+    val mult = math.pow(10, (outScale - inScale).toDouble).toLong
+    ratioHalfUp(units * lit(mult), count(lit(1)), outScale)
   }
 
   /** Size-capped blocking for candidate-pair generation (fuzzy dedup /

@@ -158,8 +158,8 @@ object CurationQueries {
       val clipped = least(greatest(col("p"), lit(p01)), lit(p99))
       prices.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-          round(avg(col("p")), 2).as("avg_raw"),
-          round(avg(clipped), 2).as("avg_wins"),
+          Ops.avgFixedHalfUp(col("p"), 2, 2).as("avg_raw"),
+          Ops.avgFixedHalfUp(clipped, 2, 2).as("avg_wins"),
           sum(when(col("p") < p01, 1L).otherwise(0L)).as("n_low"),
           sum(when(col("p") > p99, 1L).otherwise(0L)).as("n_high"))
     }),
@@ -359,7 +359,7 @@ object CurationQueries {
         |GROUP BY 1""".stripMargin,
 
     "q97_winsorize" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT o_orderstatus, round(o_totalprice, 2) AS p FROM orders),
         |r AS (
         |  SELECT p, row_number() OVER (ORDER BY p) AS rn,
@@ -371,8 +371,8 @@ object CurationQueries {
         |    max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN p END) AS p99
         |  FROM r)
         |SELECT o_orderstatus, count(*) AS n_orders,
-        |  round(avg(p), 2) AS avg_raw,
-        |  round(avg(least(greatest(p, p01), p99)), 2) AS avg_wins,
+        |  ${SqlFragments.avgFixedSql("p", 2, 2)} AS avg_raw,
+        |  ${SqlFragments.avgFixedSql("least(greatest(p, p01), p99)", 2, 2)} AS avg_wins,
         |  CAST(count(*) FILTER (WHERE p < p01) AS BIGINT) AS n_low,
         |  CAST(count(*) FILTER (WHERE p > p99) AS BIGINT) AS n_high
         |FROM b, q GROUP BY 1""".stripMargin,

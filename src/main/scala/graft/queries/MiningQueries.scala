@@ -230,10 +230,10 @@ object MiningQueries {
       Tables.customer(s, d).createOrReplaceTempView("g_customer")
       Tables.orders(s, d).createOrReplaceTempView("g_orders")
       s.sql(
-        """WITH big AS (SELECT * FROM g_orders WHERE o_totalprice > 400000)
+        s"""WITH big AS (SELECT * FROM g_orders WHERE o_totalprice > 400000)
           |SELECT c.c_mktsegment AS segment,
           |  count(*) AS n_cust,
-          |  round(avg(t.max_price), 2) AS avg_max_price,
+          |  ${SqlFragments.avgFixedSparkSql("t.max_price", 2, 2)} AS avg_max_price,
           |  round(max(t.max_price
           |    - (SELECT avg(o_totalprice) FROM g_orders)), 2) AS max_over_global
           |FROM g_customer c,
@@ -248,7 +248,11 @@ object MiningQueries {
     // NULLed deterministically (value band), then the null-safe join count
     // is compared against the null-dropping plain join in one output row
     // per key class. Catalyst plans <=> as a real hash join key (no
-    // fallback to nested-loop).
+    // fallback to nested-loop). Runs through Ops.nullSafeJoinGuarded: the
+    // null bucket is a semantic cross (null-rows × null-rows), and the
+    // guard fails loudly before launching a join whose bucket outgrows the
+    // budget — so this demo shape can't be copied onto a high-null key and
+    // silently go quadratic.
     "q129_nullsafe_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_id"),
@@ -258,7 +262,7 @@ object MiningQueries {
         .select(when(col("c_custkey") % 100 === 0, lit(null).cast("bigint"))
           .otherwise(col("c_custkey")).as("ck"),
           col("c_mktsegment"))
-      ev.join(dim, col("uk") <=> col("ck"))
+      Ops.nullSafeJoinGuarded(ev, col("uk"), dim, col("ck"))
         .groupBy(coalesce(col("c_mktsegment"), lit("NULL_KEY")).as("segment"),
           col("uk").isNull.as("null_key"))
         .agg(count(lit(1)).as("n_matches"))
@@ -2111,8 +2115,8 @@ object MiningQueries {
   val oracle: Map[String, String] = Map(
 
     "q120_multiway_join" ->
-      """SELECT n_name,
-        |  CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
+      s"""SELECT n_name,
+        |  ${SqlFragments.discountedRevenueSql()} AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -2252,10 +2256,10 @@ object MiningQueries {
         |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
 
     "q128_sql_surface2" ->
-      """WITH big AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+      s"""WITH big AS (SELECT * FROM orders WHERE o_totalprice > 400000)
         |SELECT c.c_mktsegment AS segment,
         |  count(*) AS n_cust,
-        |  round(avg(t.max_price), 2) AS avg_max_price,
+        |  ${SqlFragments.avgFixedSql("t.max_price", 2, 2)} AS avg_max_price,
         |  round(max(t.max_price
         |    - (SELECT avg(o_totalprice) FROM orders)), 2) AS max_over_global
         |FROM customer c,
@@ -3462,14 +3466,13 @@ object MiningQueries {
         |FROM customer c LEFT JOIN p ON p.user_id = c.c_custkey""".stripMargin,
 
     "q137_share_of_total" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    sum(CAST(round(l_extendedprice*100) AS BIGINT)
-        |        * (100 - CAST(round(l_discount*100) AS BIGINT))) AS u
+        |    ${SqlFragments.revenueUnitsSql()} AS u
         |  FROM lineitem GROUP BY 1, 2),
         |tot AS (SELECT sum(u) AS totu FROM base)
         |SELECT l_returnflag, l_linestatus,
-        |  CAST((u + 50) // 100 AS DOUBLE) / 100 AS revenue,
+        |  ${SqlFragments.centsSql("u")} AS revenue,
         |  round(u / CAST(sum(u) OVER (PARTITION BY l_returnflag) AS DOUBLE), 6)
         |    AS share_flag,
         |  round(u / CAST(tot.totu AS DOUBLE), 6) AS share_total

@@ -153,10 +153,8 @@ object RelationalQueries {
       Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
       Tables.orders(s, d).createOrReplaceTempView("g_orders")
       s.sql(
-        """SELECT o_orderpriority,
-          |  CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT)
-          |            * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50)
-          |       DIV 100 AS DOUBLE) / 100 AS revenue,
+        s"""SELECT o_orderpriority,
+          |  ${SqlFragments.discountedRevenueSparkSql()} AS revenue,
           |  count(*) AS n_lines
           |FROM g_lineitem JOIN g_orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority""".stripMargin)
@@ -254,7 +252,7 @@ object RelationalQueries {
       def at(q: Double) = max(when(col("rn") === ceil(lit(q) * col("n")), col("p")))
       ranked.groupBy(col("l_returnflag"))
         .agg(at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"),
-          round(avg(col("p")), 2).as("mean"))
+          Ops.avgFixedHalfUp(col("p"), 2, 2).as("mean"))
     }),
 
     // Skew-mitigation pattern: two-phase salted aggregation (salt on a
@@ -423,14 +421,12 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
-        | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS sum_disc_price,
-        | CAST((2*(sum(CAST(round(l_quantity*100) AS BIGINT)) * 100) + count(*))
-        |      // (2*count(*)) AS DOUBLE) / 10000 AS avg_qty,
-        | CAST((2*(sum(CAST(round(l_discount*100) AS BIGINT)) * 100) + count(*))
-        |      // (2*count(*)) AS DOUBLE) / 10000 AS avg_disc,
+        | ${SqlFragments.discountedRevenueSql()} AS sum_disc_price,
+        | ${SqlFragments.avg2To4Sql("l_quantity")} AS avg_qty,
+        | ${SqlFragments.avg2To4Sql("l_discount")} AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -442,8 +438,8 @@ object RelationalQueries {
         |  FROM lineitem) t WHERE rn <= 5""".stripMargin,
 
     "q3_join_agg" ->
-      """SELECT c_mktsegment, o_orderpriority,
-        | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
+      s"""SELECT c_mktsegment, o_orderpriority,
+        | ${SqlFragments.discountedRevenueSql()} AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -493,8 +489,8 @@ object RelationalQueries {
         |FROM lineitem""".stripMargin,
 
     "q11_star_join" ->
-      """SELECT r_name, n_name,
-        | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
+      s"""SELECT r_name, n_name,
+        | ${SqlFragments.discountedRevenueSql()} AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -503,8 +499,8 @@ object RelationalQueries {
         |GROUP BY r_name, n_name""".stripMargin,
 
     "q48_sql_surface" ->
-      """SELECT o_orderpriority,
-        | CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
+      s"""SELECT o_orderpriority,
+        | ${SqlFragments.discountedRevenueSql()} AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
@@ -639,7 +635,7 @@ object RelationalQueries {
         |GROUP BY o_orderkey""".stripMargin,
 
     "q57_percentiles" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT l_returnflag, round(l_extendedprice, 2) AS p FROM lineitem),
         |r AS (
         |  SELECT l_returnflag, p,
@@ -650,7 +646,7 @@ object RelationalQueries {
         | max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN p END) AS p25,
         | max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN p END) AS p50,
         | max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN p END) AS p75,
-        | round(avg(p), 2) AS mean
+        | ${SqlFragments.avgFixedSql("p", 2, 2)} AS mean
         |FROM r GROUP BY l_returnflag""".stripMargin,
 
     // the oracle IS the unsalted direct aggregation

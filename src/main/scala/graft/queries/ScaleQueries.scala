@@ -229,7 +229,7 @@ object ScaleQueries {
         max(to_date(col("o_orderdate"))).as("max_date"),
         round(min(col("o_totalprice")), 2).as("min_price"),
         round(max(col("o_totalprice")), 2).as("max_price"),
-        round(avg(col("o_totalprice")), 2).as("avg_price"))),
+        Ops.avgFixedHalfUp(col("o_totalprice"), 2, 2).as("avg_price"))),
 
     // Two-pass equi-width histogram over an unknown range: pass 1 reduces
     // to (min, max) — a few bytes broadcast back — pass 2 buckets every
@@ -847,8 +847,8 @@ object ScaleQueries {
         |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
 
     "q106_salted_join" ->
-      """SELECT o_orderpriority,
-        |  CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
+      s"""SELECT o_orderpriority,
+        |  ${SqlFragments.discountedRevenueSql()} AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
@@ -1036,14 +1036,14 @@ object ScaleQueries {
         |FROM lineitem""".stripMargin,
 
     "q91_profile_orders" ->
-      """SELECT count(*) AS n_rows,
+      s"""SELECT count(*) AS n_rows,
         |  count(DISTINCT o_custkey) AS n_cust,
         |  count(DISTINCT o_orderstatus) AS n_status,
         |  CAST(min(o_orderdate) AS DATE) AS min_date,
         |  CAST(max(o_orderdate) AS DATE) AS max_date,
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price,
-        |  round(avg(o_totalprice), 2) AS avg_price
+        |  ${SqlFragments.avgFixedSql("o_totalprice", 2, 2)} AS avg_price
         |FROM orders""".stripMargin,
 
     "q92_value_histogram" ->
@@ -1076,8 +1076,8 @@ object ScaleQueries {
         |FROM w GROUP BY 1""".stripMargin,
 
     "q84_bucketed_join" ->
-      """SELECT o_orderpriority,
-        |  CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100 AS revenue,
+      s"""SELECT o_orderpriority,
+        |  ${SqlFragments.discountedRevenueSql()} AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,

@@ -41,14 +41,14 @@ object SurfaceQueries {
     * and `t` (size-capped block id), identical split semantics.
     */
   private val fuzzyBlockSql: String =
-    """t0 AS (
+    s"""t0 AS (
       |  SELECT doc_id,
       |    substr(text, 1, 8) || '|' || CAST(length(text) // 64 AS VARCHAR) AS bk,
       |    substr(text, 1, 40) AS head
       |  FROM documents),
       |t AS (
       |  SELECT doc_id, head,
-      |    bk || '#' || CAST((row_number() OVER (PARTITION BY bk ORDER BY doc_id) - 1) // 256 AS VARCHAR) AS blk
+      |    bk || '#' || CAST((row_number() OVER (PARTITION BY bk ORDER BY doc_id) - 1) // $FuzzyBlockCap AS VARCHAR) AS blk
       |  FROM t0)""".stripMargin
 
   /** q244's wedge budget: users above this distinct-item degree are excluded
@@ -591,12 +591,12 @@ object SurfaceQueries {
         |FROM p GROUP BY 1""".stripMargin,
 
     "q244_two_hop" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT DISTINCT user_id AS userId, event_id % 500 AS newsId
         |  FROM events WHERE event_type = 'click'),
         |h1 AS (SELECT newsId, CAST(count(DISTINCT userId) AS BIGINT) AS n_users
         |       FROM e GROUP BY 1),
-        |ok AS (SELECT userId FROM e GROUP BY 1 HAVING count(*) <= 128),
+        |ok AS (SELECT userId FROM e GROUP BY 1 HAVING count(*) <= $TwoHopDegreeCap),
         |ec AS (SELECT e.* FROM e JOIN ok USING (userId)),
         |h2 AS (
         |  SELECT a.newsId,

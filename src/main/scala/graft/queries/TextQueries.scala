@@ -59,8 +59,8 @@ object TextQueries {
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          round(avg(col("n_chars")), 4).as("avg_chars"),
-          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+          Ops.avgFixedHalfUp(col("n_chars"), 0, 4).as("avg_chars"),
+          Ops.avgFixedHalfUp(col("n_tokens"), 0, 4).as("avg_tokens"))
     }),
 
     // Corpus-wide top-20 word frequencies (tokenize-explode + agg + top-k).
@@ -121,8 +121,9 @@ object TextQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q16_lang_stats" ->
-      s"""SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars,
-         | round(avg(len($toks)),4) AS avg_tokens
+      s"""SELECT lang, count(*) AS n_docs,
+         | ${SqlFragments.avgFixedSql("n_chars", 0, 4)} AS avg_chars,
+         | ${SqlFragments.avgFixedSql(s"len($toks)", 0, 4)} AS avg_tokens
          |FROM documents GROUP BY lang""".stripMargin,
 
     "q17_word_freq" ->

@@ -86,6 +86,26 @@ class MiningSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("nullSafeJoinGuarded: high-null key fails loudly before the join; bounded bucket passes") {
+    import graft.ops.Ops
+    val left = spark.range(0, 100)
+      .select(when(col("id") < 40, lit(null).cast("bigint"))
+        .otherwise(col("id")).as("lk"), col("id").as("lv"))
+    val right = spark.range(0, 50)
+      .select(when(col("id") < 20, lit(null).cast("bigint"))
+        .otherwise(col("id") + 60).as("rk"), col("id").as("rv"))
+    // 40 × 20 = 800 null-bucket pairs > budget 100 → loud failure, and the
+    // message names the projected pair count
+    val e = intercept[IllegalArgumentException] {
+      Ops.nullSafeJoinGuarded(left, col("lk"), right, col("rk"), maxNullPairs = 100L)
+    }
+    assert(e.getMessage.contains("40 × 20"))
+    assert(e.getMessage.contains("cross join"))
+    // within budget: the join runs and the null bucket is exactly the cross
+    val ok = Ops.nullSafeJoinGuarded(left, col("lk"), right, col("rk"), maxNullPairs = 800L)
+    assert(ok.filter(col("lk").isNull).count() === 800L)
+  }
+
   private def chunks(tokens: Seq[String], chunk: Int, stride: Int): Seq[Seq[String]] = {
     val df = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
       .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
