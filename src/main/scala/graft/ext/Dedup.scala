@@ -211,7 +211,12 @@ object Dedup {
     // for speed (executor loss forfeits the blocks and fails the job — the
     // loop would restart); pass `reroot = Reroot.Reliable(dir)` where that
     // tradeoff reverses (see graft.runtime.Reroot).
-    var labels = reroot(sym.select(col("src").as("_id")).distinct()
+    // The loop-carried label frame goes through rolling(): each round's
+    // reliable checkpoint supersedes the previous round's, whose files are
+    // deleted as soon as the new round materializes (sym stays on the base
+    // strategy — it is live for every round).
+    val roll = graft.runtime.Reroot.rolling(reroot)
+    var labels = roll(sym.select(col("src").as("_id")).distinct()
       .select(col("_id"), col("_id").as("label")))
     var converged = false
     var i = 0
@@ -221,7 +226,7 @@ object Dedup {
       // Carry the previous label alongside the new one so the convergence
       // probe is a filter over the just-materialized frame — not an extra
       // self-join per round.
-      val next = reroot(labels.join(nbrMin, col("_id") === col("src"), "left")
+      val next = roll(labels.join(nbrMin, col("_id") === col("src"), "left")
         .select(col("_id"),
           least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
           col("label").as("_old")))

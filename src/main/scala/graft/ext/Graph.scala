@@ -37,12 +37,15 @@ object Graph {
     val nodes = reroot(deg.select(col("src").as("id")))
     val n = nodes.count()
     val base = (1.0 - damping) / n
-    var ranks = reroot(nodes.select(col("id"), lit(1.0 / n).as("r")))
+    // rank frame is loop-carried: rolling() deletes each superseded
+    // round's reliable checkpoint once the next materializes
+    val roll = graft.runtime.Reroot.rolling(reroot)
+    var ranks = roll(nodes.select(col("id"), lit(1.0 / n).as("r")))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("deg")).as("m"))
-      ranks = reroot(nodes.join(contribs, col("id") === col("dst"), "left")
+      ranks = roll(nodes.join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("m"), lit(0.0))).as("r")))
     }
@@ -74,11 +77,14 @@ object Graph {
         when(col("_m").isNotNull, lit(1.0) / col("_ns"))
           .otherwise(lit(0.0)).as("s")))
     var ranks = sVec.select(col("id"), col("s").as("r"))
+    // rank frame is loop-carried: rolling() deletes each superseded
+    // round's reliable checkpoint once the next materializes
+    val roll = graft.runtime.Reroot.rolling(reroot)
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("deg")).as("m"))
-      ranks = reroot(sVec.join(contribs, col("id") === col("dst"), "left")
+      ranks = roll(sVec.join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * col("s")
             + lit(damping) * coalesce(col("m"), lit(0.0))).as("r")))

@@ -57,4 +57,49 @@ object Reroot {
       df.checkpoint()
     }
   }
+
+  /** Wrap a strategy for a LOOP-CARRIED frame (labels, ranks): round N's
+    * cut supersedes round N−1's, so once round N has materialized, the
+    * previous round's reliable checkpoint files are deleted eagerly.
+    * Without this, `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * defaults to false and a 25-round CC loop leaves ~25 full copies of
+    * the label frame in the checkpoint store for the app lifetime. The
+    * final round's files are never deleted (the returned frame reads from
+    * them). Frames checkpointed ONCE per run (symmetrized edges, degree)
+    * must keep using the base strategy — they are live for every round.
+    * For [[Local]] this is the identity: superseded localCheckpoint blocks
+    * are already reclaimed by the ContextCleaner when their RDDs go
+    * unreferenced.
+    */
+  def rolling(base: Reroot): Reroot = base match {
+    case r: Reliable => new RollingReliable(r)
+    case other       => other
+  }
+
+  private final class RollingReliable(base: Reliable) extends Reroot {
+    private var prev: Seq[String] = Nil
+    def apply(df: DataFrame): DataFrame = {
+      val out = base(df)
+      // base() is eager: out's data is fully materialized in its OWN
+      // rdd-* files before the superseded round's files are removed, so
+      // a later recompute of out never reaches back past its checkpoint.
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      prev.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        try { path.getFileSystem(conf).delete(path, true); () }
+        catch { case e: java.io.IOException =>
+          System.err.println(s"[reroot] superseded checkpoint cleanup failed for $p: $e") }
+      }
+      prev = checkpointFiles(out.rdd)
+      out
+    }
+  }
+
+  /** All reliable-checkpoint files reachable in an RDD's dependency DAG.
+    * For a just-checkpointed frame the DAG contains exactly its own file
+    * (the plan was re-rooted to a LogicalRDD over the checkpointed RDD).
+    */
+  private def checkpointFiles(r: org.apache.spark.rdd.RDD[_]): Seq[String] =
+    (r.getCheckpointFile.toSeq ++
+      r.dependencies.flatMap(d => checkpointFiles(d.rdd))).distinct
 }

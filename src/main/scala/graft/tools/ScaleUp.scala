@@ -41,7 +41,13 @@ object ScaleUp {
     // key ranges are disjoint and ids stay readable (replica i of key k is
     // i*stride + k).
     def stride(df: DataFrame, key: String): Long = {
-      val mx = df.agg(max(col(key))).head().getLong(0)
+      val row = df.agg(max(col(key)).cast("long").as("mx")).head()
+      require(!row.isNullAt(0),
+        s"ScaleUp: key column '$key' has no non-null values (empty source " +
+          "table?) — cannot derive a replica stride")
+      val mx = row.getLong(0)
+      require(mx >= 0, s"ScaleUp: key column '$key' has negative max $mx — " +
+        "replica key ranges would overlap")
       var s = 1L
       while (s <= mx) s *= 10
       s

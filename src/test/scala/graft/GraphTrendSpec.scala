@@ -58,10 +58,17 @@ class GraphTrendSpec extends AnyFunSuite {
       val rel = Graph.pageRank(edges, 8, 0.85, reroot = reliable).collect()
         .map(x => x.getLong(0) -> x.getDouble(1)).toMap
       assert(rel === local)
-      // the reliable run actually wrote RDD checkpoints into the directory
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      // the reliable run actually wrote RDD checkpoints into the directory,
+      // AND the rolling wrapper deleted every superseded round: of the
+      // 11 checkpoints the 8-iteration run creates (e, nodes, initial ranks,
+      // 8 round ranks), only e + nodes (static, live all rounds) and the
+      // FINAL ranks frame may remain on disk.
+      def rddDirs(): Long = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
         .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
-      assert(wrote > 0L, "Reroot.Reliable must materialize checkpoint dirs")
+      val afterPr = rddDirs()
+      assert(afterPr > 0L, "Reroot.Reliable must materialize checkpoint dirs")
+      assert(afterPr === 3L,
+        s"rolling cleanup must leave only static + final checkpoints, found $afterPr")
       // connectedComponents: same labels under either rerooting
       graft.runtime.Stage.newQueryScope()
       val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("_id")
@@ -73,6 +80,10 @@ class GraphTrendSpec extends AnyFunSuite {
         .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
       assert(ccRel === ccLocal)
       assert(ccRel === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+      // CC adds exactly two surviving checkpoints (symmetrized edges + the
+      // final label frame); every intermediate round was rolled away.
+      assert(rddDirs() === afterPr + 2L,
+        "CC rolling cleanup must leave only sym + final labels")
     } finally {
       graft.runtime.Stage.newQueryScope()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir)); ()
