@@ -10,6 +10,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE size shuffles from runtime stats: big stages START at 8×
+      // cores so no single sort partition holds tens of millions of rows
+      // (the sf1 rec-lane windows OOM'd a 32-partition layout on an 8 GB
+      // heap), while coalescing shrinks small stages back to ~cores. This
+      // is the local-mode rendering of "partitions sized to fit executor
+      // memory at the target SF" — on a real cluster the same conf scales
+      // with the executor count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.ui.enabled", "false")
       // r3 showed in-run timings up to 4x the standalone time for queries
       // late in the sequence: dropped shuffle files / unpersisted blocks
@@ -23,12 +32,15 @@ object Bench {
     // absorb one-time initialization (no query data is cached by this).
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // optional comma-separated subset for local profiling (driver leaves unset)
+    // optional comma-separated subset / exclusion for local profiling
+    // (driver leaves both unset)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    val selected = only match {
+    val excluded = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
-    }
+    }).filter { case (n, _) => !excluded(n) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a count()
@@ -40,7 +52,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Machine-readable full artifact: the driver's stdout tail keeps only
+    // ~60 per-query timings, which is what limits cross-round comparison —
+    // persist ALL of them. Default path bench/full_<sfname>.json (repo-
+    // relative, committed per round); override with SPARK_GRAFT_BENCH_OUT.
+    try {
+      val sfName = new java.io.File(sfDir).getName
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/full_$sfName.json")
+      val f = new java.io.File(outPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Exception => System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
 }

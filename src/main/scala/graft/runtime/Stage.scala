@@ -88,15 +88,25 @@ object Stage {
     scoped.foreach(_.unpersist(blocking = false)); scoped.clear()
   }
 
-  /** Persist a DataFrame for the session lifetime (shared-stage outputs). */
+  /** Persist a DataFrame for the session lifetime (shared-stage outputs).
+    *
+    * SER, not deserialized: cached row objects on the heap are what turned
+    * a 243-query sf1 run into a GC storm (deserialized MEMORY_AND_DISK
+    * blocks held ~GBs of boxed rows across queries; execution sorts then
+    * OOM'd a heap the memory manager thought was free). Serialized blocks
+    * cost one deserialization per read but shrink the resident footprint
+    * several-fold and make eviction byte-accurate — the same reasoning a
+    * multi-tenant cluster deployment uses for long-lived shared caches.
+    */
   def persistShared(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.persist(StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Persist a DataFrame for the CURRENT query only; released when the next
-    * query begins.
+    * query begins. Serialized for the same footprint reasons as
+    * [[persistShared]].
     */
   def scopedPersist(df: DataFrame): DataFrame = synchronized {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
     scoped += p
     p
   }

@@ -27,6 +27,13 @@ def main(sf_dir):
     idx = t.schema.get_field_index("ts")
     t = t.set_column(idx, pa.field("ts", pa.timestamp("ns")), ts_ns)
     t = t.sort_by("event_id")
+    # Drop Spark's embedded row metadata (org.apache.spark.sql.parquet.row.
+    # metadata): it still declares the PRE-rewrite µs timestamp type, and a
+    # Spark reader trusts that footer metadata over the physical NANOS
+    # annotation — yielding FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH
+    # instead of the nanosAsLong long column. The driver's own files carry no
+    # such metadata.
+    t = t.replace_schema_metadata(None)
     # version>=2.6 keeps NANOS as NANOS (older versions coerce to micros)
     pq.write_table(t, tmp, version="2.6", coerce_timestamps=None,
                    use_deprecated_int96_timestamps=False)
