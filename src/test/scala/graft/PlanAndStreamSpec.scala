@@ -505,4 +505,120 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(!p.contains("Window"))
     assert(!p.contains("Sort "), s"unexpected global sort in:\n$p")
   }
+
+  test("TWS timer lane killed mid-stream resumes from checkpoint: ValueState and registered timers survive a restart") {
+    import graft.streaming.{StreamConf, StreamingTws}
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_restart").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    def ms(min: Int): Long =
+      java.sql.Timestamp.valueOf(f"2024-03-01 10:$min%02d:00").getTime
+    // pre-kill slices (two files, maxFilesPerTrigger=1 → a real mid-stream
+    // kill point): ALL of user 1's events and user 2's first event
+    Seq((1L, ms(0)), (1L, ms(5)), (2L, ms(2))).toDF("userId", "tsMs")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq((1L, ms(20))).toDF("userId", "tsMs")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def start() = StreamingTws.withRocksDb(spark) {
+      StreamConf.withStatePartitions(spark) {
+        val raw = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        StreamingTws.timerPipeline(spark, raw).writeStream
+          .outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .start()
+      }
+    }
+
+    // run 1: kill after at least one committed batch — no timer has fired
+    // yet (watermark stays 1h behind), so EVERY summary depends on state
+    // surviving the restart
+    val q1 = start()
+    val deadline = System.currentTimeMillis + 30000
+    while (q1.recentProgress.length < 1 && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    // post-restart backlog: user 2's second event, then a far-future
+    // sentinel that advances the watermark past every registered timer
+    Seq((2L, ms(40))).toDF("userId", "tsMs")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq((-1L, ms(0) + 48L * 3600 * 1000)).toDF("userId", "tsMs")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val merged = StreamingTws.mergeTimerSink(spark.read.parquet(outDir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // user 1's events all arrived PRE-kill and its summary only fires
+    // post-restart — it exists iff the ValueState AND the registered timer
+    // were recovered from the checkpoint; user 2's count spans the kill
+    assert(merged(1L) === ((3L, ms(0), ms(20))),
+      s"user 1 summary must cover all pre-kill events, got $merged")
+    assert(merged(2L) === ((2L, ms(2), ms(40))),
+      s"user 2 state must span the restart, got $merged")
+    assert(!merged.contains(-1L))
+  }
+
+  test("TWS ListState killed mid-stream resumes: post-restart rows carry recovered distinct-day and count state") {
+    import graft.streaming.{StreamConf, StreamingTws}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_list_restart").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
+    // day ordinals split ACROSS the kill: users 1/2 act on days 10 and 11
+    // pre-kill, then again on day 11 and newly on day 12 post-restart
+    Seq((1L, 10, 1000L), (1L, 11, 2000L), (2L, 10, 1500L)).toDF("userId", "dayOrd", "tsUs")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq((2L, 11, 2500L)).toDF("userId", "dayOrd", "tsUs")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val outDir = s"$base/out"
+
+    // update-mode memory sinks cannot recover from a checkpoint, so the
+    // restartable sink is foreachBatch → parquet append: running totals
+    // are monotone per user, so max-per-user over ALL emitted rows (even a
+    // replayed uncommitted batch) is the final state
+    def start() = StreamingTws.withRocksDb(spark) {
+      StreamConf.withStatePartitions(spark) {
+        import spark.implicits._
+        val evs = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .as[StreamingTws.Ev]
+        implicit val outEnc: Encoder[StreamingTws.UserActivity] =
+          Encoders.product[StreamingTws.UserActivity]
+        evs.groupByKey(_.userId)
+          .transformWithState(new StreamingTws.ActivityProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF().writeStream.outputMode(OutputMode.Update)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+    }
+
+    val q1 = start()
+    val deadline = System.currentTimeMillis + 30000
+    while (q1.recentProgress.length < 1 && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    // post-restart: one more event for EACH user (day 11 repeats for user
+    // 1 — must NOT re-count; day 12 is new for user 2)
+    Seq((1L, 11, 3000L), (2L, 12, 3500L)).toDF("userId", "dayOrd", "tsUs")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // each user's max row carries running totals that are correct only if
+    // the ValueState count AND the ListState day set were recovered
+    val finalRows = spark.read.parquet(outDir)
+      .groupBy($"userId").agg(max($"n_events").as("n"), max($"n_active_days").as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(finalRows(1L) === ((3L, 2)),
+      s"user 1: 3 events over days {10,11} (day 11 repeat must not re-count), got $finalRows")
+    assert(finalRows(2L) === ((3L, 3)),
+      s"user 2: 3 events over days {10,11,12}, got $finalRows")
+  }
 }
