@@ -39,7 +39,8 @@ object RecommendPipeline {
     * once via the inverted-index word join.
     */
   private def pairScores(userKw: DataFrame, newsKw: DataFrame, activeUsers: DataFrame,
-                         scene: Scene, scoreRound: Option[Int]): DataFrame = {
+                         scene: Scene, scoreRound: Option[Int],
+                         postingCap: Option[Int]): DataFrame = {
 
     // Similarity is day-INVARIANT: score each relevant (user, news) pair
     // exactly once via the inverted-index word join, then attach day
@@ -47,8 +48,15 @@ object RecommendPipeline {
     // keyed the word join on (day, word) — numDays× redundant arithmetic and
     // a numDays× larger pre-aggregation shuffle. At 100 TB that difference
     // is the job.)
-    val relevantNews = newsKw.filter(col("date")
+    val inRange = newsKw.filter(col("date")
       .between(lit(scene.fromDate), date_add(lit(scene.toDate), scene.numDays)))
+    // Optional WAND-lite posting cap (Scoring.cappedPostings): bounds the
+    // word join's per-word fan-out to |users| × cap. Approximate by
+    // contract — None (the default) is the exact reference semantics.
+    val relevantNews = postingCap match {
+      case Some(cap) => Scoring.cappedPostings(inRange, "id", cap)
+      case None      => inRange
+    }
     val userWords = userKw
       .join(activeUsers.select("userId").distinct(), "userId") // score active users only
 
@@ -111,9 +119,10 @@ object RecommendPipeline {
     * @param clicks  (userId, newsId, date, count)
     */
   def scoredPairs(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
-                  scene: Scene, scoreRound: Option[Int] = None): DataFrame = {
+                  scene: Scene, scoreRound: Option[Int] = None,
+                  postingCap: Option[Int] = None): DataFrame = {
     val activeUsers = activeUsersOf(clicks, scene)
-    pairScores(userKw, newsKw, activeUsers, scene, scoreRound)
+    pairScores(userKw, newsKw, activeUsers, scene, scoreRound, postingCap)
       .join(newsDaysOf(newsKw, scene), "id")
       .join(activeUsers, Seq("day", "userId"), "left_semi")
       .select(col("day").as("date"), col("userId"), col("id").as("newsId"), col("score"))
@@ -125,9 +134,10 @@ object RecommendPipeline {
     */
   def recommendAll(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
                    scene: Scene, limit: Option[Int],
-                   scoreRound: Option[Int] = None): DataFrame = {
+                   scoreRound: Option[Int] = None,
+                   postingCap: Option[Int] = None): DataFrame = {
     val activeUsers = activeUsersOf(clicks, scene)
-    val scores = pairScores(userKw, newsKw, activeUsers, scene, scoreRound)
+    val scores = pairScores(userKw, newsKw, activeUsers, scene, scoreRound, postingCap)
     limit match {
       case Some(k) =>
         // Hierarchical top-k: a day's candidate set is the union of the

@@ -153,6 +153,21 @@ object RecQueries {
         .withColumn("news", concat_ws(",", col("news")))
     }),
 
+    // WAND-lite flagged path (Scoring.cappedPostings): the q23 all-days
+    // lane with frequency-capped posting lists (cap=64, value desc / id asc
+    // cut — deterministic, so the approximation itself is oracle-checked).
+    // The default lanes never set postingCap; this is the opt-in scale
+    // relaxation for corpora where stop-word-like keywords dominate the
+    // inverted join.
+    "q245_rec_lists_capped" -> ((s, d) => {
+      val (newsKw, userKw) = profiles(s, d)
+      val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance,
+        numRecommendations = 5)
+      RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
+          limit = Some(5), scoreRound = Some(4), postingCap = Some(PostingCap))
+        .withColumn("news", concat_ws(",", col("news")))
+    }),
+
     // T1 via the partial-combining TopK Aggregator instead of a window —
     // same ranking contract, map-side-combined shuffle; under the same
     // oracle as the window form.
@@ -244,21 +259,17 @@ object RecQueries {
        |      row_number() OVER (PARTITION BY userId ORDER BY value DESC, word) AS rn
        |    FROM user_scored) t WHERE rn <= 8)""".stripMargin
 
-  /** Shared CTE chain through the ranked (day, user, news, rn) pairs of the
-    * all-days dot-product recommendation run — consumed by the q23 list
-    * output and the q46 precision evaluation.
-    */
-  private val rankedCte = prelude +
-    """,
-      |days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
+  private val daysActiveCte =
+    """days AS (SELECT unnest(generate_series(DATE '2024-01-05', DATE '2024-01-25',
       |  INTERVAL 1 DAY))::DATE AS day),
       |active AS (SELECT DISTINCT date AS day, userId FROM clicks
-      |  WHERE date BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'),
-      |cands AS (
-      |  SELECT d.day, nk.id, nk.word, nk.value
-      |  FROM news_kw nk JOIN news_date nd USING (id) JOIN days d
-      |    ON nd.date BETWEEN d.day AND d.day + 7),
-      |scores AS (
+      |  WHERE date BETWEEN DATE '2024-01-05' AND DATE '2024-01-25')""".stripMargin
+
+  /** Scoring + ranking tail shared by the exact and posting-capped chains —
+    * both feed it a `cands` CTE with columns (day, id, word, value).
+    */
+  private val scoresRankedCte =
+    """scores AS (
       |  SELECT a.day, u.userId, c.id AS newsId, round(sum(u.value * c.value), 4) AS score
       |  FROM user_kw u JOIN active a USING (userId)
       |  JOIN cands c ON c.day = a.day AND c.word = u.word
@@ -267,6 +278,44 @@ object RecQueries {
       |  SELECT day, userId, newsId,
       |    row_number() OVER (PARTITION BY day, userId ORDER BY score DESC, newsId) AS rn
       |  FROM scores WHERE score > 0)""".stripMargin
+
+  /** Shared CTE chain through the ranked (day, user, news, rn) pairs of the
+    * all-days dot-product recommendation run — consumed by the q23 list
+    * output and the q46 precision evaluation.
+    */
+  private val rankedCte = prelude + ",\n" + daysActiveCte +
+    """,
+      |cands AS (
+      |  SELECT d.day, nk.id, nk.word, nk.value
+      |  FROM news_kw nk JOIN news_date nd USING (id) JOIN days d
+      |    ON nd.date BETWEEN d.day AND d.day + 7),
+      |""".stripMargin + scoresRankedCte
+
+  /** q245's WAND-lite posting cap (Scoring.cappedPostings), interpolated
+    * into the oracle so both sides share one definition.
+    */
+  private val PostingCap = 64
+
+  /** The capped chain: identical to [[rankedCte]] except candidates are
+    * drawn from frequency-capped posting lists — per word, only the
+    * `PostingCap` highest-value (value desc, id asc) postings inside the
+    * relevant date range survive. Mirrors RecommendPipeline's
+    * `postingCap = Some(PostingCap)` path exactly.
+    */
+  private val rankedCteCapped = prelude + ",\n" + daysActiveCte +
+    s""",
+      |posting AS (
+      |  SELECT id, word, value FROM (
+      |    SELECT nk.id, nk.word, nk.value,
+      |      row_number() OVER (PARTITION BY nk.word ORDER BY nk.value DESC, nk.id) AS wrn
+      |    FROM news_kw nk JOIN news_date nd USING (id)
+      |    WHERE nd.date BETWEEN DATE '2024-01-05' AND DATE '2024-02-01') t
+      |  WHERE wrn <= $PostingCap),
+      |cands AS (
+      |  SELECT d.day, p.id, p.word, p.value
+      |  FROM posting p JOIN news_date nd USING (id) JOIN days d
+      |    ON nd.date BETWEEN d.day AND d.day + 7),
+      |""".stripMargin + scoresRankedCte
 
   val oracle: Map[String, String] = Map(
     "q19_hot_topics" ->
@@ -368,6 +417,12 @@ object RecQueries {
         |SELECT userId, day AS date,
         |  array_to_string(list(newsId ORDER BY rn), ',') AS news
         |FROM ranked GROUP BY userId, day""".stripMargin),
+
+    "q245_rec_lists_capped" -> (rankedCteCapped +
+      """
+        |SELECT userId, day AS date,
+        |  array_to_string(list(newsId ORDER BY rn), ',') AS news
+        |FROM ranked WHERE rn <= 5 GROUP BY userId, day""".stripMargin),
 
     "q46_precision_rec" -> (rankedCte +
       """,

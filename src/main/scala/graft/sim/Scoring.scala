@@ -56,6 +56,28 @@ object Scoring {
       .agg(sum(col("_lv") * col("_rv")).as("score"))
   }
 
+  /** WAND-lite posting-list cap: keep only the `cap` highest-value postings
+    * per word (value desc, id asc — a total order, so the cut is
+    * deterministic and oracle-checkable). The inverted-index join's per-word
+    * fan-out is |users with word| × |postings of word|; a stop-word-like
+    * term with millions of postings dominates the whole shuffle. Capping
+    * bounds every word's contribution to |users| × cap — the
+    * frequency-capped-posting-list cut of WAND-family top-k retrieval
+    * (Broder et al., CIKM'03), minus the per-query upper-bound traversal
+    * (static plans can't adapt mid-scan). APPROXIMATE by contract: pairs
+    * whose only shared words were capped away lose that score mass. Opt-in
+    * via `postingCap` in [[graft.pipelines.RecommendPipeline]]; the default
+    * path never applies it.
+    *
+    * postings: (idCol, word, value) — one row per (document, keyword).
+    */
+  def cappedPostings(postings: DataFrame, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"posting cap must be positive, got $cap")
+    graft.ops.Ops.topKPerGroup(postings, Seq("word"),
+        Seq(col("value").desc, col(idCol).asc), cap, rankCol = "_wrn")
+      .drop("_wrn")
+  }
+
   /** The faithful all-pairs scorer (reference J2 verbatim): crossJoin +
     * similarity UDF + `score > 0`. Kept for parity testing and for small
     * candidate sets; `sim` maps (leftKeywords, rightKeywords) columns to a

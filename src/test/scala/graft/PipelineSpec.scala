@@ -152,6 +152,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(recs((1L, "2024-01-01")) === Seq(10L))
   }
 
+  test("WAND-lite postingCap: per-word top-cap cut, value desc / id asc, score mass drops") {
+    val scene = Scene(numDays = 2, fromDate = d("2024-01-01"), toDate = d("2024-01-02"),
+      numRecommendations = 5, similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance)
+    val userKw = Seq(
+      (1L, "spark", 1.0), (1L, "flink", 1.0),
+      (2L, "tie", 1.0)).toDF("userId", "word", "value")
+    // "spark" has 3 postings (cap=2 keeps ids 10,11 by value); "tie" has 3
+    // equal-value postings (cap keeps ids 20,21 by the id-asc tie-break).
+    val newsKw = Seq(
+      (10L, d("2024-01-01"), "spark", 3.0),
+      (11L, d("2024-01-01"), "spark", 2.0),
+      (12L, d("2024-01-01"), "spark", 1.0),
+      (12L, d("2024-01-01"), "flink", 5.0),
+      (20L, d("2024-01-01"), "tie", 1.0),
+      (21L, d("2024-01-01"), "tie", 1.0),
+      (22L, d("2024-01-01"), "tie", 1.0)).toDF("id", "date", "word", "value")
+    val clicks = Seq(
+      (1L, 999L, d("2024-01-01"), 1),
+      (2L, 999L, d("2024-01-01"), 1)).toDF("userId", "newsId", "date", "count")
+
+    def pairsOf(cap: Option[Int]): Map[(Long, Long), Double] =
+      RecommendPipeline.scoredPairs(userKw, newsKw, clicks, scene, postingCap = cap)
+        .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+
+    // Exact path: news 12 scores via BOTH words (1*1 + 1*5 = 6).
+    assert(pairsOf(None) === Map(
+      (1L, 10L) -> 3.0, (1L, 11L) -> 2.0, (1L, 12L) -> 6.0,
+      (2L, 20L) -> 1.0, (2L, 21L) -> 1.0, (2L, 22L) -> 1.0))
+    // Capped: news 12's "spark" posting is cut (rank 3 by value), so its
+    // score keeps only the flink mass; the equal-value "tie" postings cut
+    // id-asc — news 22 disappears entirely (deterministic approximation).
+    assert(pairsOf(Some(2)) === Map(
+      (1L, 10L) -> 3.0, (1L, 11L) -> 2.0, (1L, 12L) -> 5.0,
+      (2L, 20L) -> 1.0, (2L, 21L) -> 1.0))
+    intercept[IllegalArgumentException](Scoring.cappedPostings(newsKw, "id", 0))
+  }
+
   test("RecommendPipeline cosine mode matches calculateX semantics") {
     val scene = Scene(numDays = 2, fromDate = d("2024-01-01"), toDate = d("2024-01-01"),
       similarityAlgorithm = SimilarityAlgorithm.CosineSimilarity)
