@@ -28,11 +28,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark only reads as a
-    * raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    * GraftSession); normalize it back to a µs timestamp here so every
-    * downstream query sees a plain TimestampType `ts`, matching what the
-    * DuckDB oracle sees (DuckDB truncates ns→µs natively).
+  /** The driver's `events.ts` layout has changed across rounds: parquet
+    * TIMESTAMP(NANOS) — which Spark only reads as a raw long under
+    * spark.sql.legacy.parquet.nanosAsLong=true — through round 5, plain µs
+    * TIMESTAMP_NTZ from round 6. Normalize both to a µs TimestampType here
+    * so every downstream query sees the same `ts` type regardless of
+    * layout, matching what the DuckDB oracle sees (DuckDB truncates ns→µs
+    * natively and reads NTZ µs as its plain TIMESTAMP).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
@@ -42,6 +44,10 @@ object Tables {
         // NANOS (~1.7e18) exceed double's 2^53 integer range — the float
         // round-trip lands ±1µs off and breaks exact-timestamp oracles
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // wall-clock-preserving under the session's pinned UTC zone; keeps
+        // unix_micros & friends (which reject NTZ) working unchanged
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -35,10 +35,7 @@ object ForeachBatchSink {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
 
-      val stream = spark.readStream
-        .schema(StreamingHotTopics.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = StreamingHotTopics.eventsStream(spark, dir)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("value"))
 

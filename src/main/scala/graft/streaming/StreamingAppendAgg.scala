@@ -33,11 +33,8 @@ object StreamingAppendAgg {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
 
-    def src(path: String, glob: Option[String]): DataFrame = {
-      val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
-      glob.foreach(g => r.option("pathGlobFilter", g))
-      r.parquet(path).withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    }
+    def src(path: String, glob: Option[String]): DataFrame =
+      StreamingHotTopics.eventsStream(spark, path, glob)
     val clicks = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
       .filter(col("event_type") === "click")
       .withWatermark("ts", "2 hours")
@@ -83,11 +80,8 @@ object StreamingAppendAgg {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
 
-    def src(path: String, glob: Option[String]): DataFrame = {
-      val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
-      glob.foreach(g => r.option("pathGlobFilter", g))
-      r.parquet(path).withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    }
+    def src(path: String, glob: Option[String]): DataFrame =
+      StreamingHotTopics.eventsStream(spark, path, glob)
     val ev = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
       .withWatermark("ts", "2 hours")
 

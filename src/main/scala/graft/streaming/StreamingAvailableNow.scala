@@ -20,11 +20,7 @@ object StreamingAvailableNow {
   def dailyClickCounts(spark: SparkSession, dir: String): DataFrame =
       StreamConf.withStatePartitions(spark) {
     val sink = s"avail_now_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
-    val clicks = spark.readStream
-      .schema(StreamingHotTopics.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = StreamingHotTopics.eventsStream(spark, dir)
       .filter(col("event_type") === "click")
     val q = clicks
       .groupBy(to_date(col("ts")).as("day"))

@@ -26,12 +26,7 @@ object StreamingClickCume {
                       queryName: String = "stream_click_cume"): DataFrame =
       StreamConf.withStatePartitions(spark) {
     import spark.implicits._
-    val stream = spark.readStream
-      .schema(StreamingHotTopics.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      // integral DIV (see Tables.events): double division loses µs precision
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = StreamingHotTopics.eventsStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .as[(Long, java.sql.Date)]

@@ -32,13 +32,9 @@ object StreamingDedup {
   def dailyExposures(spark: SparkSession, dir: String,
                      queryName: String = "stream_dedup"): DataFrame =
       StreamConf.withStatePartitions(spark) {
-    val stream = spark.readStream
-      .schema(StreamingHotTopics.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = StreamingHotTopics.eventsStream(spark, dir)
 
     val exposures = stream
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .filter(col("event_type") === "click")
       .select(col("user_id"), (col("event_id") % 500).as("newsId"),
         to_date(col("ts")).as("day"), col("ts"))

@@ -24,10 +24,7 @@ object StreamingEnrich {
     */
   def enrichedEvents(spark: SparkSession, dir: String,
                      dim: DataFrame, queryName: String): DataFrame = {
-    val stream = spark.readStream
-      .schema(StreamingHotTopics.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = StreamingHotTopics.eventsStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
     // Inner join against the static side: stateless per micro-batch, so the

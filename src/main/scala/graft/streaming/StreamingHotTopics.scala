@@ -18,16 +18,55 @@ import org.apache.spark.sql.types._
   */
 object StreamingHotTopics {
 
-  /** events.parquet schema as stored (ts = TIMESTAMP(NANOS), readable only
-    * as long under spark.sql.legacy.parquet.nanosAsLong).
+  /** events.parquet read schema with the stored `ts` type probed from the
+    * file footer. The driver's events layout has changed across rounds —
+    * TIMESTAMP(NANOS) (readable only as long under
+    * spark.sql.legacy.parquet.nanosAsLong) through round 5, plain µs
+    * TIMESTAMP_NTZ from round 6 — and sentinel files this engine writes
+    * carry raw long nanos, so the read schema is probed per path instead of
+    * hardcoded. An unreadable/empty path falls back to the long layout; a
+    * stream over it yields no rows, so the choice is inconsequential.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsSchemaFor(spark: SparkSession, path: String,
+                      glob: Option[String]): StructType = {
+    val tsType =
+      try {
+        val r = spark.read
+        glob.foreach(g => r.option("pathGlobFilter", g))
+        r.parquet(path).schema("ts").dataType
+      } catch { case scala.util.control.NonFatal(_) => LongType }
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
+  /** Normalize a freshly-read events frame so `ts` is a plain µs
+    * TimestampType whatever the stored layout (mirrors
+    * [[graft.io.Tables.events]]): long epoch-nanos → integral DIV (double
+    * division would land ±1µs off past 2^53), TIMESTAMP_NTZ → cast, which
+    * is wall-clock-preserving under the session's pinned UTC zone.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case _: TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
+  /** Probe + streaming read + ts normalization in one step — the events
+    * source every streaming lane shares.
+    */
+  def eventsStream(spark: SparkSession, path: String,
+                   glob: Option[String] = Some("events.parquet")): DataFrame = {
+    val r = spark.readStream.schema(eventsSchemaFor(spark, path, glob))
+    glob.foreach(g => r.option("pathGlobFilter", g))
+    normalizeTs(r.parquet(path))
+  }
 
   /** Runs the streaming query to completion over the (bounded) events file
     * and returns the result table: (day, newsId, clicks) — daily click
@@ -38,15 +77,9 @@ object StreamingHotTopics {
       StreamConf.withStatePartitions(spark) {
     // The file stream source needs a directory; select just the events file
     // from the table directory via a glob filter.
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
 
     val clicks = stream
-      // integral DIV (see Tables.events): double division loses µs precision
-      // on epoch nanos
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .filter(col("event_type") === "click")
       .select((col("event_id") % 500).as("newsId"), col("ts"))
 

@@ -41,12 +41,7 @@ object StreamingIntervalJoin {
   def attributedClicks(spark: SparkSession, dir: String,
                        queryName: String = "stream_interval_join"): DataFrame =
       StreamConf.withStatePartitions(spark) {
-    def src: DataFrame = spark.readStream
-      .schema(StreamingHotTopics.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      // integral DIV (see Tables.events): double division loses µs precision
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src: DataFrame = StreamingHotTopics.eventsStream(spark, dir)
 
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),

@@ -45,13 +45,8 @@ object StreamingOuterJoin {
     val sentinelDir = s"/tmp/graft_outer_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
     writeSentinel(spark, dir, sentinelDir)
 
-    def src(path: String, glob: Option[String]): DataFrame = {
-      val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
-      glob.foreach(g => r.option("pathGlobFilter", g))
-      r.parquet(path)
-        // integral DIV (see Tables.events): double division loses µs precision
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    }
+    def src(path: String, glob: Option[String]): DataFrame =
+      StreamingHotTopics.eventsStream(spark, path, glob)
     val events = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
 
     val views = events.filter(col("event_type") === "view")
@@ -91,12 +86,8 @@ object StreamingOuterJoin {
     val sentinelDir = s"/tmp/graft_fouter_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
     writeSentinel(spark, dir, sentinelDir)
 
-    def src(path: String, glob: Option[String]): DataFrame = {
-      val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
-      glob.foreach(g => r.option("pathGlobFilter", g))
-      r.parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    }
+    def src(path: String, glob: Option[String]): DataFrame =
+      StreamingHotTopics.eventsStream(spark, path, glob)
     val events = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),

@@ -93,10 +93,7 @@ object StreamingTws {
     import spark.implicits._
     withRocksDb(spark) {
       val sink = s"tws_typecounts_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
-      val evs = spark.readStream
-        .schema(StreamingHotTopics.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val evs = StreamingHotTopics.eventsStream(spark, dir)
         .select(col("user_id").as("userId"), col("event_type").as("eventType"))
         .as[TypedEv]
       implicit val outEnc: Encoder[TypeCount] = Encoders.product[TypeCount]
@@ -182,14 +179,11 @@ object StreamingTws {
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir)
 
-      def src(path: String, glob: Option[String]): DataFrame = {
-        val r = spark.readStream.schema(StreamingHotTopics.eventsSchema)
-        glob.foreach(g => r.option("pathGlobFilter", g))
-        r.parquet(path)
-      }
+      def src(path: String, glob: Option[String]): DataFrame =
+        StreamingHotTopics.eventsStream(spark, path, glob)
       val raw = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
         .select(col("user_id").as("userId"),
-          expr("ts DIV 1000000").as("tsMs")) // integral DIV: `/` is double division
+          expr("unix_micros(ts) DIV 1000").as("tsMs")) // integral DIV: `/` is double division
       runTimerSummaries(spark, raw, sink)
     }
   }
@@ -267,15 +261,11 @@ object StreamingTws {
     import spark.implicits._
     withRocksDb(spark) {
       val sink = s"tws_activity_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
-      val stream = spark.readStream
-        .schema(StreamingHotTopics.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = StreamingHotTopics.eventsStream(spark, dir)
       val evs = stream.select(
           col("user_id").as("userId"),
-          datediff(to_date(timestamp_micros(expr("ts DIV 1000"))),
-            lit("1970-01-01")).as("dayOrd"),
-          expr("ts DIV 1000").as("tsUs"))
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("dayOrd"),
+          unix_micros(col("ts")).as("tsUs"))
         .as[Ev]
       implicit val outEnc: Encoder[UserActivity] = Encoders.product[UserActivity]
       val out = evs.groupByKey(_.userId)

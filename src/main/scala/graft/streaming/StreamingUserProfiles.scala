@@ -29,10 +29,7 @@ object StreamingUserProfiles {
       StreamConf.withStatePartitions(spark) {
     import spark.implicits._
 
-    val stream = spark.readStream
-      .schema(StreamingHotTopics.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = StreamingHotTopics.eventsStream(spark, dir)
 
     val clicks = stream
       .filter(col("event_type") === "click")

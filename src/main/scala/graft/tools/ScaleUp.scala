@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   * for the dedup/blocking lanes — precisely what a skew stress run wants.
   *
   * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
-  * then:  python3 tools/nanosify_events.py <outDir>
-  * (the post-step rewrites events.ts to parquet TIMESTAMP(NANOS), the
-  * driver's exact layout — Spark cannot write nanos itself; see the
-  * events write below and tools/nanosify_events.py for why both consumers
-  * need it). This is a test harness utility (like Bench/Verify), not a
-  * query lane.
+  *
+  * `events.ts` mirrors the source layout: the round-6+ µs TIMESTAMP_NTZ
+  * source passes through unchanged (Spark writes NTZ natively), while the
+  * legacy TIMESTAMP(NANOS) source (read as long under nanosAsLong) needs a
+  * post-step — python3 tools/nanosify_events.py <outDir> — because Spark
+  * cannot write nanos itself. This is a test harness utility (like
+  * Bench/Verify), not a query lane.
   */
 object ScaleUp {
 
@@ -86,9 +87,11 @@ object ScaleUp {
       Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)),
       "lineitem")
     // events needs TWO layout properties the other tables don't:
-    //  - `ts` as a real µs TIMESTAMP (the source is TIMESTAMP(NANOS),
-    //    which this session reads as a raw long — writing the long back
-    //    would leave DuckDB oracles unable to CAST(ts AS TIMESTAMP));
+    //  - `ts` as a real timestamp: a round-6+ µs TIMESTAMP_NTZ source
+    //    passes through unchanged; a legacy TIMESTAMP(NANOS) source reads
+    //    as a raw long (nanosAsLong), and writing the long back would
+    //    leave DuckDB oracles unable to CAST(ts AS TIMESTAMP) — convert
+    //    to µs and (if nanos parity matters) re-nanosify post-hoc;
     //  - a SINGLE FILE named events.parquet (the streaming lanes discover
     //    input via pathGlobFilter=events.parquet, which matches leaf file
     //    names — a directory of part files would stream zero rows).

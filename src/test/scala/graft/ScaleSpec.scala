@@ -18,7 +18,7 @@ class ScaleSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet TIMESTAMP(NANOS)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy nanos events layout; harmless for the round-6+ µs layout
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
