@@ -11,18 +11,23 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // mirror Bench: scale-adaptive knobs — a large dataset starts big
+    // shuffles at 8× cores (AQE coalesces small ones back) and switches
+    // stage caches to serialized blocks, so large-SF verify runs see the
+    // same plans the bench does and no sort partition outgrows the heap;
+    // small runs skip the overhead.
+    val big = graft.runtime.GraftScale.configure(sfDir)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // mirror Bench: AQE starts big shuffles at 8× cores and coalesces
-      // small ones, so large-SF verify runs see the same plans the bench
-      // does and no sort partition outgrows the heap
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (big) {
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

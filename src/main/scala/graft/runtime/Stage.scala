@@ -88,25 +88,34 @@ object Stage {
     scoped.foreach(_.unpersist(blocking = false)); scoped.clear()
   }
 
-  /** Persist a DataFrame for the session lifetime (shared-stage outputs).
+  /** Storage level for stage caches, chosen by input scale.
     *
-    * SER, not deserialized: cached row objects on the heap are what turned
-    * a 243-query sf1 run into a GC storm (deserialized MEMORY_AND_DISK
+    * SER for large runs: cached row objects on the heap are what turned a
+    * 243-query sf1 run into a GC storm (deserialized MEMORY_AND_DISK
     * blocks held ~GBs of boxed rows across queries; execution sorts then
     * OOM'd a heap the memory manager thought was free). Serialized blocks
     * cost one deserialization per read but shrink the resident footprint
     * several-fold and make eviction byte-accurate — the same reasoning a
     * multi-tenant cluster deployment uses for long-lived shared caches.
+    * Deserialized for small runs: at bench SF the caches are KBs–MBs and
+    * the per-read deserialization is pure overhead (an unconditional SER
+    * switch cost a broad ~1.3× at sf0.1). Bench/Verify set the property
+    * from the dataset's on-disk size (see `GraftScale.configure`).
     */
+  private def cacheLevel: StorageLevel =
+    if (sys.props.get("graft.stage.ser").contains("true"))
+      StorageLevel.MEMORY_AND_DISK_SER
+    else StorageLevel.MEMORY_AND_DISK
+
+  /** Persist a DataFrame for the session lifetime (shared-stage outputs). */
   def persistShared(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    df.persist(cacheLevel)
 
   /** Persist a DataFrame for the CURRENT query only; released when the next
-    * query begins. Serialized for the same footprint reasons as
-    * [[persistShared]].
+    * query begins.
     */
   def scopedPersist(df: DataFrame): DataFrame = synchronized {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val p = df.persist(cacheLevel)
     scoped += p
     p
   }
