@@ -47,18 +47,37 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }).filter { case (n, _) => !excluded(n) }
+    // Noise-robust protocol (SCALE.md "bench protocol"): run each query k
+    // times (default 3) and report the MEDIAN — single-sample timings on
+    // this box carry a measured ~27% geomean run-to-run spread, which is
+    // wider than most real regressions. All samples ship in the artifact so
+    // per-query variance is inspectable after the fact. k=1 (set
+    // SPARK_GRAFT_BENCH_K=1) restores the old single-pass behavior.
+    val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every output column (a count()
-      // would let Catalyst prune projection-heavy work out of the measurement)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to k).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every output column (a count()
+        // would let Catalyst prune projection-heavy work out of the measurement)
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medians = results.map { case (n, xs) => n -> median(xs) }
+    val qs = medians.map { case (k0, v) => s"\"" + k0 + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val samplesJson = results.map { case (k0, xs) =>
+      s"\"" + k0 + "\":" + xs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""k":$k,"stat":"median","samples":$samplesJson,"sf":"$sfDir"}"""
     println(line)
     // Machine-readable full artifact: the driver's stdout tail keeps only
     // ~60 per-query timings, which is what limits cross-round comparison —

@@ -35,19 +35,25 @@ object Graph {
     // (src, dst, deg): the static per-round probe side, checkpointed once.
     val e = reroot(edges.join(deg, "src"))
     val nodes = reroot(deg.select(col("src").as("id")))
-    val n = nodes.count()
-    val base = (1.0 - damping) / n
+    // 1/N and the teleport base ride a one-row broadcast aggregate (the
+    // q164/q177 fold pattern) — no standalone count() action; the round-0
+    // checkpoint bakes the value in, so later rounds re-aggregate only the
+    // tiny checkpointed node frame inside their own job.
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("_n"))
     // rank frame is loop-carried: rolling() deletes each superseded
     // round's reliable checkpoint once the next materializes
     val roll = graft.runtime.Reroot.rolling(reroot)
-    var ranks = roll(nodes.select(col("id"), lit(1.0 / n).as("r")))
+    var ranks = roll(nodes.crossJoin(broadcast(nRow))
+      .select(col("id"), (lit(1.0) / col("_n")).as("r")))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("deg")).as("m"))
       ranks = roll(nodes.join(contribs, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(nRow))
         .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("m"), lit(0.0))).as("r")))
+          (lit(1.0 - damping) / col("_n")
+            + lit(damping) * coalesce(col("m"), lit(0.0))).as("r")))
     }
     graft.runtime.Stage.scopedPersist(ranks)
   }
@@ -100,7 +106,16 @@ object Graph {
     * O(arboricity·|E|) instead of the hot vertex's deg² — the difference
     * between feasible and not on a power-law graph at scale.
     */
-  def triangleCount(edges: DataFrame): Long = {
+  def triangleCount(edges: DataFrame): Long =
+    triangleCountAgg(edges).head().getLong(0)
+
+  /** [[triangleCount]] as a LAZY one-row aggregate (`n_triangles`): the
+    * form query consumers compose with their other aggregates via
+    * `crossJoin(broadcast(...))`, so the triangle count rides the
+    * consumer's single action instead of a standalone driver-side
+    * `count()` job.
+    */
+  def triangleCountAgg(edges: DataFrame): DataFrame = {
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val withDeg = edges
@@ -117,6 +132,7 @@ object Graph {
     val closing = oriented.select(
       least(col("src"), col("dst")).as("w1"),
       greatest(col("src"), col("dst")).as("w2"))
-    wedges.join(closing, Seq("w1", "w2"), "left_semi").count()
+    wedges.join(closing, Seq("w1", "w2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
   }
 }

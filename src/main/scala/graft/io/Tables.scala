@@ -45,8 +45,15 @@ object Tables {
         // round-trip lands ±1µs off and breaks exact-timestamp oracles
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
-        // wall-clock-preserving under the session's pinned UTC zone; keeps
-        // unix_micros & friends (which reject NTZ) working unchanged
+        // wall-clock-preserving ONLY under the session's pinned UTC zone
+        // (the cast reinterprets the wall clock in the session zone); a
+        // consumer that forgot the pin must fail loudly here, not read
+        // silently shifted timestamps. Keeps unix_micros & friends (which
+        // reject NTZ) working unchanged.
+        require(
+          s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.ts normalization requires spark.sql.session.timeZone=UTC; " +
+            s"session has '${s.conf.get("spark.sql.session.timeZone", "<unset>")}'")
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }

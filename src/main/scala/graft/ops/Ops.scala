@@ -78,17 +78,25 @@ object Ops {
     * bucket of a null-safe join is a semantic CROSS — every null-key left
     * row pairs with every null-key right row — so a high-null key silently
     * turns the join quadratic at scale. This wrapper projects that pair
-    * count with two tiny column-pruned aggregates BEFORE launching the
-    * join and fails loudly over budget; the deliberate cost of two small
-    * probe jobs buys a guarantee no plan inspection gives (the explosion
-    * depends on data, not the plan). Callers that have proven their null
-    * rates can call `<=>` directly.
+    * count with ONE tiny column-pruned probe job BEFORE launching the
+    * join (both null counts computed as a cross of two single-row
+    * aggregates — the sides are independent, so one action covers both)
+    * and fails loudly over budget; the deliberate cost of a small probe
+    * job buys a guarantee no plan inspection gives (the explosion depends
+    * on data, not the plan). Callers that already track their null counts
+    * can pass them via `knownNullCounts` and skip the probe entirely;
+    * callers that have proven their null rates can call `<=>` directly.
     */
   def nullSafeJoinGuarded(left: DataFrame, leftKey: Column,
                           right: DataFrame, rightKey: Column,
-                          maxNullPairs: Long = 100000000L): DataFrame = {
-    val ln = left.filter(leftKey.isNull).count()
-    val rn = right.filter(rightKey.isNull).count()
+                          maxNullPairs: Long = 100000000L,
+                          knownNullCounts: Option[(Long, Long)] = None): DataFrame = {
+    val (ln, rn) = knownNullCounts.getOrElse {
+      val row = left.filter(leftKey.isNull).agg(count(lit(1)).as("ln"))
+        .crossJoin(right.filter(rightKey.isNull).agg(count(lit(1)).as("rn")))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
     require(ln * rn <= maxNullPairs,
       s"null-safe join: the null bucket would produce $ln × $rn = " +
         s"${ln * rn} pairs (budget $maxNullPairs). A null-heavy key makes " +

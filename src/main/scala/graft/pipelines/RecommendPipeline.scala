@@ -27,6 +27,32 @@ import org.apache.spark.sql.functions._
   */
 object RecommendPipeline {
 
+  /** Default ceiling for the unbounded (T2) branch's projected output
+    * elements, overridable per-deployment via `graft.rec.unboundedBudget`.
+    * 100M elements ≈ low-GBs of (user, date, news-array) output — the same
+    * order as [[graft.ops.Ops.nullSafeJoinGuarded]]'s pair budget. The
+    * bench-SF ceiling is ~10M; sf1's is ~100× that, so the default refuses
+    * at sf1 by design (q220 is excluded there by contract).
+    */
+  def defaultUnboundedRowBudget: Long =
+    sys.props.get("graft.rec.unboundedBudget").map(_.toLong).getOrElse(100000000L)
+
+  /** Upper bound on the unbounded branch's total collected list elements:
+    * Σ_day |active users(day)| × |candidate news(day)| — every output
+    * element is an (active user, candidate news) pair of its day, so the
+    * product ceiling dominates the true output. One probe job over two
+    * per-day count aggregates (each ≤ |days| rows); nothing large moves.
+    */
+  private def estimateUnboundedElements(activeUsers: DataFrame,
+                                        newsDays: DataFrame): Long = {
+    val u = activeUsers.groupBy(col("day")).agg(count(lit(1)).as("_u"))
+    val n = newsDays.groupBy(col("day")).agg(count(lit(1)).as("_n"))
+    val row = u.join(n, "day")
+      .agg(coalesce(sum(col("_u") * col("_n")), lit(0L)).as("est"))
+      .head()
+    row.getLong(0)
+  }
+
   /** Active (day, userId) pairs within the scene range (reference A1 +
     * per-day filter).
     */
@@ -135,7 +161,8 @@ object RecommendPipeline {
   def recommendAll(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
                    scene: Scene, limit: Option[Int],
                    scoreRound: Option[Int] = None,
-                   postingCap: Option[Int] = None): DataFrame = {
+                   postingCap: Option[Int] = None,
+                   unboundedRowBudget: Long = defaultUnboundedRowBudget): DataFrame = {
     val activeUsers = activeUsersOf(clicks, scene)
     val scores = pairScores(userKw, newsKw, activeUsers, scene, scoreRound, postingCap)
     limit match {
@@ -175,6 +202,21 @@ object RecommendPipeline {
             array_sort(collect_list(struct(col("rn"), col("newsId")))),
             x => x("newsId")).as("news"))
       case None =>
+        // Unbounded-output budget (same loud-refusal pattern as
+        // Ops.nullSafeJoinGuarded): the T2 contract's cost IS its output —
+        // Σ_day |active users(day)| × |candidate news(day)| list elements,
+        // quadratic in scale factor. Project that ceiling with one tiny
+        // probe job over two per-day count aggregates BEFORE launching the
+        // pipeline, so a 100× run fails in seconds with a number and a
+        // remedy instead of grinding for 19 minutes producing a list no
+        // consumer can hold.
+        val estimated = estimateUnboundedElements(activeUsers, newsDaysOf(newsKw, scene))
+        require(estimated <= unboundedRowBudget,
+          s"unbounded recommend (T2): projected output ceiling $estimated " +
+            s"list elements exceeds the budget $unboundedRowBudget. Output " +
+            "size is quadratic in scale by the reference contract — use " +
+            "limit=Some(k) (bounded T1 ranking) or postingCap (WAND-lite) " +
+            "at scale, or raise the budget explicitly.")
         // T2 unbounded collect: no cut, so (a) no rank column — a window
         // row_number would pay a full shuffle + sort only to produce
         // ordinals the ordered collect immediately re-derives; sorting

@@ -1232,16 +1232,17 @@ object MiningQueries {
           .join(co.select(col("userId"), col("newsId").as("b")), "userId")
           .filter(col("a") < col("b"))
           .select(col("a"), col("b")).distinct())
-      val tri = graft.ext.Graph.triangleCount(edges)
+      // triangle + wedge counts ride ONE action as lazy one-row aggregates
+      // (the q123/bm25 fold pattern); Spark's round() on doubles is the
+      // same BigDecimal HALF_UP the old driver-side arithmetic used
       val wedges = edges.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-        .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("w"))
-        .head().getLong(0)
-      import s.implicits._
-      Seq((tri, wedges,
-        BigDecimal(3.0 * tri / wedges).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble))
-        .toDF("n_triangles", "n_wedges", "clustering_coeff")
+        .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      graft.ext.Graph.triangleCountAgg(edges)
+        .crossJoin(broadcast(wedges))
+        .select(col("n_triangles"), col("n_wedges"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering_coeff"))
     }),
 
     // Transition-entropy (behavior predictability): per source item, the

@@ -168,6 +168,24 @@ object RecQueries {
         .withColumn("news", concat_ws(",", col("news")))
     }),
 
+    // WAND-lite capped lane for the COSINE (calculateX) family: q22's
+    // single-day scoring with frequency-capped posting lists — the q245
+    // treatment applied to the second similarity mode. Cap = 16 (tighter
+    // than q245's 64) so the cut provably bites at bench SF. Note the
+    // cosine denominator uses the CAPPED per-news posting size — the size
+    // of what the index actually scores — mirrored in the oracle's nsize
+    // over the capped posting CTE.
+    "q246_rec_cosine_capped" -> ((s, d) => {
+      val (newsKw, userKw) = profiles(s, d)
+      val daySc = scene.copy(fromDate = today, toDate = today,
+        similarityAlgorithm = SimilarityAlgorithm.CosineSimilarity)
+      Ops.topKPerGroup(
+        RecommendPipeline.scoredPairs(userKw, newsKw, Tables.clicks(s, d), daySc, Some(6),
+            postingCap = Some(CosinePostingCap))
+          .select(col("userId"), col("newsId"), col("score")),
+        Seq("userId"), Seq(col("score").desc, col("newsId").asc), 5)
+    }),
+
     // T1 via the partial-combining TopK Aggregator instead of a window —
     // same ranking contract, map-side-combined shuffle; under the same
     // oracle as the window form.
@@ -296,6 +314,13 @@ object RecQueries {
     */
   private val PostingCap = 64
 
+  /** q246's cosine-lane posting cap — tighter than [[PostingCap]] so the
+    * approximation provably changes candidates at bench SF (verified by
+    * the capped lane and q22 disagreeing at sf0.01 while both stay
+    * hash-green against their own oracles).
+    */
+  private val CosinePostingCap = 16
+
   /** The capped chain: identical to [[rankedCte]] except candidates are
     * drawn from frequency-capped posting lists — per word, only the
     * `PostingCap` highest-value (value desc, id asc) postings inside the
@@ -396,6 +421,34 @@ object RecQueries {
         |  FROM user_kw u JOIN active a USING (userId)
         |  JOIN cands c USING (word)
         |  GROUP BY u.userId, c.id),
+        |scores AS (
+        |  SELECT cm.userId, cm.newsId,
+        |    round(CAST(cm.n_common AS DOUBLE) / (us.s1 * ns.s2), 6) AS score
+        |  FROM common cm JOIN usize us ON cm.userId = us.userId
+        |  JOIN nsize ns ON cm.newsId = ns.id)
+        |SELECT userId, newsId, score, rn FROM (
+        |  SELECT userId, newsId, score,
+        |    row_number() OVER (PARTITION BY userId ORDER BY score DESC, newsId) AS rn
+        |  FROM scores WHERE score > 0) t WHERE rn <= 5""".stripMargin),
+
+    "q246_rec_cosine_capped" -> (prelude +
+      s""",
+        |active AS (SELECT DISTINCT userId FROM clicks WHERE date = DATE '2024-01-15'),
+        |inrange AS (
+        |  SELECT nk.id, nk.word, nk.value FROM news_kw nk JOIN news_date nd USING (id)
+        |  WHERE nd.date BETWEEN DATE '2024-01-15' AND DATE '2024-01-22'),
+        |posting AS (
+        |  SELECT id, word FROM (
+        |    SELECT id, word,
+        |      row_number() OVER (PARTITION BY word ORDER BY value DESC, id) AS wrn
+        |    FROM inrange) t WHERE wrn <= $CosinePostingCap),
+        |usize AS (SELECT userId, count(*) AS s1 FROM user_kw GROUP BY 1),
+        |nsize AS (SELECT id, count(*) AS s2 FROM posting GROUP BY 1),
+        |common AS (
+        |  SELECT u.userId, p.id AS newsId, count(*) AS n_common
+        |  FROM user_kw u JOIN active a USING (userId)
+        |  JOIN posting p USING (word)
+        |  GROUP BY u.userId, p.id),
         |scores AS (
         |  SELECT cm.userId, cm.newsId,
         |    round(CAST(cm.n_common AS DOUBLE) / (us.s1 * ns.s2), 6) AS score

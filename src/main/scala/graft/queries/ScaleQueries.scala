@@ -19,6 +19,10 @@ object ScaleQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val HI_PRICE = 450000.0 // ~top decile of o_totalprice
+  // bloom capacity budget for q77 (≈4M keys ≈ 4.8 MB at 1% fpp): a
+  // per-deployment broadcast-memory decision, NOT derived from an exact
+  // pre-count (see q77's comment)
+  private val BLOOM_ITEMS = 1L << 22
   private val TOP_WORDS = 50      // PMI vocabulary size
   private val PR_ITERS = 10       // PageRank supersteps (fixed, oracle-unrolled)
   private val PR_DAMP = 0.85      // PageRank damping
@@ -36,8 +40,14 @@ object ScaleQueries {
       val hi = Tables.orders(s, d)
         .filter(col("o_totalprice") > HI_PRICE)
         .select(col("o_orderkey"))
-      val n = hi.count()
-      val bloom = hi.stat.bloomFilter("o_orderkey", math.max(n, 64L), 0.01)
+      // Budget-sized bloom (no exact-count sizing job): correctness never
+      // depends on the size — the closing semi join is exact and blooms
+      // have no false negatives — so sizing by a per-deployment capacity
+      // budget instead of a pre-count halves the build-side scans. Past
+      // the budget the fpp degrades gracefully (weaker pre-filter, same
+      // rows out); at 100 TB the budget is the few-MB broadcast you can
+      // afford, exactly how runtime-filter blooms are sized in practice.
+      val bloom = hi.stat.bloomFilter("o_orderkey", BLOOM_ITEMS, 0.01)
       val mightContain = udf((k: Long) => bloom.mightContain(k))
       Tables.lineitem(s, d)
         .filter(mightContain(col("l_orderkey")))
@@ -358,11 +368,14 @@ object ScaleQueries {
       val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_ls"))
       val ml = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
       val ms = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
-      val n = docs.count()
+      // corpus N rides a one-row broadcast aggregate (the bm25/q123 fold
+      // pattern) — no standalone count() job before the cell pass
+      val n = docs.agg(count(lit(1)).as("_n"))
       cells.join(broadcast(ml), "lang").join(broadcast(ms), "source")
+        .crossJoin(broadcast(n))
         .agg(round(sum(
-          col("n_ls").cast("double") / n *
-            log(col("n_ls").cast("double") * n / (col("n_l") * col("n_s")))), 6)
+          col("n_ls").cast("double") / col("_n") *
+            log(col("n_ls").cast("double") * col("_n") / (col("n_l") * col("n_s")))), 6)
           .as("mi"),
           count(lit(1)).as("n_cells"))
     }),
@@ -437,10 +450,11 @@ object ScaleQueries {
           .join(co.select(col("userId"), col("newsId").as("b")), "userId")
           .filter(col("a") < col("b"))
           .select(col("a"), col("b")).distinct())
-      val tri = Graph.triangleCount(edges)
-      val nEdges = edges.count()
-      import s.implicits._
-      Seq((nEdges, tri)).toDF("n_edges", "n_triangles")
+      // both scalars ride ONE action in the consumer: the edge count is a
+      // one-row aggregate, the triangle count the lazy triangleCountAgg
+      // form — no standalone count() jobs (the q123/bm25 fold pattern)
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(Graph.triangleCountAgg(edges))
     }),
 
     // Salted fact-to-dim JOIN (q58's two-phase trick applied to joins): the
@@ -615,15 +629,18 @@ object ScaleQueries {
         .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("word"))))
         .filter(col("r") <= TOP_WORDS).drop("r")
       val fi = inc.join(broadcast(top), "word")
-      val nDocs = Tables.documents(s, d).count()
+      // corpus N rides a one-row broadcast aggregate (the bm25/q123 fold
+      // pattern) — no standalone count() job before the pair pass
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("_ndocs"))
       fi.select(col("doc_id"), col("word").as("word_a"), col("df").as("df_a"))
         .join(fi.select(col("doc_id"), col("word").as("word_b"), col("df").as("df_b")),
           "doc_id")
         .filter(col("word_a") < col("word_b"))
         .groupBy("word_a", "word_b", "df_a", "df_b")
         .agg(count(lit(1)).as("n_co"))
+        .crossJoin(broadcast(nDocs))
         .select(col("word_a"), col("word_b"), col("n_co"),
-          round(log(col("n_co").cast("double") * nDocs / (col("df_a") * col("df_b"))), 6)
+          round(log(col("n_co").cast("double") * col("_ndocs") / (col("df_a") * col("df_b"))), 6)
             .as("pmi"))
     }))
 

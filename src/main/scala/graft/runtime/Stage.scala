@@ -99,13 +99,19 @@ object Stage {
     * multi-tenant cluster deployment uses for long-lived shared caches.
     * Deserialized for small runs: at bench SF the caches are KBs–MBs and
     * the per-read deserialization is pure overhead (an unconditional SER
-    * switch cost a broad ~1.3× at sf0.1). Bench/Verify set the property
-    * from the dataset's on-disk size (see `GraftScale.configure`).
+    * switch cost a broad ~1.3× at sf0.1). Bench/Verify/Profile set the
+    * property from the dataset's on-disk size (see `GraftScale.configure`).
+    *
+    * When the property is ABSENT (an entry point that never called
+    * `GraftScale.configure`), default to SER: the failure mode of a wrong
+    * deserialized choice is an OOM/GC storm at scale, while a wrong SER
+    * choice is a bounded small-data slowdown. Only an explicit "false"
+    * (a configured small run) picks the deserialized level.
     */
   private def cacheLevel: StorageLevel =
-    if (sys.props.get("graft.stage.ser").contains("true"))
-      StorageLevel.MEMORY_AND_DISK_SER
-    else StorageLevel.MEMORY_AND_DISK
+    if (sys.props.get("graft.stage.ser").contains("false"))
+      StorageLevel.MEMORY_AND_DISK
+    else StorageLevel.MEMORY_AND_DISK_SER
 
   /** Persist a DataFrame for the session lifetime (shared-stage outputs). */
   def persistShared(df: DataFrame): DataFrame =

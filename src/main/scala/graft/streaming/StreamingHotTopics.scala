@@ -18,23 +18,44 @@ import org.apache.spark.sql.types._
   */
 object StreamingHotTopics {
 
+  /** Memoized `ts` probe results per (path, glob): sentinel dirs are fully
+    * written before the first probe and the driver's table files are
+    * immutable within a run, so a layout never changes under a live key —
+    * while call sites like the interval join's two stream legs and the
+    * sentinel-union lanes re-probe the same (path, glob) repeatedly, each
+    * paying a directory listing plus a footer read without the cache.
+    */
+  private val probedTsTypes =
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[String]), DataType]()
+
   /** events.parquet read schema with the stored `ts` type probed from the
     * file footer. The driver's events layout has changed across rounds —
     * TIMESTAMP(NANOS) (readable only as long under
     * spark.sql.legacy.parquet.nanosAsLong) through round 5, plain µs
     * TIMESTAMP_NTZ from round 6 — and sentinel files this engine writes
     * carry raw long nanos, so the read schema is probed per path instead of
-    * hardcoded. An unreadable/empty path falls back to the long layout; a
-    * stream over it yields no rows, so the choice is inconsequential.
+    * hardcoded. ONLY a missing/empty path (no footer to read) falls back to
+    * the long layout — a stream over it yields no rows, so the choice is
+    * inconsequential there. Any other probe failure (a real file whose
+    * footer can't be read, a transient IO error) is rethrown: swallowing it
+    * would declare a long schema that mismatches the actual NTZ file and
+    * surface later as a baffling parquet conversion error mid-stream.
     */
   def eventsSchemaFor(spark: SparkSession, path: String,
                       glob: Option[String]): StructType = {
-    val tsType =
+    val tsType = probedTsTypes.computeIfAbsent((path, glob), { _ =>
       try {
         val r = spark.read
         glob.foreach(g => r.option("pathGlobFilter", g))
         r.parquet(path).schema("ts").dataType
-      } catch { case scala.util.control.NonFatal(_) => LongType }
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+               (e.getCondition.contains("PATH_NOT_FOUND") ||
+                e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          LongType
+      }
+    })
     StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", tsType),
@@ -54,6 +75,14 @@ object StreamingHotTopics {
     case LongType =>
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     case _: TimestampNTZType =>
+      // The NTZ→Timestamp cast reinterprets the wall clock in the SESSION
+      // zone: instant-preserving only under the UTC pin every entry point
+      // sets. Fail loudly here rather than let a consumer that forgot the
+      // pin read silently shifted timestamps (and wrong oracle hashes).
+      require(
+        df.sparkSession.conf.get("spark.sql.session.timeZone", "") == "UTC",
+        "events.ts normalization requires spark.sql.session.timeZone=UTC; " +
+          s"session has '${df.sparkSession.conf.get("spark.sql.session.timeZone", "<unset>")}'")
       df.withColumn("ts", col("ts").cast(TimestampType))
     case _ => df
   }

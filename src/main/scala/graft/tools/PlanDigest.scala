@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Physical-plan regression pins (VERDICT r7 task 7): for every declared
+  * query, record a NORMALIZED digest of the physical plan so an accidental
+  * broadcast→shuffle flip, lost pushed filter, or widened scan diffs loudly
+  * between rounds even when wall-time noise hides it.
+  *
+  * Normalization strips everything that legitimately varies run-to-run —
+  * expression ids (`#123`), plan/stage ids, codegen ids, file paths and
+  * their sizes, in-memory table names, statistics — and keeps the operator
+  * tree, join strategies, pushed filters, and read schemas. The digest is a
+  * SHA-256 of that canonical text; the full canonical text ships next to it
+  * so a digest diff is immediately inspectable (`tools/plans_diff.py`).
+  *
+  * Run at sf0.001 (plans are pinned for their SHAPE — strategies chosen
+  * from static estimates — and queries whose construction executes work,
+  * e.g. the streaming lanes' bounded ingestion, stay cheap there):
+  *   sbt "runMain graft.tools.PlanDigest /root/testdata/sf0.001 bench/plans_r7.json"
+  */
+object PlanDigest {
+
+  def normalize(plan: String, sfDir: String): String = plan
+    .replaceAll("#\\d+L?", "#N")                        // expression ids
+    .replaceAll("\\[id=#?\\d+\\]", "")                  // codegen/exchange ids
+    .replaceAll("plan_id=\\d+", "plan_id=N")
+    .replaceAll("cachedrdd-\\d+", "cachedrdd-N")
+    .replaceAll("@[0-9a-fA-F]{4,}", "@ADDR")            // identity hashes
+    .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+    .replaceAll("isFinalPlan=\\w+", "")
+    .replaceAll(java.util.regex.Pattern.quote(sfDir), "SF_DIR")
+    .replaceAll("file:[^,\\]\\s]*", "PATH")             // any absolute path
+    .replaceAll("/tmp/[^,\\]\\s]*", "PATH")
+    .replaceAll("\\b\\d+\\.\\d+ (B|KiB|MiB|GiB)\\b", "SIZE")
+    .replaceAll("memoryUsage=\\S+", "")
+    .replaceAll("stream_counts_[0-9a-f_]+", "stream_counts_X")
+    .replaceAll("[ \\t]+", " ")
+    .trim
+
+  def sha(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outPath = if (args.length > 1) args(1) else "bench/plans.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    graft.runtime.GraftScale.configure(sfDir)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+    val entries = SparkEntryRef.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val canon = normalize(df.queryExecution.executedPlan.toString(), sfDir)
+        Some(name -> (sha(canon), canon))
+      } catch { case e: Throwable =>
+        System.err.println(s"[plans] $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    val json = entries.map { case (n, (d, canon)) =>
+      s"${jq(n)}: {${jq("digest")}: ${jq(d)}, ${jq("plan")}: ${jq(canon)}}"
+    }.mkString("{\n", ",\n", "\n}")
+    Option(Paths.get(outPath).getParent).foreach(p => Files.createDirectories(p))
+    Files.writeString(Paths.get(outPath), json)
+    println(s"[plans] wrote ${entries.size} digests to $outPath")
+    spark.stop()
+  }
+
+  /** Indirection so this tool never needs to move if SparkEntry does. */
+  private object SparkEntryRef {
+    def queries = graft.SparkEntry.queries
+  }
+}

@@ -14,6 +14,10 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Same scale-adaptive knobs as Bench/Verify: without this a sf1 profile
+    // run would cache deserialized stages and hit the GC-storm mode the SER
+    // switch exists to prevent.
+    graft.runtime.GraftScale.configure(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

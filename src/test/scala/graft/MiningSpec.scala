@@ -86,6 +86,39 @@ class MiningSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("q110/q112/q83/q184/q101: no scalar driver actions in query code (counts ride the broadcast agg / lazy triangle agg)") {
+    val sf = "/root/testdata/sf0.001"
+    // warm caches, then listen. The retired class is a count()/head() job
+    // whose callsite is OUR query code (the old hi.count()/docs.count()/
+    // edges.count()/nodes.count()/wedges.head() shapes); checkpoint-eager
+    // actions land in Dataset.scala and are the iteration design, so the
+    // pin matches on the source file of the callsite.
+    graft.runtime.Stage.newQueryScope()
+    SparkEntry.queries("q110_triangles")(spark, sf).collect()
+    val badJobs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        val isScalar = Seq("count at", "head at", "take at").exists(site.contains)
+        val inQueryCode = Seq("ScaleQueries.scala", "MiningQueries.scala", "Graph.scala")
+          .exists(site.contains)
+        if (isScalar && inQueryCode) { badJobs.add(site); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      for (q <- Seq("q110_triangles", "q112_mi_contingency", "q83_pmi_cooccur",
+                    "q184_clustering_coeff", "q101_pagerank")) {
+        graft.runtime.Stage.newQueryScope()
+        assert(SparkEntry.queries(q)(spark, sf).collect().nonEmpty, s"$q must still evaluate")
+      }
+      org.apache.spark.graft.TestBridge.waitForListenerBus(spark.sparkContext, 30000L)
+      assert(badJobs.isEmpty,
+        s"no scalar driver actions expected from query code, saw: $badJobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("nullSafeJoinGuarded: high-null key fails loudly before the join; bounded bucket passes") {
     import graft.ops.Ops
     val left = spark.range(0, 100)

@@ -152,6 +152,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(recs((1L, "2024-01-01")) === Seq(10L))
   }
 
+  test("unbounded recommend (T2): over-budget projection fails loudly; in-budget still runs") {
+    val scene = Scene(numDays = 2, fromDate = d("2024-01-01"), toDate = d("2024-01-02"),
+      numRecommendations = 1, similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance)
+    val userKw = Seq(
+      (1L, "spark", 2.0), (2L, "spark", 1.0)).toDF("userId", "word", "value")
+    val newsKw = Seq(
+      (10L, d("2024-01-02"), "spark", 3.0)).toDF("id", "date", "word", "value")
+    val clicks = Seq(
+      (1L, 999L, d("2024-01-01"), 1),
+      (2L, 999L, d("2024-01-02"), 1)).toDF("userId", "newsId", "date", "count")
+    // projected ceiling: day01 1 user × 1 candidate + day02 1 × 1 = 2 elements
+    val e = intercept[IllegalArgumentException] {
+      RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene, limit = None,
+        unboundedRowBudget = 1L)
+    }
+    assert(e.getMessage.contains("projected output ceiling 2"))
+    assert(e.getMessage.contains("quadratic"))
+    // exactly at budget: runs, and the bounded branch never consults the budget
+    val ok = RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene, limit = None,
+        unboundedRowBudget = 2L)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getSeq[Long](2)).toMap
+    assert(ok((1L, "2024-01-01")) === Seq(10L))
+    val bounded = RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene,
+      limit = Some(1), unboundedRowBudget = 0L)
+    assert(bounded.count() === 2L)
+  }
+
   test("WAND-lite postingCap: per-word top-cap cut, value desc / id asc, score mass drops") {
     val scene = Scene(numDays = 2, fromDate = d("2024-01-01"), toDate = d("2024-01-02"),
       numRecommendations = 5, similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance)
