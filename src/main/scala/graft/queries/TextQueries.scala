@@ -95,11 +95,62 @@ object TextQueries {
         .withColumn("bucket", bucket)
         .filter(col("bucket") < rate)
         .select(col("doc_id"), col("lang"), col("bucket"))
-    })
+    }),
+
+    // Distributed BPE tokenizer training (graft.text.Bpe): the learned
+    // merge table itself — round, pair, merged symbol, pair weight — is
+    // the query output, so the TRAINING LOOP is hash-checked end-to-end
+    // (argmax selection, tie order, and the leftmost-non-overlapping merge
+    // rule all have to agree with the SQL re-derivation to pass).
+    "q247_bpe_merges" -> ((s, d) =>
+      graft.text.Bpe.merges(Ops.fanOut(Tables.documents(s, d)),
+        col("text"), BpeRounds)),
+
+    // Corpus token counts under the learned k-merge segmentation — the
+    // real-subword token budget (q42 upgrades from a fixed ceil(len/4)
+    // estimate to the trained tokenizer's actual counts).
+    "q248_bpe_vocab" -> ((s, d) =>
+      graft.text.Bpe.vocabAfter(Ops.fanOut(Tables.documents(s, d)),
+        col("text"), BpeRounds))
   )
+
+  /** Merge rounds for the q247/q248 BPE lanes — interpolated into both the
+    * engine call and the oracle CTE chain so the two can't drift.
+    */
+  private val BpeRounds = 6
 
   private val toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
   private val stopList = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** The k-round BPE training chain as DuckDB CTEs (mirror of
+    * [[graft.text.Bpe]]): r0 = char-wrapped vocab, then per round r a
+    * pair-count (zipped unnest), a deterministic argmax `b{r}`, and the
+    * replace-applied vocab `r{r}`. DuckDB's `replace` shares Java's
+    * leftmost-non-overlapping contract, so the merge rule is identical.
+    */
+  private def bpeCtes(k: Int): String = {
+    val head =
+      s"""toksrc AS (SELECT unnest($toks) AS word FROM documents),
+         |words AS (SELECT word, count(*) AS freq FROM toksrc GROUP BY 1),
+         |r0 AS (SELECT word, freq,
+         |  '|' || array_to_string(list_append(
+         |    list_transform(generate_series(1, length(word)), i -> word[i]),
+         |    '</w>'), '||') || '|' AS repr
+         |  FROM words)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""s$r AS (SELECT freq, string_split(trim(repr,'|'), '||') AS syms FROM r${r - 1}),
+         |p$r AS (SELECT l AS left_sym, r AS right_sym, sum(freq) AS weight FROM (
+         |    SELECT freq, unnest(syms[1:len(syms)-1]) AS l,
+         |      unnest(syms[2:len(syms)]) AS r FROM s$r) z GROUP BY 1, 2),
+         |b$r AS (SELECT left_sym, right_sym, weight FROM p$r
+         |  ORDER BY weight DESC, left_sym ASC, right_sym ASC LIMIT 1),
+         |r$r AS (SELECT word, freq,
+         |  replace(repr, '|'||b.left_sym||'||'||b.right_sym||'|',
+         |    '|'||b.left_sym||b.right_sym||'|') AS repr
+         |  FROM r${r - 1} CROSS JOIN b$r b)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   val oracle: Map[String, String] = Map(
     "q13_token_stats" ->
@@ -157,6 +208,20 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < CASE lang WHEN 'en' THEN 1024 WHEN 'de' THEN 2048
-        |  ELSE 410 END""".stripMargin
+        |  ELSE 410 END""".stripMargin,
+
+    "q247_bpe_merges" ->
+      s"""WITH ${bpeCtes(BpeRounds)}
+         |${(1 to BpeRounds).map(r =>
+             s"SELECT $r AS round, left_sym, right_sym, " +
+             s"left_sym||right_sym AS merged, weight FROM b$r")
+             .mkString("\nUNION ALL ")}""".stripMargin,
+
+    "q248_bpe_vocab" ->
+      s"""WITH ${bpeCtes(BpeRounds)}
+         |SELECT token, sum(freq) AS n FROM (
+         |  SELECT freq, unnest(string_split(trim(repr,'|'), '||')) AS token
+         |  FROM r$BpeRounds) t
+         |GROUP BY token""".stripMargin
   )
 }
