@@ -84,8 +84,12 @@ object RecQueries {
         Seq("userId"), Seq(col("value").desc, col("word").asc), 8)
       .select(col("userId"), col("word"), col("value"))
     // both profiles feed several plan branches (scoring, sizes, date
-    // lookups) across four queries — session-lifetime persist
-    (Stage.persistShared(newsKwDated), Stage.persistShared(userKw))
+    // lookups) across four queries — session-lifetime. Lineage-CUT, not
+    // persistShared: the build rides the scoped `tf` cache, and a shared
+    // persist over a scoped input loses its buffers at the next query
+    // scope (Stage.persistShared scaladoc) — the sf1 bench measured the
+    // resulting one-off profiles rebuild at ~20 s.
+    (Stage.sharedCut(newsKwDated), Stage.sharedCut(userKw))
   }
 
   /** The q23/q46-shared all-days dot-product recommendation run (the E1

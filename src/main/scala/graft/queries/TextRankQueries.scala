@@ -78,7 +78,11 @@ object TextRankQueries {
         .select(col("userId"), col("content"))
       val userKw = graft.runtime.Stage.scopedPersist(
         TextRankKeywords.userKeywords(userTweets, scene))
-      graft.runtime.Stage.persistShared(
+      // lineage-cut (not persistShared): the build rides the two scoped
+      // keyword caches above, so a plan-cache persist would lose its
+      // buffers at the next query scope and re-run the whole TextRank
+      // chain (~130 s at sf1) for q117 — see Stage.persistShared scaladoc.
+      graft.runtime.Stage.sharedCut(
         RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene,
           limit = Some(scene.numRecommendations), scoreRound = Some(6)))
     }

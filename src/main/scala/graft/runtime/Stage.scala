@@ -113,9 +113,36 @@ object Stage {
       StorageLevel.MEMORY_AND_DISK
     else StorageLevel.MEMORY_AND_DISK_SER
 
-  /** Persist a DataFrame for the session lifetime (shared-stage outputs). */
+  /** Persist a DataFrame for the session lifetime (shared-stage outputs).
+    *
+    * INVARIANT: the frame's lineage must not reference any scoped cache.
+    * Spark's non-cascading unpersist invalidates dependent cache entries
+    * and lazily rebuilds them WITHOUT the removed cache — so a shared
+    * persist built over a [[scopedPersist]] input loses its buffers at the
+    * next query scope and silently re-runs its full raw lineage on every
+    * later read (measured 6.7 s → 35 s per read on the sf1 BPE stage).
+    * Stages that need scoped build inputs must cut lineage via
+    * [[sharedCut]] instead.
+    */
   def persistShared(df: DataFrame): DataFrame =
     df.persist(cacheLevel)
+
+  /** Eager lineage-cut persistence for shared-stage outputs whose BUILD
+    * uses scoped caches: materializes now (while the scoped inputs are
+    * alive and warm) into a checkpoint, so the result is self-contained
+    * data with no plan-cache dependency to invalidate. Routed through the
+    * deployment [[Reroot]] strategy — fault-tolerant `checkpoint(dir)`
+    * under SPARK_GRAFT_CHECKPOINT_DIR, else an eager `localCheckpoint` at
+    * the stage cache level (serialized at scale, same as every other
+    * stage cache). Eager costs nothing net: shared stages are materialized
+    * by their first consumer anyway; this just moves the job inside the
+    * build, before the scoped inputs are released.
+    */
+  def sharedCut(df: DataFrame): DataFrame =
+    Reroot.fromEnv() match {
+      case Reroot.Local => df.localCheckpoint(true, cacheLevel)
+      case r            => r(df)
+    }
 
   /** Persist a DataFrame for the CURRENT query only; released when the next
     * query begins.

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.runtime.Stage
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding tokenizer training (Sennrich et al.,
@@ -69,19 +69,36 @@ object Bpe {
   /** Train `k` merges; returns the merge table and the final vocabulary
     * representations: ((round, left_sym, right_sym, merged, weight),
     * (word, freq, repr)).
+    *
+    * Like every iterative lane (PageRank, connected components), the
+    * loop-carried vocabulary frame is lineage-cut per round via
+    * [[graft.runtime.Reroot]] — NOT `Stage.scopedPersist`: the trained
+    * state outlives the building query (q247/q248/q249 share it), and a
+    * shared persisted frame whose lineage references scoped caches loses
+    * its buffers when the next query scope unpersists them (Spark's
+    * non-cascading unpersist invalidates-and-lazily-rebuilds dependent
+    * cache entries), silently re-running the whole K-round chain —
+    * measured 6.7 s → 35 s per re-read at sf1. An eager checkpoint has no
+    * plan-cache dependencies to invalidate, and also keeps the lineage one
+    * round deep instead of K rounds (the usual exponential-recompute
+    * guard). The per-round `best` frames stay on the base strategy (they
+    * are the merge-table output, live past the loop); the vocabulary rolls
+    * (round r's cut supersedes r−1's).
     */
   private def train(docs: DataFrame, textCol: Column, k: Int): (DataFrame, DataFrame) = {
     require(k > 0, s"merge rounds must be positive, got $k")
-    var vocab = Stage.scopedPersist(initVocab(docs, textCol))
+    val reroot = graft.runtime.Reroot.fromEnv()
+    val roll = graft.runtime.Reroot.rolling(reroot)
+    var vocab = roll(initVocab(docs, textCol))
     val rounds = (1 to k).map { r =>
       // Global argmax with a total order (weight desc, pair asc) — the
       // selection is deterministic, so the LEARNED TOKENIZER itself is
       // oracle-checkable, not just its statistics.
-      val best = Stage.scopedPersist(
+      val best = reroot(
         pairWeights(vocab)
           .orderBy(col("weight").desc, col("left_sym").asc, col("right_sym").asc)
           .limit(1))
-      vocab = Stage.scopedPersist(
+      vocab = roll(
         vocab.crossJoin(broadcast(best))
           .withColumn("repr", replace(col("repr"),
             concat(lit("|"), col("left_sym"), lit("||"), col("right_sym"), lit("|")),
@@ -95,19 +112,44 @@ object Bpe {
     (merges, vocab)
   }
 
-  /** The learned merge table: (round, left_sym, right_sym, merged, weight)
-    * for rounds 1..k.
+  /** [[train]] memoized per (session, corpus key, k) via [[Stage.shared]] —
+    * the BPE lanes (q247/q248/q249) all read the same trained state,
+    * exactly as the reference pipelines re-read their materialized keyword
+    * files. No extra persist: both outputs read from the training run's
+    * eager checkpoints (the merge table is a union of K one-row
+    * checkpointed frames, the vocabulary IS the final checkpoint).
     */
-  def merges(docs: DataFrame, textCol: Column, k: Int): DataFrame =
-    train(docs, textCol, k)._1
+  private def trainShared(s: SparkSession, key: String, docs: DataFrame,
+                          textCol: Column, k: Int): (DataFrame, DataFrame) =
+    Stage.shared(s, s"bpe:$key:$k") {
+      train(docs, textCol, k)
+    }
+
+  /** The learned merge table: (round, left_sym, right_sym, merged, weight)
+    * for rounds 1..k. `corpusKey` scopes the shared trained state (use the
+    * dataset dir).
+    */
+  def merges(s: SparkSession, corpusKey: String, docs: DataFrame,
+             textCol: Column, k: Int): DataFrame =
+    trainShared(s, corpusKey, docs, textCol, k)._1
 
   /** Corpus token counts under the k-merge segmentation: (token, n) where n
     * counts every occurrence (word multiplicity × corpus frequency) — the
     * real-token-budget twin of q42's fixed estimate.
     */
-  def vocabAfter(docs: DataFrame, textCol: Column, k: Int): DataFrame = {
-    val (_, vocab) = train(docs, textCol, k)
+  def vocabAfter(s: SparkSession, corpusKey: String, docs: DataFrame,
+                 textCol: Column, k: Int): DataFrame = {
+    val (_, vocab) = trainShared(s, corpusKey, docs, textCol, k)
     vocab.select(col("freq"), explode(symbols(col("repr"))).as("token"))
       .groupBy("token").agg(sum("freq").as("n"))
+  }
+
+  /** Per-word subword-token counts under the k-merge segmentation:
+    * (word, n_sub) — the join side for fertility/compression metrics.
+    */
+  def wordTokenCounts(s: SparkSession, corpusKey: String, docs: DataFrame,
+                      textCol: Column, k: Int): DataFrame = {
+    val (_, vocab) = trainShared(s, corpusKey, docs, textCol, k)
+    vocab.select(col("word"), size(symbols(col("repr"))).as("n_sub"))
   }
 }

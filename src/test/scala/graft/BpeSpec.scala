@@ -50,7 +50,7 @@ class BpeSpec extends AnyFunSuite {
     val words = df.select(explode(graft.text.Tokenizer.tokens(col("text"))).as("w"))
       .groupBy("w").count().as[(String, Long)].collect().toMap
     val expected = referenceBpe(words, 5)
-    val got = Bpe.merges(df, col("text"), 5)
+    val got = Bpe.merges(spark, "spec-ref", df, col("text"), 5)
       .orderBy("round")
       .select("round", "left_sym", "right_sym", "weight")
       .as[(Int, String, String, Long)].collect().toSeq
@@ -62,7 +62,7 @@ class BpeSpec extends AnyFunSuite {
     // (two adjacent occurrences), and round 2 sees symbols [aa, a, </w>] —
     // i.e. the leftmost merge consumed the middle 'a'.
     val df = docs("aaa")
-    val m = Bpe.merges(df, col("text"), 2)
+    val m = Bpe.merges(spark, "spec-aaa", df, col("text"), 2)
       .orderBy("round")
       .select("round", "left_sym", "right_sym", "weight")
       .as[(Int, String, String, Long)].collect().toSeq
@@ -75,13 +75,22 @@ class BpeSpec extends AnyFunSuite {
     val df = docs("aaa aa")
     // round 1 merges (a,a) weight 3 (two in 'aaa', one in 'aa').
     // After 1 merge: aaa -> [aa, a, </w>], aa -> [aa, </w>]
-    val v = Bpe.vocabAfter(df, col("text"), 1)
+    val v = Bpe.vocabAfter(spark, "spec-vocab", df, col("text"), 1)
       .as[(String, Long)].collect().toMap
     assert(v === Map("aa" -> 2L, "a" -> 1L, Bpe.EndOfWord -> 2L))
   }
 
+  test("wordTokenCounts: per-word subword counts under the learned segmentation") {
+    val df = docs("aaa aa")
+    // shares the "spec-vocab" corpus key shape but its own key: after the
+    // single (a,a) merge, aaa -> [aa, a, </w>] (3), aa -> [aa, </w>] (2)
+    val w = Bpe.wordTokenCounts(spark, "spec-wlen", df, col("text"), 1)
+      .as[(String, Int)].collect().toMap
+    assert(w === Map("aaa" -> 3, "aa" -> 2))
+  }
+
   test("merge table output schema and merged-column composition") {
-    val m = Bpe.merges(docs("ab ab ab"), col("text"), 1).collect().head
+    val m = Bpe.merges(spark, "spec-ab", docs("ab ab ab"), col("text"), 1).collect().head
     assert(m.getAs[String]("merged") ===
       m.getAs[String]("left_sym") + m.getAs[String]("right_sym"))
   }
