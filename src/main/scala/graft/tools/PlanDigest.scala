@@ -15,6 +15,15 @@ import java.nio.file.{Files, Paths}
   * SHA-256 of that canonical text; the full canonical text ships next to it
   * so a digest diff is immediately inspectable (`tools/plans_diff.py`).
   *
+  * Known residual flake: AQE's build-side choice on a SYMMETRIC self-join
+  * (q70/q98's LSH candidate join — both sides the same cached relation)
+  * ties on runtime stats and can flip BuildLeft↔BuildRight between runs,
+  * moving the BroadcastExchange to the other child. Not normalized away:
+  * on asymmetric joins the build side is a real regression signal, and
+  * forcing a broadcast hint in the dedup code would pin a choice that is
+  * only correct at tiny SF (at scale that join is sort-merge). Treat a
+  * q70/q98-only build-side diff as noise.
+  *
   * Run at sf0.001 (plans are pinned for their SHAPE — strategies chosen
   * from static estimates — and queries whose construction executes work,
   * e.g. the streaming lanes' bounded ingestion, stay cheap there):
@@ -24,8 +33,17 @@ object PlanDigest {
 
   def normalize(plan: String, sfDir: String): String = plan
     .replaceAll("#\\d+L?", "#N")                        // expression ids
+    // lambda-variable counters are session-global: adding ONE query shifts
+    // `lambda x_85` numbering in every plan built after it
+    .replaceAll("\\b([A-Za-z]\\w*)_\\d+#N", "$1_K#N")
     .replaceAll("\\[id=#?\\d+\\]", "")                  // codegen/exchange ids
     .replaceAll("plan_id=\\d+", "plan_id=N")
+    // AQE materializes stages concurrently, so stage numbers and the
+    // whole-stage-codegen ids derived from them vary run-to-run
+    .replaceAll("QueryStage \\d+", "QueryStage N")
+    .replaceAll("\\*\\(\\d+\\)", "*(C)")
+    // JVM lambda class counter (MapPartitions renders the function object)
+    .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$N")
     .replaceAll("cachedrdd-\\d+", "cachedrdd-N")
     .replaceAll("@[0-9a-fA-F]{4,}", "@ADDR")            // identity hashes
     .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
