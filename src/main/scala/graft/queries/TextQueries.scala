@@ -131,8 +131,36 @@ object TextQueries {
           sum(col("lfreq")).as("n_words"),
           Ops.ratioHalfUp(sum(col("lfreq") * col("n_sub")) * lit(1000000L),
             sum(col("lfreq")), 6).as("fertility"))
-    })
+    }),
+
+    // Token-stream chunk packing (graft.ext.Packing): every doc's position
+    // and context-window span in the concatenated pretraining stream,
+    // computed with the two-phase distributed prefix sum (order-aligned
+    // buckets + broadcast offsets) instead of the single-task global
+    // window a naive Window.orderBy would plan.
+    "q250_chunk_pack" -> ((s, d) =>
+      graft.ext.Packing.pack(packDocs(s, d), ChunkCap)),
+
+    // Per-chunk occupancy of the packed stream: docs touching each window
+    // and the token slots they fill (= ChunkCap except the final chunk —
+    // the end-to-end packing invariant the oracle re-derives).
+    "q251_chunk_summary" -> ((s, d) =>
+      graft.ext.Packing.chunkSummary(packDocs(s, d), ChunkCap))
   )
+
+  /** Context-window capacity for the q250/q251 packing lanes —
+    * interpolated into the engine call and the oracle SQL.
+    */
+  private final val ChunkCap = 2048L
+
+  /** (doc_id, n_tok) of every non-empty doc — shared input of the packing
+    * lanes (a zero-token doc occupies no chunk; filtered on both sides).
+    */
+  private def packDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Ops.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(Tokenizer.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
 
   /** Merge rounds for the q247/q248 BPE lanes — interpolated into both the
     * engine call and the oracle CTE chain so the two can't drift.
@@ -254,6 +282,38 @@ object TextQueries {
          |  ${SqlFragments.ratioHalfUpSql(
              "sum(lw.lfreq * wlen.n_sub) * 1000000", "sum(lw.lfreq)", 6)} AS fertility
          |FROM langwords lw JOIN wlen USING (word)
-         |GROUP BY lang""".stripMargin
+         |GROUP BY lang""".stripMargin,
+
+    "q250_chunk_pack" ->
+      s"""WITH ${packCtes}
+         |SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS tok_start,
+         |  CAST((cum - n_tok) // $ChunkCap AS BIGINT) AS first_chunk,
+         |  CAST((cum - 1) // $ChunkCap AS BIGINT) AS last_chunk
+         |FROM packed""".stripMargin,
+
+    "q251_chunk_summary" ->
+      s"""WITH $packCtes,
+         |spans AS (SELECT cum, cum - n_tok AS tok_start,
+         |    unnest(generate_series((cum - n_tok) // $ChunkCap,
+         |                           (cum - 1) // $ChunkCap)) AS chunk_id
+         |  FROM packed)
+         |SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(least(cum, (chunk_id + 1) * $ChunkCap)
+         |         - greatest(tok_start, chunk_id * $ChunkCap)) AS BIGINT)
+         |    AS n_tokens
+         |FROM spans GROUP BY chunk_id""".stripMargin
   )
+
+  /** Concat-then-chunk stream coordinates (mirror of
+    * [[graft.ext.Packing.pack]]'s arithmetic; the oracle uses DuckDB's
+    * single-node window where the engine runs the bucketed scan).
+    */
+  private def packCtes: String =
+    s"""ptoks AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |nz AS (SELECT * FROM ptoks WHERE n_tok > 0),
+       |packed AS (SELECT doc_id, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM nz)""".stripMargin
 }
