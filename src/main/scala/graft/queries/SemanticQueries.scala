@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 LLM-curation additions: the three published data-pipeline
+  * operators the surface did not yet cover as first-class lanes —
+  *
+  *  - q252 SemDeDup (Abbas et al., 2023): semantic dedup as
+  *    cluster-then-prune — k-means-style assignment bounds the candidate
+  *    set to within-cluster pairs, so embedding dedup never goes all-pairs.
+  *  - q253 cross-document duplicated-span fraction (Lee et al., ACL 2022
+  *    "Deduplicating Training Data Makes Language Models Better"): the
+  *    per-document fraction of token n-grams that also occur in another
+  *    document — the metric that decides span-level (vs document-level)
+  *    dedup.
+  *  - q254 DSIR importance weights (Xie et al., NeurIPS 2023): hashed
+  *    n-gram importance reweighting of a raw corpus toward a target
+  *    distribution — the data-selection score, computed without a
+  *    vocabulary (feature space is a fixed hash range).
+  *
+  * All three are oracle-paired; arithmetic follows the standing
+  * conventions (double-cast ordered folds, round-6 floats, tie-free
+  * ratios via [[Ops.ratioHalfUp]]).
+  */
+object SemanticQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q252: number of seed centroids (vectors vec_id < K). At scale K grows
+    * with N (SemDeDup uses K ≈ N/10k) so cluster sizes — and with them the
+    * within-cluster pair count — stay bounded; the knob is part of the
+    * query contract and mirrored in the oracle.
+    */
+  val SemDedupK = 8
+
+  /** q252: cosine threshold above which the higher-id vector of a
+    * within-cluster pair is pruned (compared on the round-6 value, both
+    * engines).
+    */
+  val SemDedupTau = 0.30
+
+  /** q253: span length in tokens. 5 gives a ~10% duplicated fraction on
+    * the synthetic corpus at every SF — large enough to be a "span", small
+    * enough that duplication exists.
+    */
+  val SpanN = 5
+
+  /** q254: hashed feature space size (md5-derived, engine-portable). */
+  val DsirBuckets = 256
+
+  /** Σ a_i·b_i over double arrays as an ordered left fold (the q30/q151
+    * float-parity convention).
+    */
+  private def dotD(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def normD(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, p -> p * p), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+
+  def queries: Map[String, Q] = Map(
+
+    // SemDeDup: embeddings → one deterministic centroid assignment (seeds =
+    // the first K vectors; L2 distances rounded 6 before the argmin, ties
+    // to the lower centroid id — the q151 ranking convention) → within each
+    // cluster, every pair (va < vb) with round-6 cosine ≥ τ prunes vb.
+    // Scale shape: centroids always ride a broadcast (K rows); points
+    // shuffle ONCE on the cluster id for the pair join; norms are computed
+    // per-vector BEFORE the pair join (the Ann.bruteForceTopK rule — the
+    // naive form re-derives each norm cluster-size times inside the pair
+    // loop). The quadratic term is |cluster|², bounded by construction
+    // because K scales with N — the whole point of cluster-then-prune over
+    // all-pairs embedding dedup.
+    "q252_semantic_dedup" -> ((s, d) => {
+      val e = graft.runtime.Stage.scopedPersist(
+        Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, a -> CAST(a AS DOUBLE))").as("x")))
+      val seeds = e.filter(col("vec_id") < SemDedupK)
+        .select(col("vec_id").cast("int").as("cl"), col("x").as("cx"))
+      val d2 = expr(
+        """aggregate(zip_with(x, cx, (p, q) -> (p - q) * (p - q)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      val assigned = graft.runtime.Stage.scopedPersist(
+        e.crossJoin(broadcast(seeds))
+          .withColumn("d2", round(d2, 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cl").asc)))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("x"), col("cl"), normD("x").as("nrm")))
+      val a = assigned.select(col("cl"), col("vec_id").as("va"),
+        col("x").as("xa"), col("nrm").as("na"))
+      val b = assigned.select(col("cl"), col("vec_id").as("vb"),
+        col("x").as("xb"), col("nrm").as("nb"))
+      val pruned = a.join(b, Seq("cl"))
+        .filter(col("va") < col("vb"))
+        .withColumn("cos", round(dotD("xa", "xb") / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= SemDedupTau)
+        .select(col("vb").as("vec_id")).distinct()
+      assigned.select(col("vec_id"), col("cl").as("cluster"))
+        .join(pruned.withColumn("_p", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          col("_p").isNull.as("is_kept"))
+    }),
+
+    // Duplicated-span fraction: per document, the share of its token
+    // 5-grams that occur in ≥ 2 distinct documents. The n-gram table is
+    // ONE corpus scan; per-doc multiplicities are collapsed first (the
+    // q123 rule — every later exchange moves distinct (doc, ngram) rows
+    // weighted by k, not raw occurrences), which also makes the "≥ 2
+    // distinct docs" test a plain count(*) on the collapsed table — no
+    // count-distinct shuffle. The dup set joins back on the n-gram string
+    // (shuffle hash join on both sides' natural key); the fraction is the
+    // tie-free 4-decimal ratio.
+    "q253_dup_spans" -> ((s, d) => {
+      val tk = Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= SpanN)
+      val g = graft.runtime.Stage.scopedPersist(
+        tk.select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(tk) - ${SpanN - 1}), i -> concat_ws(' ', slice(tk, i, $SpanN)))"))
+          .as("ng"))
+          .groupBy(col("doc_id"), col("ng"))
+          .agg(count(lit(1)).as("k")))
+      val dup = g.groupBy(col("ng")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("ng"), lit(1).as("_d"))
+      g.join(dup, Seq("ng"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_ngrams"),
+          sum(when(col("_d").isNotNull, col("k")).otherwise(lit(0L))).as("n_dup"))
+        .withColumn("dup_frac",
+          Ops.ratioHalfUp(col("n_dup") * 10000, col("n_ngrams"), 4))
+    }),
+
+    // DSIR importance weights: features are token bigrams hashed into a
+    // fixed 256-bucket space (md5-derived — no vocabulary, no fit step);
+    // the target distribution is the English slice, the raw distribution
+    // the whole corpus; each document scores the k-weighted average
+    // log-ratio of add-1-smoothed bucket probabilities. Scale shape: the
+    // corpus is tokenized ONCE into per-doc bucket multiplicities; both
+    // global distributions aggregate that same frame down to ≤ 256 rows
+    // and ride broadcasts back onto it (the q123 pattern — the totals Nt /
+    // Nr travel as a one-row broadcast cross, never a driver action).
+    "q254_dsir_weights" -> ((s, d) => {
+      val tk = Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          graft.text.Tokenizer.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val dk = graft.runtime.Stage.scopedPersist(
+        tk.select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2)))"))
+            .as("b"))
+          .withColumn("bucket",
+            (conv(substring(md5(col("b")), 1, 3), 16, 10) % DsirBuckets).cast("int"))
+          .groupBy(col("doc_id"), col("is_t"), col("bucket"))
+          .agg(count(lit(1)).as("k")))
+      val perBucket = dk.groupBy(col("bucket"))
+        .agg(sum(when(col("is_t"), col("k")).otherwise(lit(0L))).as("ct"),
+          sum(col("k")).as("cr"))
+      val totals = perBucket
+        .agg(sum(col("ct")).cast("double").as("_nt"),
+          sum(col("cr")).cast("double").as("_nr"))
+      dk.join(broadcast(perBucket), Seq("bucket"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("k"),
+          (col("k") * log(((col("ct") + 1).cast("double") / (col("_nt") + DsirBuckets))
+            / ((col("cr") + 1).cast("double") / (col("_nr") + DsirBuckets)))).as("lw"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          round(sum(col("lw")) / sum(col("k")), 6).as("avg_log_ratio"))
+    })
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val toks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)"
+
+  /** n-gram list of token array `t` (shingleExpr at [[SpanN]]). */
+  private def ngrams(t: String, n: Int): String =
+    s"list_transform(range(1, len($t) - ${n - 2}), i -> array_to_string(($t)[i:i+${n - 1}], ' '))"
+
+  /** First 3 hex digits of md5 expression `x` as BIGINT (the q153 mirror of
+    * Spark's conv(substring(md5, 1, 3), 16, 10)).
+    */
+  private def md5Hex3(x: String): String = (1 to 3).map { i =>
+    s"(CAST(strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 3 - i).toLong})"
+  }.mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+
+    "q252_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cl, x AS cx FROM e WHERE vec_id < $SemDedupK),
+         |a AS (
+         |  SELECT vec_id, x, cl,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> (x[i] - cx[i]) * (x[i] - cx[i]))), 6) AS d2
+         |  FROM e, c0),
+         |b AS (
+         |  SELECT vec_id, x, cl,
+         |    sqrt(list_sum(list_transform(range(1, 65), i -> x[i] * x[i]))) AS nrm
+         |  FROM (
+         |    SELECT vec_id, x, cl,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM a) WHERE rn = 1),
+         |pruned AS (
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM b b1 JOIN b b2 ON b1.cl = b2.cl AND b1.vec_id < b2.vec_id
+         |  WHERE round(list_sum(list_transform(range(1, 65),
+         |      i -> b1.x[i] * b2.x[i])) / (b1.nrm * b2.nrm), 6) >= $SemDedupTau)
+         |SELECT b.vec_id, b.cl AS cluster,
+         |  (p.vec_id IS NULL) AS is_kept
+         |FROM b LEFT JOIN pruned p ON p.vec_id = b.vec_id""".stripMargin,
+
+    "q253_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(${ngrams("tk", SpanN)}) AS ng
+         |  FROM t WHERE len(tk) >= $SpanN),
+         |gc AS (SELECT doc_id, ng, count(*) AS k FROM g GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT ng FROM (SELECT ng, count(*) AS nd FROM gc GROUP BY 1)
+         |  WHERE nd >= 2),
+         |agg AS (
+         |  SELECT gc.doc_id, sum(gc.k) AS n_ngrams,
+         |    sum(CASE WHEN d.ng IS NOT NULL THEN gc.k ELSE 0 END) AS n_dup
+         |  FROM gc LEFT JOIN dup d ON d.ng = gc.ng
+         |  GROUP BY 1)
+         |SELECT doc_id, n_ngrams, n_dup,
+         |  ${SqlFragments.ratioHalfUpSql("n_dup * 10000", "n_ngrams", 4)} AS dup_frac
+         |FROM agg""".stripMargin,
+
+    "q254_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, (lang = 'en') AS is_t, unnest(${ngrams("tk", 2)}) AS b
+         |  FROM t WHERE len(tk) >= 2),
+         |dk AS (
+         |  SELECT doc_id, is_t,
+         |    CAST((${md5Hex3("b")}) % $DsirBuckets AS INT) AS bucket,
+         |    count(*) AS k
+         |  FROM bg GROUP BY 1, 2, 3),
+         |pb AS (
+         |  SELECT bucket,
+         |    sum(CASE WHEN is_t THEN k ELSE 0 END) AS ct, sum(k) AS cr
+         |  FROM dk GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr
+         |  FROM pb)
+         |SELECT dk.doc_id, sum(dk.k) AS n_bigrams,
+         |  round(sum(dk.k * ln((CAST(pb.ct + 1 AS DOUBLE) / (tot.nt + $DsirBuckets))
+         |    / (CAST(pb.cr + 1 AS DOUBLE) / (tot.nr + $DsirBuckets)))) / sum(dk.k), 6)
+         |    AS avg_log_ratio
+         |FROM dk JOIN pb USING (bucket), tot
+         |GROUP BY 1""".stripMargin
+  )
+}

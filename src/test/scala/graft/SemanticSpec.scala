@@ -1,0 +1,124 @@
+package graft
+
+import graft.queries.SemanticQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-level pins for the round-7 LLM-curation lanes (q252 SemDeDup,
+  * q253 duplicated-span fraction, q254 DSIR importance weights): each query
+  * runs over a synthetic parquet dir shaped like the driver's
+  * documents/embeddings tables and is checked against hand-derived (q252,
+  * q253) or independently re-implemented (q254) expectations.
+  */
+class SemanticSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("semspec").toString
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String, String)]): Unit =
+    docs.map { case (id, text, lang) => (id, text, lang, "srcT", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def writeEmb(dir: String, vecs: Seq[(Long, Seq[Float])]): Unit =
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+  private def run(name: String, dir: String): DataFrame = {
+    graft.runtime.Stage.newQueryScope()
+    SemanticQueries.queries(name)(spark, dir)
+  }
+
+  test("q252: within-cluster near-dups prune the higher id; seeds survive") {
+    val dir = tmpDir()
+    // Seeds (vec_id < 8) are the ± unit basis of R⁴ — each lands in its own
+    // cluster. v8 is a scaled copy of seed 2 (cosine 1.0, same cluster);
+    // v9 sits on top of seed 0 (cosine ≈ .995). Both must be pruned by
+    // their lower-id cluster-mates; every seed is kept.
+    val e = Seq[(Long, Seq[Float])](
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f), 3L -> Seq(0f, 0f, 0f, 1f),
+      4L -> Seq(-1f, 0f, 0f, 0f), 5L -> Seq(0f, -1f, 0f, 0f),
+      6L -> Seq(0f, 0f, -1f, 0f), 7L -> Seq(0f, 0f, 0f, -1f),
+      8L -> Seq(0f, 0f, 2f, 0f),
+      9L -> Seq(1f, 0.1f, 0f, 0f))
+    writeEmb(dir, e)
+    val got = run("q252_semantic_dedup", dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(got.size === 10)
+    assert(got(8L) === ((2, false)))
+    assert(got(9L) === ((0, false)))
+    (0L to 7L).foreach(id => assert(got(id) === ((id.toInt, true)), s"seed $id"))
+  }
+
+  test("q253: dup requires >=2 DISTINCT docs; short docs are excluded") {
+    val dir = tmpDir()
+    writeDocs(dir, Seq(
+      (1L, "a b c d e x y z", "en"),          // 4 grams, "a b c d e" shared
+      (2L, "q r a b c d e", "en"),            // 3 grams, shares "a b c d e"
+      (3L, "m n o p s t", "fr"),              // 2 grams, none shared
+      (4L, "f g h i j f g h i j", "en"),      // in-doc repeat only -> NOT dup
+      (5L, "a b", "en")))                     // < 5 tokens -> excluded
+    val got = run("q253_dup_spans", dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((4L, 1L, 0.25)),
+      2L -> ((3L, 1L, 0.3333)),
+      3L -> ((2L, 0L, 0.0)),
+      4L -> ((6L, 0L, 0.0))))
+  }
+
+  test("q254: matches an independent in-memory reference implementation") {
+    val dir = tmpDir()
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog sat on the cat", "en"),
+      (3L, "le chat sur le tapis rouge", "fr"),
+      (4L, "the cat chat on tapis", "fr"),
+      (5L, "dog mat rouge the sat", "en"))
+    writeDocs(dir, docs)
+
+    // Reference: same formula, independent plumbing (JVM md5 + plain Scala).
+    val B = SemanticQueries.DsirBuckets
+    def bucket(bigram: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bigram.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(3)
+      Integer.parseInt(hex, 16) % B
+    }
+    val perDoc: Seq[(Long, Boolean, Map[Int, Long])] = docs.map { case (id, text, lang) =>
+      val tk = graft.text.Tokenizer.tokenize(text)
+      val ks = tk.sliding(2).map(p => bucket(p.mkString(" ")))
+        .toSeq.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      (id, lang == "en", ks)
+    }
+    val ct = perDoc.filter(_._2).flatMap(_._3).groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val cr = perDoc.flatMap(_._3).groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val nt = ct.values.sum.toDouble
+    val nr = cr.values.sum.toDouble
+    val expected = perDoc.map { case (id, _, ks) =>
+      val n = ks.values.sum
+      val lw = ks.map { case (b, k) =>
+        k * math.log(((ct.getOrElse(b, 0L) + 1) / (nt + B)) / ((cr(b) + 1) / (nr + B)))
+      }.sum
+      id -> ((n, BigDecimal(lw / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+
+    val got = run("q254_dsir_weights", dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected)
+    // Direction sanity: the all-English bigram stream should score ≥ the
+    // mostly-French one (weights point TOWARD the target distribution).
+    assert(got(1L)._2 > got(3L)._2)
+  }
+}
