@@ -31,7 +31,40 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDigest {
 
-  def normalize(plan: String, sfDir: String): String = plan
+  /** Permutation-canonical form of one plan line: recursively sorts the
+    * comma-separated segments inside every bracket level (and at the top).
+    * Applied ONLY to lines carrying Catalyst's RewriteDistinctAggregates
+    * `gid` artifact: with ≥2 count-distincts in one agg (q91), the rewrite
+    * assigns gid branches in expression-hash order, which varies with the
+    * session-global exprId counter state — the same binary produces
+    * Expand/keys/FILTER lists permuted between JVM runs. The two variants
+    * are pure per-level permutations of each other, so a per-level sort
+    * maps both to one canonical string; any REAL change (different
+    * function, column set, partition count) still changes the sorted form.
+    */
+  private[tools] def canonPermutation(line: String): String = {
+    def inner(start: Int, close: Char): (String, Int) = {
+      val parts = collection.mutable.ArrayBuffer[String]()
+      val sb = new StringBuilder
+      var i = start
+      while (i < line.length && line(i) != close) {
+        line(i) match {
+          case '[' =>
+            val (c, j) = inner(i + 1, ']'); sb.append('[').append(c).append(']'); i = j + 1
+          case '(' =>
+            val (c, j) = inner(i + 1, ')'); sb.append('(').append(c).append(')'); i = j + 1
+          case ',' => parts += sb.toString; sb.clear(); i += 1
+          case ch => sb.append(ch); i += 1
+        }
+      }
+      parts += sb.toString
+      (parts.map(_.trim).sorted.mkString(","), i)
+    }
+    inner(0, '\u0000')._1
+  }
+
+  def normalize(plan: String, sfDir: String): String = {
+    val base = plan
     .replaceAll("#\\d+L?", "#N")                        // expression ids
     // lambda-variable counters are session-global: adding ONE query shifts
     // `lambda x_85` numbering in every plan built after it
@@ -56,6 +89,10 @@ object PlanDigest {
     .replaceAll("stream_counts_[0-9a-f_]+", "stream_counts_X")
     .replaceAll("[ \\t]+", " ")
     .trim
+    base.linesIterator
+      .map(l => if (l.contains("gid#")) canonPermutation(l) else l)
+      .mkString("\n")
+  }
 
   def sha(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
