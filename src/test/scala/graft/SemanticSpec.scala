@@ -78,6 +78,42 @@ class SemanticSpec extends AnyFunSuite {
       4L -> ((6L, 0L, 0.0))))
   }
 
+  test("q252: duplicating the corpus prunes every copy, originals unchanged") {
+    val dir = tmpDir()
+    val base = Seq[(Long, Seq[Float])](
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f), 3L -> Seq(0f, 0f, 0f, 1f),
+      4L -> Seq(-1f, 0f, 0f, 0f), 5L -> Seq(0f, -1f, 0f, 0f),
+      6L -> Seq(0f, 0f, -1f, 0f), 7L -> Seq(0f, 0f, 0f, -1f),
+      8L -> Seq(0f, 0f, 2f, 0f),
+      9L -> Seq(1f, 0.1f, 0f, 0f))
+    // Copies at ids 100+: assignment is per-vector (seeds stay vec_id < 8),
+    // and each copy has a lower-id identical partner in its cluster, so
+    // every copy must be pruned while original keep/prune flags stay as in
+    // the base fixture — the exact-duplicate contract of SemDeDup.
+    writeEmb(dir, base ++ base.map { case (id, v) => (id + 100L) -> v })
+    val got = run("q252_semantic_dedup", dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.size === 20)
+    base.foreach { case (id, _) =>
+      assert(!got(id + 100L), s"copy of $id must be pruned")
+      assert(got(id) === (id <= 7L), s"original $id keep flag changed")
+    }
+  }
+
+  test("q253: duplicating the corpus makes every span a cross-doc dup (frac 1)") {
+    val dir = tmpDir()
+    val base = Seq(
+      (1L, "a b c d e x y z", "en"),
+      (3L, "m n o p s t", "fr"),
+      (4L, "f g h i j f g h i j", "en"))
+    writeDocs(dir, base ++ base.map { case (id, t, l) => (id + 100L, t, l) })
+    val got = run("q253_dup_spans", dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.size === 6)
+    got.foreach { case (id, frac) => assert(frac === 1.0, s"doc $id") }
+  }
+
   test("q254: matches an independent in-memory reference implementation") {
     val dir = tmpDir()
     val docs = Seq(
