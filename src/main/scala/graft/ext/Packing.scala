@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,33 @@ object Packing {
       .withColumn("first_chunk", expr(s"tok_start div $cap"))
       .withColumn("last_chunk", expr(s"(_cum - 1) div $cap"))
       .drop("_bucket", "_offset", "_cum")
+  }
+
+  /** Distributed global `row_number` — the ranking face of the same
+    * two-phase scan [[pack]] uses for the prefix sum. `buckets` must be
+    * order-aligned with `order`: every row of a lexicographically smaller
+    * bucket tuple precedes every row of a larger one in the global order
+    * (e.g. for ORDER BY n_tok DESC, doc_id: buckets = (−n_tok,
+    * doc_id div W)). Phase 1 counts rows per bucket (map-side combined);
+    * phase 2 prefix-sums the counts over the bucket table (N/W rows) and
+    * broadcasts; phase 3 is a row_number WINDOW PARTITIONED by bucket —
+    * parallel across buckets, never the single-task global window a naive
+    * `Window.orderBy(...)` plans.
+    */
+  def globalRank(df: DataFrame, buckets: Seq[Column], order: Seq[Column],
+                 rankCol: String): DataFrame = {
+    require(buckets.nonEmpty && order.nonEmpty)
+    val bCols = buckets.indices.map(i => s"_gb$i")
+    val b = buckets.zip(bCols).foldLeft(df) { case (acc, (c, n)) => acc.withColumn(n, c) }
+    val counts = b.groupBy(bCols.map(col): _*).agg(count(lit(1)).as("_bn"))
+    val wB = Window.orderBy(bCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("_goff", sum("_bn").over(wB) - col("_bn")).drop("_bn")
+    val wD = Window.partitionBy(bCols.map(col): _*).orderBy(order: _*)
+    b.join(broadcast(offsets), bCols)
+      .withColumn(rankCol, col("_goff") + row_number().over(wD))
+      .drop("_goff").drop(bCols: _*)
   }
 
   /** Per-chunk occupancy: how many documents touch each capacity-`cap`

@@ -22,9 +22,25 @@ import org.apache.spark.sql.functions._
   *    distribution — the data-selection score, computed without a
   *    vocabulary (feature space is a fixed hash range).
   *
-  * All three are oracle-paired; arithmetic follows the standing
+  * plus the curation-pipeline MATERIALIZATION steps that turn the
+  * report-style lanes into actual corpus transforms:
+  *
+  *  - q255 mixture-sample materialization: q230's per-source target
+  *    weights applied as deterministic per-doc replication counts
+  *    (floor(w) copies + an md5-keyed Bernoulli(frac) copy — reproducible
+  *    sampling, no RNG state).
+  *  - q256 token-balanced shard manifest: global rank by token count via
+  *    [[graft.ext.Packing.globalRank]]'s two-phase distributed scan,
+  *    dealt snake-wise into [[Shards]] near-equal shards — the
+  *    training-export layout step.
+  *  - q257 quality-rule attrition funnel: the Gopher-style rule battery
+  *    applied in fixed order, reporting per-rule first-failure kills and
+  *    running survivors (where does the corpus go?).
+  *
+  * All lanes are oracle-paired; arithmetic follows the standing
   * conventions (double-cast ordered folds, round-6 floats, tie-free
-  * ratios via [[Ops.ratioHalfUp]]).
+  * ratios via [[Ops.ratioHalfUp]], integer cross-multiplied thresholds
+  * inside filters).
   */
 object SemanticQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -50,6 +66,26 @@ object SemanticQueries {
 
   /** q254: hashed feature space size (md5-derived, engine-portable). */
   val DsirBuckets = 256
+
+  /** q255: upsampling ceiling in weight-micros (3× — the practical bound
+    * the q230 weight report caps at; shared with the oracle).
+    */
+  val MixCapMicros = 3000000L
+
+  /** q256: number of output shards in the training-export manifest. */
+  val Shards = 16
+
+  /** q256: doc_id sub-bucket width of the order-aligned rank buckets
+    * (docs sharing one n_tok value split into ≤-width window partitions).
+    */
+  val RankBucketWidth = 4096L
+
+  /** q257: the rule battery, in application order — (name, kill reason).
+    * Thresholds are integer cross-multiplications so both engines compare
+    * exact integers (no ratio rounding inside a filter).
+    */
+  val FunnelRules: Seq[String] = Seq(
+    "word_count", "mean_word_len", "top_token_share", "uniq_ratio", "stopword_hit")
 
   def queries: Map[String, Q] = Map(
 
@@ -169,6 +205,110 @@ object SemanticQueries {
         .groupBy(col("doc_id"))
         .agg(sum(col("k")).as("n_bigrams"),
           round(sum(col("lw")) / sum(col("k")), 6).as("avg_log_ratio"))
+    }),
+
+    // Mixture materialization: the step AFTER q230's weight report — apply
+    // the per-source target weight to every document as a deterministic
+    // replication count: floor(w) guaranteed copies plus one Bernoulli(frac)
+    // copy decided by a doc-keyed md5 draw, so the sampled corpus is
+    // reproducible row-for-row across engines and re-runs (no RNG state).
+    // All arithmetic is exact integers: the weight is half-up micros via
+    // the (2a+b) div 2b identity over raw counts (never a rounded-double
+    // chain), the draw is md5's first 6 hex digits mod 1e6. Scale shape:
+    // the weight table is ≤|sources| rows and rides a broadcast; the
+    // per-doc work is map-side — the lane adds NO shuffle beyond the tiny
+    // source-count aggregate.
+    "q255_mix_sample" -> ((s, d) => {
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val weights = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("_i",
+          regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"))
+        .withColumn("wu", least(
+          Ops.ratioHalfUp((col("_i") + 1) * sum(col("n")).over(wAll) * 1000000L,
+            sum(col("_i") + 1).over(wAll) * col("n"), 0).cast("long"),
+          lit(MixCapMicros)))
+        .select(col("source"), col("wu"))
+      Ops.fanOut(Tables.documents(s, d)).select(col("doc_id"), col("source"))
+        .join(broadcast(weights), "source")
+        .withColumn("_draw",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("long") % 1000000L)
+        .select(col("doc_id"), col("source"),
+          (expr("wu div 1000000") +
+            (col("_draw") < col("wu") % 1000000L).cast("long")).as("n_rep"))
+    }),
+
+    // Token-balanced shard manifest — the training-export step: documents
+    // ranked globally by token count (longest first, doc_id tiebreak) and
+    // dealt snake-wise (boustrophedon) across the shards, so each shard's
+    // token total is near-equal without any driver-side packing loop. The
+    // global rank is Packing.globalRank's two-phase distributed scan with
+    // composite order-aligned buckets (−n_tok, doc_id div W): parallel
+    // across buckets, bounded per window partition — never the single-task
+    // Window.orderBy a naive global row_number plans. Manifest output is
+    // |shards| rows of exact integers.
+    "q256_shard_manifest" -> ((s, d) => {
+      val docs = Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("n_tok"))
+      val ranked = graft.ext.Packing.globalRank(docs,
+        buckets = Seq(-col("n_tok"), expr(s"doc_id div $RankBucketWidth")),
+        order = Seq(col("n_tok").desc, col("doc_id").asc),
+        rankCol = "_rank")
+      ranked
+        .withColumn("_pass", expr(s"(_rank - 1) div $Shards"))
+        .withColumn("_pos", (col("_rank") - 1) % Shards)
+        .withColumn("shard",
+          when(col("_pass") % 2 === 0, col("_pos"))
+            .otherwise(lit(Shards - 1) - col("_pos")).cast("int"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          max(col("n_tok")).as("max_tok"), min(col("n_tok")).as("min_tok"))
+    }),
+
+    // Quality-rule attrition funnel: the rule battery applied in a fixed
+    // order, reported as WHERE the corpus is lost — per rule, the count of
+    // documents whose FIRST failure is that rule, and the running survivor
+    // count. One corpus scan computes every flag (all integer
+    // cross-multiplied thresholds — no ratio rounding inside a filter);
+    // the funnel itself is a ≤6-row aggregate joined onto a literal rule
+    // table so zero-kill rules still report. The cumulative subtraction
+    // runs on that tiny frame — the window never touches doc rows.
+    "q257_rule_funnel" -> ((s, d) => {
+      val tk = Ops.fanOut(Tables.documents(s, d))
+        .select(graft.text.Tokenizer.tokens(col("text")).as("tk"))
+      val m = tk.select(
+        size(col("tk")).cast("long").as("n"),
+        expr("aggregate(tk, 0L, (a, w) -> a + length(w))").as("sl"),
+        expr("array_max(transform(array_distinct(tk), w -> size(filter(tk, t -> t = w))))")
+          .cast("long").as("topk"),
+        size(array_distinct(col("tk"))).cast("long").as("uq"),
+        size(array_intersect(array_distinct(col("tk")),
+          array(Seq("the", "and", "of", "to", "in", "a", "is").map(lit): _*)))
+          .cast("long").as("ns"))
+      val ff = graft.runtime.Stage.scopedPersist(m.select(
+        when(!col("n").between(20L, 90L), 1)
+          .when(col("sl") * 100 < col("n") * 425, 2)
+          .when(col("topk") * 10 > col("n"), 3)
+          .when(col("uq") * 10 < col("n") * 4, 4)
+          .when(col("ns") < 1, 5)
+          .otherwise(0).as("ff"))
+        .groupBy(col("ff")).agg(count(lit(1)).as("c")))
+      val total = ff.agg(sum(col("c")).as("_tot"))
+      val rules = m.sparkSession.range(1, FunnelRules.size + 1L)
+        .select(col("id").cast("int").as("rule"))
+        .withColumn("rule_name",
+          element_at(array(FunnelRules.map(lit): _*), col("rule")))
+      val wCum = Window.orderBy("rule")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rules.join(ff, col("rule") === col("ff"), "left")
+        .withColumn("n_killed", coalesce(col("c"), lit(0L)))
+        .crossJoin(broadcast(total))
+        .withColumn("n_surviving",
+          col("_tot") - sum(col("n_killed")).over(wCum))
+        .select(col("rule"), col("rule_name"), col("n_killed"), col("n_surviving"))
     })
   )
 
@@ -181,12 +321,14 @@ object SemanticQueries {
   private def ngrams(t: String, n: Int): String =
     s"list_transform(range(1, len($t) - ${n - 2}), i -> array_to_string(($t)[i:i+${n - 1}], ' '))"
 
-  /** First 3 hex digits of md5 expression `x` as BIGINT (the q153 mirror of
-    * Spark's conv(substring(md5, 1, 3), 16, 10)).
+  /** First `n` hex digits of md5 expression `x` as BIGINT (the q153 mirror
+    * of Spark's conv(substring(md5, 1, n), 16, 10)).
     */
-  private def md5Hex3(x: String): String = (1 to 3).map { i =>
-    s"(CAST(strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 3 - i).toLong})"
+  private def md5Hex(x: String, n: Int): String = (1 to n).map { i =>
+    s"(CAST(strpos('0123456789abcdef', substr(md5($x), $i, 1)) - 1 AS BIGINT) * ${math.pow(16, n - i).toLong})"
   }.mkString(" + ")
+
+  private def md5Hex3(x: String): String = md5Hex(x, 3)
 
   def oracle: Map[String, String] = Map(
 
@@ -254,6 +396,65 @@ object SemanticQueries {
          |    / (CAST(pb.cr + 1 AS DOUBLE) / (tot.nr + $DsirBuckets)))) / sum(dk.k), 6)
          |    AS avg_log_ratio
          |FROM dk JOIN pb USING (bucket), tot
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    "q255_mix_sample" ->
+      s"""WITH a AS (
+         |  SELECT source, count(*) AS n,
+         |    CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) AS i
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT source, least(CAST(
+         |    (2*((i+1) * (sum(n) OVER ()) * 1000000) + ((sum(i+1) OVER ()) * n))
+         |      // (2*((sum(i+1) OVER ()) * n)) AS BIGINT), $MixCapMicros) AS wu
+         |  FROM a)
+         |SELECT d.doc_id, d.source,
+         |  CAST(wu // 1000000
+         |    + CASE WHEN (${md5Hex("CAST(d.doc_id AS VARCHAR)", 6)}) % 1000000
+         |        < wu % 1000000 THEN 1 ELSE 0 END AS BIGINT) AS n_rep
+         |FROM documents d JOIN w USING (source)""".stripMargin,
+
+    "q256_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id, len($toks) AS n_tok FROM documents),
+         |r AS (
+         |  SELECT n_tok,
+         |    row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r0
+         |  FROM t),
+         |s AS (
+         |  SELECT n_tok, CASE WHEN (r0 // $Shards) % 2 = 0 THEN r0 % $Shards
+         |    ELSE ${Shards - 1} - (r0 % $Shards) END AS shard
+         |  FROM r)
+         |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+         |  sum(n_tok) AS n_tokens, max(n_tok) AS max_tok, min(n_tok) AS min_tok
+         |FROM s GROUP BY 1""".stripMargin,
+
+    "q257_rule_funnel" ->
+      s"""WITH t AS (SELECT $toks AS tk FROM documents),
+         |m AS (
+         |  SELECT len(tk) AS n,
+         |    list_sum(list_transform(tk, w -> len(w))) AS sl,
+         |    list_max(list_transform(list_distinct(tk),
+         |      w -> len(list_filter(tk, x -> x = w)))) AS topk,
+         |    len(list_distinct(tk)) AS uq,
+         |    len(list_intersect(list_distinct(tk),
+         |      ['the','and','of','to','in','a','is'])) AS ns
+         |  FROM t),
+         |f AS (
+         |  SELECT CASE WHEN NOT (n BETWEEN 20 AND 90) THEN 1
+         |    WHEN sl*100 < n*425 THEN 2
+         |    WHEN topk*10 > n THEN 3
+         |    WHEN uq*10 < n*4 THEN 4
+         |    WHEN ns < 1 THEN 5 ELSE 0 END AS ff
+         |  FROM m),
+         |c AS (SELECT ff, count(*) AS c FROM f GROUP BY 1),
+         |rules AS (
+         |  SELECT i AS rule,
+         |    (['${FunnelRules.mkString("','")}'])[i] AS rule_name
+         |  FROM (SELECT unnest(range(1, ${FunnelRules.size + 1})) AS i))
+         |SELECT CAST(r.rule AS INT) AS rule, r.rule_name,
+         |  CAST(coalesce(c.c, 0) AS BIGINT) AS n_killed,
+         |  CAST((SELECT sum(c) FROM c)
+         |    - sum(coalesce(c.c, 0)) OVER (ORDER BY r.rule) AS BIGINT) AS n_surviving
+         |FROM rules r LEFT JOIN c ON c.ff = r.rule""".stripMargin
   )
 }

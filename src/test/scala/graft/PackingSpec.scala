@@ -75,4 +75,22 @@ class PackingSpec extends AnyFunSuite {
     val df = fixture.toDF("doc_id", "n_tok")
     intercept[IllegalArgumentException](Packing.pack(df, cap = 0L))
   }
+
+  test("globalRank matches the sequential sort under composite buckets") {
+    import org.apache.spark.sql.functions._
+    // ties on n_tok (ranked by doc_id), sparse ids, a far-away id — the
+    // same boundary shapes as the pack fixture, for the ranking face.
+    val docs = Seq(1L -> 5L, 2L -> 9L, 3L -> 5L, 4L -> 1L, 5L -> 9L,
+      6L -> 7L, 100L -> 5L)
+    val df = docs.toDF("doc_id", "n_tok")
+    val expected = docs.sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    for (w <- Seq(1L, 3L, 1000L)) {
+      val got = Packing.globalRank(df,
+        buckets = Seq(-col("n_tok"), expr(s"doc_id div $w")),
+        order = Seq(col("n_tok").desc, col("doc_id").asc), rankCol = "rank")
+        .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"bucket width $w")
+    }
+  }
 }

@@ -157,4 +157,100 @@ class SemanticSpec extends AnyFunSuite {
     // mostly-French one (weights point TOWARD the target distribution).
     assert(got(1L)._2 > got(3L)._2)
   }
+
+  private def writeSourcedDocs(dir: String,
+                               docs: Seq[(Long, String, String)]): Unit =
+    docs.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  /** JVM mirror of the q255 md5 draw (Spark's md5 of the decimal-rendered
+    * doc_id; first 6 hex digits mod 1e6).
+    */
+  private def mixDraw(docId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(docId.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(6)
+    java.lang.Long.parseLong(hex, 16) % 1000000L
+  }
+
+  test("q255: exact integer weights, per-doc md5 draw, and the 3x cap") {
+    val dir = tmpDir()
+    // src0: 9 docs, src9: 1 doc. N=10, Σ(i+1)=11.
+    //   w(src0) = halfup(1·10·1e6 / (11·9))  = 101010 → base 0, frac .101010
+    //   w(src9) = halfup(10·10·1e6 / (11·1)) = 9090909 → capped 3000000 →
+    //             exactly 3 copies, no draw.
+    val docs = (1L to 9L).map(i => (i, s"doc number $i", "src0")) :+
+      ((100L, "the rare high value doc", "src9"))
+    writeSourcedDocs(dir, docs)
+    val got = run("q255_mix_sample", dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size === 10)
+    assert(got(100L) === 3L, "capped source must replicate exactly 3x")
+    (1L to 9L).foreach { id =>
+      val expected = if (mixDraw(id) < 101010L) 1L else 0L
+      assert(got(id) === expected, s"doc $id draw=${mixDraw(id)}")
+    }
+    // The fractional draw must actually cut both ways on this fixture.
+    assert((1L to 9L).map(got).toSet === Set(0L, 1L))
+  }
+
+  test("q256: manifest matches the sequential snake deal; shards balanced") {
+    val dir = tmpDir()
+    // 40 docs with token counts 1..40 (words of one repeated letter) —
+    // enough for two full passes + a partial, so the snake reversal and the
+    // balance property are both exercised.
+    val docs = (1L to 40L).map(i => (i, Seq.fill(i.toInt)("word").mkString(" "), "srcT"))
+    writeSourcedDocs(dir, docs.map { case (id, t, s) => (id, t, s) })
+    val s = graft.queries.SemanticQueries.Shards
+    val ref = docs.map { case (id, t, _) => (id, t.split(" ").length.toLong) }
+      .sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((_, n), r0) =>
+        val shard = if ((r0 / s) % 2 == 0) r0 % s else s - 1 - (r0 % s)
+        shard -> n
+      }
+    val expected = ref.groupBy(_._1).map { case (sh, xs) =>
+      sh -> ((xs.size.toLong, xs.map(_._2).sum, xs.map(_._2).max, xs.map(_._2).min))
+    }
+    val got = run("q256_shard_manifest", dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // Balance: snake dealing bounds the token spread by roughly one doc.
+    val totals = got.values.map(_._2)
+    assert(totals.max - totals.min <= 40L,
+      s"shard token spread ${totals.max - totals.min} too wide")
+  }
+
+  test("q257: each rule kills its engineered doc; survivors counted down") {
+    val dir = tmpDir()
+    val fiveLetter = Seq("alpha", "betas", "gamma", "delta", "epsil", "zetas",
+      "etaaa", "theta", "iotas", "kappa", "lambd", "muuuu", "nuuuu", "xiiii", "piiii")
+    val docs = Seq(
+      // ff=1: 5 tokens < 20
+      (1L, "just five tokens right here", "srcT"),
+      // ff=2: 40 single-letter tokens -> mean word len 1 < 4.25
+      (2L, Seq.fill(20)("a b").mkString(" "), "srcT"),
+      // ff=3: 20 five-letter tokens, "alpha" x3 -> top share 3/20 > 1/10
+      (3L, (Seq.fill(3)("alpha") ++ fiveLetter.tail
+        ++ fiveLetter.tail.take(3)).mkString(" "), "srcT"),
+      // ff=4: 30 tokens, 11 distinct (uniq .366 < .4), top count 3 (= n/10)
+      (4L, (fiveLetter.take(9).flatMap(w => Seq(w, w, w))
+        ++ Seq("muuuu", "muuuu", "nuuuu")).mkString(" "), "srcT"),
+      // ff=5: 30 tokens, 15 distinct x2, no stopword
+      (5L, fiveLetter.flatMap(w => Seq(w, w)).mkString(" "), "srcT"),
+      // survivor: 28 five-letter x2 + "the" x2
+      (6L, (fiveLetter.take(14).flatMap(w => Seq(w, w))
+        ++ Seq("the", "the")).mkString(" "), "srcT"))
+    writeSourcedDocs(dir, docs)
+    val got = run("q257_rule_funnel", dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1 -> (("word_count", 1L, 5L)),
+      2 -> (("mean_word_len", 1L, 4L)),
+      3 -> (("top_token_share", 1L, 3L)),
+      4 -> (("uniq_ratio", 1L, 2L)),
+      5 -> (("stopword_hit", 1L, 1L))))
+  }
 }
