@@ -83,8 +83,20 @@ object RecommendPipeline {
       case Some(cap) => Scoring.cappedPostings(inRange, "id", cap)
       case None      => inRange
     }
+    // Score active users only. The active set is BROADCAST by hint: it is
+    // small by contract (distinct users active in the scene window), and
+    // hinting it keeps the PROFILE side — whose partitioning the shared
+    // stage pins (Stage.sharedStage) — as the streamed side. That pinned
+    // parallelism is what keeps the word join below, this engine's
+    // highest-fanout operator (~40k profile rows → ~143M joined rows at
+    // sf1), running wide: if the planner instead broadcast the profiles
+    // and streamed the active-users exchange, AQE — which sizes stages by
+    // their input exchanges and cannot see join fan-out — would coalesce
+    // that KB-sized exchange to ONE partition and the whole join + pair
+    // aggregation would run serially (measured: q22 sf1 17 s → 220 s, a
+    // 222 s single-task stage in the event log).
     val userWords = userKw
-      .join(activeUsers.select("userId").distinct(), "userId") // score active users only
+      .join(broadcast(activeUsers.select("userId").distinct()), "userId")
 
     val scored = scene.similarityAlgorithm match {
       case SimilarityAlgorithm.CosineSimilarity =>

@@ -83,13 +83,22 @@ object RecQueries {
         userScored.select(col("userId"), col("word"), col("value")),
         Seq("userId"), Seq(col("value").desc, col("word").asc), 8)
       .select(col("userId"), col("word"), col("value"))
-    // both profiles feed several plan branches (scoring, sizes, date
-    // lookups) across four queries — session-lifetime. Lineage-CUT, not
-    // persistShared: the build rides the scoped `tf` cache, and a shared
-    // persist over a scoped input loses its buffers at the next query
-    // scope (Stage.persistShared scaladoc) — the sf1 bench measured the
-    // resulting one-off profiles rebuild at ~20 s.
-    (Stage.sharedCut(newsKwDated), Stage.sharedCut(userKw))
+    // Both profiles feed several plan branches (scoring, sizes, date
+    // lookups) across four queries — session-lifetime, via Stage.sharedStage:
+    //  - lineage-CUT (parquet round-trip), because the build rides the
+    //    scoped `tf` cache and a bare shared persist over a scoped input
+    //    loses its buffers at the next query scope (measured ~20 s one-off
+    //    rebuild at sf1), while a checkpoint would lose size stats and
+    //    flip every join above the profiles to SortMergeJoin (measured
+    //    q23 sf1 143 s → 1347 s);
+    //  - partition-PINNED on the scoring key, because these stages feed
+    //    the ~3500× fan-out word join and a compact source otherwise lets
+    //    AQE collapse that join to one task (measured q22 sf1 17 s →
+    //    220 s). hash(id)/hash(userId) both satisfy the downstream
+    //    (userId, id) pair aggregation, so scoring adds no extra exchange
+    //    whichever side streams.
+    (Stage.sharedStage(newsKwDated, col("id")),
+     Stage.sharedStage(userKw, col("userId")))
   }
 
   /** The q23/q46-shared all-days dot-product recommendation run (the E1

@@ -250,9 +250,13 @@ object SemanticQueries {
     // Window.orderBy a naive global row_number plans. Manifest output is
     // |shards| rows of exact integers.
     "q256_shard_manifest" -> ((s, d) => {
-      val docs = Ops.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"),
-          size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("n_tok"))
+      // (doc_id, n_tok) is 16 bytes/row; caching it means the corpus is
+      // scanned+tokenized ONCE — globalRank's count leg and rank leg both
+      // read the cached frame instead of re-running the map work.
+      val docs = graft.runtime.Stage.scopedPersist(
+        Ops.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"),
+            size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("n_tok")))
       val ranked = graft.ext.Packing.globalRank(docs,
         buckets = Seq(-col("n_tok"), expr(s"doc_id div $RankBucketWidth")),
         order = Seq(col("n_tok").desc, col("doc_id").asc),

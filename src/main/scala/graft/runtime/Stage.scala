@@ -127,22 +127,88 @@ object Stage {
   def persistShared(df: DataFrame): DataFrame =
     df.persist(cacheLevel)
 
-  /** Eager lineage-cut persistence for shared-stage outputs whose BUILD
-    * uses scoped caches: materializes now (while the scoped inputs are
-    * alive and warm) into a checkpoint, so the result is self-contained
-    * data with no plan-cache dependency to invalidate. Routed through the
-    * deployment [[Reroot]] strategy — fault-tolerant `checkpoint(dir)`
-    * under SPARK_GRAFT_CHECKPOINT_DIR, else an eager `localCheckpoint` at
-    * the stage cache level (serialized at scale, same as every other
-    * stage cache). Eager costs nothing net: shared stages are materialized
-    * by their first consumer anyway; this just moves the job inside the
-    * build, before the scoped inputs are released.
+  /** Eager lineage-cut materialization for shared-stage outputs whose
+    * BUILD uses scoped caches: writes the frame to parquet now (while the
+    * scoped inputs are alive and warm) and reads it back, so the result is
+    * self-contained data with no plan-cache dependency to invalidate.
+    * Eager costs nothing net: shared stages are materialized by their
+    * first consumer anyway; this just moves the job inside the build,
+    * before the scoped inputs are released.
+    *
+    * A parquet round-trip, NOT a checkpoint: `checkpoint`/`localCheckpoint`
+    * both return an RDD-backed plan (`LogicalRDD`) that carries NO size
+    * statistics — it reports `defaultSizeInBytes`, effectively infinite —
+    * so every equi-join above the shared stage plans SortMergeJoin even
+    * when the stage is megabytes. The sf1 bench measured exactly that:
+    * the checkpoint-backed TF-IDF profiles flipped the q22/q23 scoring
+    * joins from broadcast to shuffle (q23 143 s → 1347 s, q22 28 s →
+    * 203 s) while the sf0.1 digest re-baseline hid the flip inside the
+    * rebuild-fix win. A `FileScan` read back from parquet carries the real
+    * on-disk size, so broadcast planning keeps working and the lineage is
+    * cut just the same. It is also the reference's own staging design —
+    * profiles written to files once and re-read by every consumer
+    * (/root/reference/TF_IDF.java:109,127).
+    *
+    * Location: `SPARK_GRAFT_CHECKPOINT_DIR` (the deployment's durable
+    * scratch — same switch [[Reroot]] uses) when set, else a per-session
+    * java.io.tmpdir directory deleted when the application ends.
     */
-  def sharedCut(df: DataFrame): DataFrame =
-    Reroot.fromEnv() match {
-      case Reroot.Local => df.localCheckpoint(true, cacheLevel)
-      case r            => r(df)
+  def sharedCut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val base = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").getOrElse {
+      val tag = sessionTag(spark)
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft-shared-$tag"
+      synchronized {
+        if (!scratchHooked.contains(tag)) {
+          scratchHooked += tag
+          spark.sparkContext.addSparkListener(new SparkListener {
+            override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+              def rm(f: java.io.File): Unit = {
+                val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+              }
+              rm(new java.io.File(d))
+            }
+          })
+        }
+      }
+      d
     }
+    val dir = s"$base/cut-${cutCounter.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private val cutCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val scratchHooked = mutable.Set[String]()
+
+  /** [[sharedCut]] + pinned parallelism + session-lifetime cache — the
+    * variant for shared stages that feed HIGH-FANOUT joins (the TF-IDF
+    * profiles: ~40k profile rows expand to ~143M joined rows at sf1).
+    *
+    * Why the pin: a cut stage read back from one small parquet file is a
+    * single-partition scan, and every downstream exchange over it is KBs —
+    * which AQE coalesces to one partition. AQE sizes stages by their INPUT
+    * exchanges and cannot see a join's output fan-out, so the whole
+    * 143M-row join + aggregation then runs in ONE task (measured: q22 sf1
+    * 17 s → 220 s; event log showed a 222 s single-task stage). A plain
+    * query-side `repartition(n, key)` does NOT fix this: the planner
+    * elides the user shuffle when the child's partitioning already
+    * satisfies it statically, and AQE then coalesces that child — the pin
+    * evaporates. An InMemoryRelation is the one plan node that holds a
+    * partitioning AQE cannot rewrite and the planner cannot elide, so the
+    * stage itself carries `numShufflePartitions` partitions on `key` to
+    * every consumer. `key` should be the stage's natural join/group key so
+    * downstream per-key aggregates need no further exchange.
+    *
+    * Cache sits OVER the cut (not instead of it): the parquet read-back
+    * keeps real size stats for broadcast planning and severs any
+    * scoped-cache lineage; the persist pins partitioning and saves the
+    * re-scan. Storage level is the scale-adaptive [[cacheLevel]].
+    */
+  def sharedStage(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    persistShared(sharedCut(df).repartition(n, key))
+  }
 
   /** Persist a DataFrame for the CURRENT query only; released when the next
     * query begins.

@@ -132,4 +132,49 @@ class PlansSpec extends AnyFunSuite {
     assert(!aboveJoin.exists(hasSqrt),
       "no sqrt may run above the join (per-pair recomputation)")
   }
+
+  test("sharedStage pins partition count and key against AQE coalescing") {
+    // THE q21/q22 sf1 serial-collapse pin: a shared stage that feeds a
+    // high-fanout join must carry its parallelism ITSELF — AQE sizes
+    // stages by input exchanges (blind to join fan-out) and coalesced the
+    // KB-sized profile stream to one partition, running the 143M-row word
+    // join + pair aggregation in a single 222 s task. The fix caches the
+    // cut stage behind an explicit-N repartition on the scoring key: an
+    // InMemoryRelation's partitioning can neither be elided by the planner
+    // nor rewritten by AQE.
+    val prof = (1L to 500L).flatMap(u => (1 to 8).map(w => (u, s"w${(u + w) % 50}", 0.5)))
+      .toDF("userId", "word", "value")
+    val staged = graft.runtime.Stage.sharedStage(prof, col("userId"))
+    assert(staged.rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions,
+      "stage must hold exactly numShufflePartitions partitions")
+    assert(staged.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "stage must be cached (partitioning pinned for every consumer)")
+    assert(staged.count() === 4000)
+    staged.unpersist()
+  }
+
+  test("sharedCut output keeps real size stats; joins above the cut broadcast") {
+    // THE q23 sf1 regression pin: a checkpoint-backed cut (LogicalRDD)
+    // reports defaultSizeInBytes — effectively infinite — so every join
+    // above a shared stage degrades to SortMergeJoin (measured 143 s →
+    // 1347 s at sf1 when the TF-IDF profile joins lost their broadcasts).
+    // The parquet round-trip must (a) carry the true on-disk size and
+    // (b) let a small cut stage auto-broadcast with NO explicit hint.
+    val small = (1L to 100L).map(i => (i, s"w$i", i * 0.5))
+      .toDF("id", "word", "value")
+    val cut = graft.runtime.Stage.sharedCut(small)
+    assert(cut.collect().length === 100, "round-trip preserves rows")
+    val sz = cut.queryExecution.optimizedPlan.stats.sizeInBytes
+    val default = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    assert(sz > 0 && sz < default / 1024,
+      s"cut stage must carry real stats, got $sz (default $default)")
+    val big = (1L to 10000L).map(i => (i % 100 + 1, i)).toDF("id", "x")
+    val joined = big.join(cut, "id")
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"join above a small cut stage must broadcast, plan was:\n$phys")
+    assert(!phys.contains("SortMergeJoin"),
+      "no SortMergeJoin may appear above a megabyte-scale cut stage")
+  }
 }
