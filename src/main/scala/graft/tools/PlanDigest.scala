@@ -90,7 +90,20 @@ object PlanDigest {
     .replaceAll("[ \\t]+", " ")
     .trim
     base.linesIterator
-      .map(l => if (l.contains("gid#")) canonPermutation(l) else l)
+      .map { l =>
+        if (!l.contains("gid#")) l
+        else {
+          // The gid branch NUMBERS are themselves assigned in the same
+          // unstable expression-hash order (q91: `count(x) FILTER (gid=1)`
+          // one run, `gid=2` the next, with the Expand branches paired to
+          // match) — so blank the literals before the permutation sort.
+          // Real regressions still diff: the function set, FILTER columns,
+          // and Expand branch contents all survive.
+          canonPermutation(l
+            .replaceAll("gid#N = \\d+", "gid#N = K")
+            .replaceAll("\\[\\d+,", "[K,"))
+        }
+      }
       .mkString("\n")
   }
 
