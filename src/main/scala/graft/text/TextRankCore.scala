@@ -68,20 +68,46 @@ object TextRankCore {
     */
   def vote(words: Map[String, Set[String]], numKeywords: Int, friction: Double,
            maxIterates: Int, minDifference: Double): List[Keyword] = {
-    val d = friction
     // Index the graph once: sorted keys, int-indexed sorted adjacency with
     // the reference's guards (self-loops and zero-degree neighbors skipped,
     // TextRank.java:208) pre-applied — the per-iteration loop is then pure
-    // array arithmetic. Same summation order as the naive sorted loop.
+    // array arithmetic. Same summation order as the naive sorted loop:
+    // `index` ranks words ALPHABETICALLY, so sorting neighbor indices as
+    // ints yields exactly the sorted-by-word order the spec freezes —
+    // without the per-node string sort that dominated dense user graphs
+    // (measured: 1.4 s of the 2.8 s per heavy sf1 user profile).
     val keys = words.keys.toArray.sorted
     val index = keys.zipWithIndex.toMap
     val degree = keys.map(k => words(k).size)
-    val adj: Array[Array[Int]] = keys.map { k =>
-      words(k).toArray.sorted.flatMap { n =>
-        index.get(n).filter(ni => keys(ni) != k && degree(ni) != 0)
-      }
+    val adj: Array[Array[Int]] = keys.zipWithIndex.map { case (k, ki) =>
+      val a = words(k).iterator
+        .flatMap(n => index.get(n))
+        .filter(ni => ni != ki && degree(ni) != 0)
+        .toArray
+      java.util.Arrays.sort(a)
+      a
     }
+    voteIndexed(keys, adj, degree, numKeywords, friction, maxIterates, minDifference)
+  }
+
+  /** The shared power-iteration core over an int-indexed graph whose `keys`
+    * are alphabetically sorted and whose adjacency arrays are ascending
+    * (= sorted-by-word — the frozen summation order). Guards (no self, no
+    * zero-degree neighbor) must already be applied by the caller.
+    */
+  private def voteIndexed(keys: Array[String], adj: Array[Array[Int]], degree: Array[Int],
+                          numKeywords: Int, friction: Double,
+                          maxIterates: Int, minDifference: Double): List[Keyword] = {
+    val d = friction
     val n = keys.length
+    // degree is iteration-invariant, so hoist `d / degree(ni)` out of the
+    // edge loop: `invDeg(ni) * score(ni)` is the SAME expression tree as
+    // `d / degree(ni) * score(ni)` ((d/deg)·score, left-to-right), so every
+    // partial sum is bit-identical to the frozen spec the DuckDB oracles
+    // reproduce — this only removes a hardware division from the innermost
+    // loop (dense clique graphs: |edges| ≈ |nodes|² per user, the q40 sf1
+    // hot stage).
+    val invDeg = degree.map(deg => if (deg != 0) d / deg else 0.0)
     var score = new Array[Double](n)
     var it = 0
     var done = false
@@ -95,7 +121,7 @@ object TextRankCore {
         var j = 0
         while (j < neighbors.length) {
           val ni = neighbors(j)
-          v += d / degree(ni) * score(ni)
+          v += invDeg(ni) * score(ni)
           j += 1
         }
         m(i) = v
@@ -136,12 +162,56 @@ object TextRankCore {
 
   /** Merged-tweets user-profile keywords (reference A2, TextRank.java:111-128):
     * clique graphs accumulated over all of a user's texts, then one vote.
+    *
+    * Implementation: int-interned tokens + per-node BitSet adjacency instead
+    * of the string-set [[cliqueGraph]] accumulator — a heavy sf1 user merges
+    * hundreds of tweets into a graph with millions of clique edges, and the
+    * per-tweet `|tokens|²` string-set inserts were half the q40 stage's CPU
+    * (the BitSet union is one word-OR per 64 neighbors). The graph CONTENT
+    * is identical: same node set, same undirected clique union, no
+    * self-loops (`b.remove(id)` below — a token never cliques with itself
+    * within a tweet, and bits only ever come from tweet unions). The vote
+    * runs over the alphabetically-ranked remap, so scores are bit-identical
+    * to the [[cliqueGraph]]+[[vote]] path (pinned by TextRankSpec).
     */
   def userKeywords(texts: Seq[String], numKeywords: Int, friction: Double,
                    maxIterates: Int, minDifference: Double): List[Keyword] = {
-    val words = mutable.LinkedHashMap[String, mutable.Set[String]]()
-    texts.foreach(t => cliqueGraph(t, words))
-    vote(words.iterator.map { case (k, v) => (k, v.toSet) }.toMap,
-      numKeywords, friction, maxIterates, minDifference)
+    val dict = mutable.HashMap[String, Int]()
+    val idWords = mutable.ArrayBuffer[String]()
+    val bits = mutable.ArrayBuffer[mutable.BitSet]()
+    texts.foreach { t =>
+      val ks = Tokenizer.tokenMap(t).keySet
+      if (ks.nonEmpty) {
+        val ids = ks.iterator.map { w =>
+          dict.getOrElseUpdate(w, { idWords += w; bits += mutable.BitSet(); idWords.size - 1 })
+        }.toArray
+        val tweetBits = mutable.BitSet(ids: _*)
+        var i = 0
+        while (i < ids.length) {
+          val id = ids(i)
+          val b = bits(id)
+          b |= tweetBits
+          b.remove(id)
+          i += 1
+        }
+      }
+    }
+    // Alphabetical remap: rank(oldId) = position of its word in sorted
+    // order, so int-sorted adjacency == sorted-by-word (the frozen
+    // summation order). A zero-degree node can only be a token that always
+    // appeared alone; such a node is never inside another node's bit set
+    // (membership implies co-occurrence implies both degrees ≥ 1), so the
+    // reference's zero-degree-neighbor guard is vacuous here.
+    val order = idWords.zipWithIndex.sortBy(_._1)
+    val keys = order.map(_._1).toArray
+    val rank = new Array[Int](idWords.length)
+    order.zipWithIndex.foreach { case ((_, old), r) => rank(old) = r }
+    val degree = order.map { case (_, old) => bits(old).size }.toArray
+    val adj: Array[Array[Int]] = order.map { case (_, old) =>
+      val a = bits(old).iterator.map(rank).toArray
+      java.util.Arrays.sort(a)
+      a
+    }.toArray
+    voteIndexed(keys, adj, degree, numKeywords, friction, maxIterates, minDifference)
   }
 }

@@ -85,4 +85,24 @@ class TextRankSpec extends AnyFunSuite {
     val byWord = ks.map(k => k.word -> k.value).toMap
     assert(byWord("b") > byWord("a")) // b has degree 2, a degree 1
   }
+
+  test("A2 bitset path is bit-identical to the cliqueGraph+vote path") {
+    // userKeywords runs an int-interned BitSet clique accumulator (the q40
+    // hot path); its scores must be BIT-equal to the reference-shaped
+    // string-set accumulation — same graph content, same alphabetical
+    // summation order. Randomized over seeds so the pin covers repeated
+    // tokens, single-token tweets, and cross-tweet overlaps.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array("ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx")
+      val texts = Seq.fill(12)(
+        Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val fast = TextRankCore.userKeywords(texts, 8, 0.85, 100, 1e-6)
+      val words = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.Set[String]]()
+      texts.foreach(t => TextRankCore.cliqueGraph(t, words))
+      val slow = TextRankCore.vote(
+        words.iterator.map { case (k, v) => (k, v.toSet) }.toMap, 8, 0.85, 100, 1e-6)
+      assert(fast === slow, s"seed $seed")
+    }
+  }
 }
