@@ -166,6 +166,41 @@ object Ops {
     ratioHalfUp(units * lit(mult), count(lit(1)), outScale)
   }
 
+  /** Per-group cumulative VALUE HISTOGRAM — the scale path for exact
+    * nearest-rank statistics (median / percentiles / MAD) when the group
+    * count is small: a `row_number` window partitioned by a 3-value column
+    * sorts the whole corpus with parallelism = |groups| at any scale,
+    * while the equivalent selection over the value histogram shuffles and
+    * window-sorts only DISTINCT (group, value) rows — domain-bounded
+    * (rounded money has finitely many cents), not corpus-bounded; the
+    * corpus-sized work is one fully-parallel map-side-combined aggregate.
+    *
+    * Returns one row per distinct (groupCols..., valueCol) with `_cnt`
+    * (occurrences — or Σ `weight` when the input rows themselves carry
+    * counts), `_cum` (running Σ `_cnt` in valueCol ascending order) and
+    * `_n` (group total). The sorted-position-k element of the RAW data is
+    * the unique histogram row with `_cum - _cnt < k <= _cum`
+    * ([[containsRank]]) — bit-identical to `row_number() = k` selection,
+    * ties collapse into one histogram row.
+    */
+  def cumHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   weight: Option[String] = None): DataFrame = {
+    val gc = groupCols.map(col)
+    val cnt = weight.map(w => sum(col(w))).getOrElse(count(lit(1)))
+    val w = Window.partitionBy(gc: _*).orderBy(col(valueCol).asc)
+    val wn = Window.partitionBy(gc: _*)
+    df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(cnt.as("_cnt"))
+      .withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_n", sum(col("_cnt")).over(wn))
+  }
+
+  /** Predicate over a [[cumHistogram]] row: this row contains the raw
+    * data's sorted position `k` (1-based, per group).
+    */
+  def containsRank(k: Column): Column =
+    (col("_cum") - col("_cnt") < k) && (k <= col("_cum"))
+
   /** Size-capped blocking for candidate-pair generation (fuzzy dedup /
     * record linkage): assigns each row the composite block id
     * `<blockKey>#<ordinal/cap>`, deterministically splitting any block

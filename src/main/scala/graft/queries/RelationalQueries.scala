@@ -242,17 +242,24 @@ object RelationalQueries {
     // lands exactly on .005 halves, where engines' round() disagree —
     // nearest-rank is an existing data value, unambiguous cross-engine).
     "q57_percentiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("p").asc)
-      val wn = Window.partitionBy(col("l_returnflag"))
-      val ranked = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), round(col("l_extendedprice"), 2).as("p"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-      def at(q: Double) = max(when(col("rn") === ceil(lit(q) * col("n")), col("p")))
-      ranked.groupBy(col("l_returnflag"))
+      // Exact nearest-rank percentiles via the cumulative VALUE histogram
+      // (Ops.cumHistogram): the previous row_number window partitioned by
+      // the 3-value return flag sorted the whole corpus with parallelism 3
+      // at any scale; the histogram form does the corpus-sized work in one
+      // fully-parallel aggregate and window-sorts only distinct rounded
+      // prices (domain-bounded). Selection and mean are bit-identical:
+      // containsRank picks the same sorted-position element, and the
+      // weighted fixed-point mean sums the identical per-row integers.
+      val hist = Ops.cumHistogram(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), round(col("l_extendedprice"), 2).as("p")),
+        Seq("l_returnflag"), "p")
+      def at(q: Double) = max(when(Ops.containsRank(ceil(lit(q) * col("_n"))), col("p")))
+      hist.groupBy(col("l_returnflag"))
         .agg(at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"),
-          Ops.avgFixedHalfUp(col("p"), 2, 2).as("mean"))
+          Ops.ratioHalfUp(
+            sum(round(col("p") * 100).cast("long") * col("_cnt")),
+            sum(col("_cnt")), 2).as("mean"))
     }),
 
     // Skew-mitigation pattern: two-phase salted aggregation (salt on a

@@ -285,31 +285,34 @@ object ScaleQueries {
     // Per-group robust outlier detection: nearest-rank median and MAD
     // (median absolute deviation), then the standard |x−med| > 3·1.4826·MAD
     // flag — the outlier rule that survives the outliers it hunts (unlike
-    // mean/stddev). Two partitioned window passes (median, then deviation
-    // median) — windows are per-group, so partition-parallel at any scale;
-    // both engines pick the identical nearest-rank element, no
-    // interpolation ambiguity.
+    // mean/stddev). Both medians are exact nearest-rank selections over
+    // cumulative VALUE histograms (Ops.cumHistogram): the previous
+    // row_number windows partitioned by the 3-value flag sorted the whole
+    // corpus with parallelism 3 at any scale; here the corpus-sized work
+    // is one fully-parallel aggregate and only distinct (flag, cents)
+    // rows — domain-bounded — reach a window. The deviation histogram
+    // derives straight from the price histogram (dev is a function of
+    // (p, med)), so the second pass never touches raw rows at all.
+    // Selections are bit-identical to the row_number form (containsRank
+    // picks the same sorted-position element; ties collapse).
     "q118_mad_outliers" -> ((s, d) => {
       val base = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("flag"), round(col("l_extendedprice"), 2).as("p"))
-      def medOver(df: DataFrame, value: String, out: String): DataFrame = {
-        val w = Window.partitionBy(col("flag")).orderBy(col(value).asc)
-        val wn = Window.partitionBy(col("flag"))
-        df.withColumn("_rn", row_number().over(w))
-          .withColumn("_n", count(lit(1)).over(wn))
-          .withColumn(out,
-            max(when(col("_rn") === ceil(col("_n") / 2), col(value))).over(wn))
-          .drop("_rn", "_n")
-      }
-      val withMed = medOver(base, "p", "med")
+      val h1 = Ops.cumHistogram(base, Seq("flag"), "p")
+      val med = h1.filter(Ops.containsRank(ceil(col("_n") / 2)))
+        .select(col("flag"), col("p").as("med"))
+      val devHist = h1.join(broadcast(med), "flag")
         .withColumn("dev", round(abs(col("p") - col("med")), 2))
-      val withMad = medOver(withMed, "dev", "mad")
-      withMad
+      val h2 = Ops.cumHistogram(devHist, Seq("flag", "med"), "dev",
+        weight = Some("_cnt"))
+      val mad = h2.filter(Ops.containsRank(ceil(col("_n") / 2)))
+        .select(col("flag"), col("dev").as("mad"))
+      h2.join(broadcast(mad), "flag")
         .groupBy(col("flag"))
         .agg(max(col("med")).as("median"), max(col("mad")).as("mad"),
-          count(lit(1)).as("n_rows"),
-          sum(when(col("dev") > lit(3.0) * 1.4826 * col("mad"), 1L).otherwise(0L))
-            .as("n_outliers"))
+          sum(col("_cnt")).as("n_rows"),
+          sum(when(col("dev") > lit(3.0) * 1.4826 * col("mad"), col("_cnt"))
+            .otherwise(0L)).as("n_outliers"))
     }),
 
     // Window-function surface, part 2 (q59 covers lag/lead/ntile/rank):

@@ -99,9 +99,18 @@ object PlanDigest {
           // match) — so blank the literals before the permutation sort.
           // Real regressions still diff: the function set, FILTER columns,
           // and Expand branch contents all survive.
+          // Three shapes carry the unstable literal: `gid#N = k` filters,
+          // and the Expand branches, where the raw plan holds the gid as a
+          // BARE mid-branch segment (`[null, null, 0, cast(...)]`) that the
+          // permutation sort then moves to the front — so blank any bare
+          // integer segment inside a bracket list too (lookahead/behind
+          // restricted to `[`/`,`/`]` so numeric arguments of functions,
+          // e.g. `round(x, 0)`, are untouched; the partition count of a
+          // gid-carrying Exchange line is blanked as collateral, a signal
+          // every other exchange line still carries).
           canonPermutation(l
             .replaceAll("gid#N = \\d+", "gid#N = K")
-            .replaceAll("\\[\\d+,", "[K,"))
+            .replaceAll("([\\[,]\\s*)\\d+(\\s*[,\\]])", "$1K$2"))
         }
       }
       .mkString("\n")
