@@ -495,18 +495,30 @@ object MiningQueries {
     // segment's revenue concentrated in few customers". One keyed window
     // (rank) + one hash agg; ranks are per-group, so partition-parallel.
     "q145_gini" -> ((s, d) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("o_totalprice").asc, col("o_custkey").asc, col("o_orderkey").asc)
-      Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment"), col("o_custkey"), col("o_orderkey"),
-          col("o_totalprice"))
-        .withColumn("i", row_number().over(w).cast("double"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"),
-          round(lit(2.0) * sum(col("i") * col("o_totalprice"))
-              / (count(lit(1)) * sum(col("o_totalprice")))
-            - (count(lit(1)) + 1).cast("double") / count(lit(1)), 6).as("gini"))
+      // Rank-sum via the cumulative VALUE histogram (Ops.cumHistogram): the
+      // per-row row_number ranked every order with parallelism =
+      // |mktsegments| (5) at any scale. Ranks of a tied-price run are the
+      // consecutive range (cumBefore, cumBefore+cnt], so its Σ rank·x
+      // collapses to x·(cnt·cumBefore + cnt·(cnt+1)/2) — the tie-break
+      // columns never influenced the statistic. Rank arithmetic in double
+      // (same precision class as the row form's double rank), mirrored
+      // verbatim in the oracle; round(·, 6) absorbs float grouping order
+      // exactly as it already did cross-engine.
+      val h = Ops.cumHistogram(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_totalprice").as("p")),
+        Seq("c_mktsegment"), "p")
+      val cntD = col("_cnt").cast("double")
+      val contrib = col("p") *
+        (cntD * (col("_cum") - col("_cnt")).cast("double") +
+          cntD * (col("_cnt") + 1).cast("double") / 2)
+      h.groupBy(col("c_mktsegment"))
+        .agg(sum(col("_cnt")).as("n_orders"),
+          round(lit(2.0) * sum(contrib)
+              / (sum(col("_cnt")) * sum(col("p") * col("_cnt")))
+            - (sum(col("_cnt")) + 1).cast("double") / sum(col("_cnt")), 6)
+            .as("gini"))
     }),
 
     // Aggregate surface: exact linear-interpolated percentiles (the
@@ -562,21 +574,22 @@ object MiningQueries {
     }),
 
     // Exact weighted median per group (curation statistic: "the doc length
-    // below which half the corpus WEIGHT sits"): cumulative-weight window,
-    // smallest x with 2·cumw >= total weight. Integer weights, so the
-    // selector is exact in both engines — no interpolation ambiguity.
+    // below which half the corpus WEIGHT sits"): smallest x with
+    // 2·cumw >= total weight. Computed over the cumulative VALUE histogram
+    // (Ops.cumHistogram, weighted) instead of a per-row cumulative-weight
+    // window: the window form ranked every document with parallelism =
+    // |langs| at any scale; here the corpus-sized work is one
+    // fully-parallel aggregate and only distinct (lang, n_chars) rows
+    // reach a window. The crossing row's n_chars is identical whether the
+    // threshold lands mid-tie or not (all rows of a tie share the value),
+    // and weights are integers — exact in both engines.
     "q149_weighted_median" -> ((s, d) => {
       val base = Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"), col("n_chars"),
-          (col("n_chars") % 7 + 1).as("wt"))
-      val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
-      val wp = Window.partitionBy("lang")
-      base
-        .withColumn("cumw", sum(col("wt")).over(w))
-        .withColumn("totw", sum(col("wt")).over(wp))
+        .select(col("lang"), col("n_chars"), (col("n_chars") % 7 + 1).as("wt"))
+      Ops.cumHistogram(base, Seq("lang"), "n_chars", weight = Some("wt"))
         .groupBy(col("lang"))
-        .agg(max(col("totw")).as("total_weight"),
-          min(when(col("cumw") * 2 >= col("totw"), col("n_chars")))
+        .agg(max(col("_n")).as("total_weight"),
+          min(when(col("_cum") * 2 >= col("_n"), col("n_chars")))
             .as("weighted_median"))
     }),
 
@@ -3338,14 +3351,17 @@ object MiningQueries {
 
     "q145_gini" ->
       """WITH j AS (
-        |  SELECT c_mktsegment, o_custkey, o_orderkey, o_totalprice,
-        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
-        |      ORDER BY o_totalprice, o_custkey, o_orderkey) AS DOUBLE) AS i
-        |  FROM orders JOIN customer ON o_custkey = c_custkey)
-        |SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(2.0 * sum(i * o_totalprice) / (count(*) * sum(o_totalprice))
-        |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
-        |FROM j GROUP BY 1""".stripMargin,
+        |  SELECT c_mktsegment, o_totalprice AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |h AS (SELECT c_mktsegment, p, count(*) AS cnt FROM j GROUP BY 1, 2),
+        |c AS (SELECT c_mktsegment, p, cnt,
+        |  sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY p) AS cum FROM h)
+        |SELECT c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n_orders,
+        |  round(2.0 * sum(p * (CAST(cnt AS DOUBLE) * CAST(cum - cnt AS DOUBLE)
+        |      + CAST(cnt AS DOUBLE) * CAST(cnt + 1 AS DOUBLE) / 2))
+        |    / (sum(cnt) * sum(p * cnt))
+        |    - CAST(sum(cnt) + 1 AS DOUBLE) / sum(cnt), 6) AS gini
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q146_agg_surface" ->
       """SELECT o_orderpriority, count(*) AS n,
