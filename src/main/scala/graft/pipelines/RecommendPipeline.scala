@@ -95,6 +95,13 @@ object RecommendPipeline {
     // that KB-sized exchange to ONE partition and the whole join + pair
     // aggregation would run serially (measured: q22 sf1 17 s → 220 s, a
     // 222 s single-task stage in the event log).
+    //
+    // Regime boundary: the hint is absolute, so a deployment whose active
+    // set outgrows the broadcast ceiling (≳10⁸ users) must drop it — and
+    // may safely do so, because the serial-collapse pathology only exists
+    // while the exchanges are KB-sized relative to AQE's minPartitionSize;
+    // with a huge active set every exchange is large and AQE sizes the
+    // stages correctly on its own.
     val userWords = userKw
       .join(broadcast(activeUsers.select("userId").distinct()), "userId")
 
