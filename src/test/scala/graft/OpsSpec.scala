@@ -175,4 +175,42 @@ class OpsSpec extends AnyFunSuite {
       .as[Double].collect().toList
     assert(c === List(1.23, 1.24))
   }
+
+  test("cumHistogram rank selection == row_number selection (randomized)") {
+    // The q57/q118/q145/q149 scale path: selecting sorted position k from
+    // the cumulative value histogram must pick EXACTLY the value the
+    // corpus-sized row_number window would have picked, for every k and
+    // under heavy ties. Randomized over seeds; ties guaranteed by a small
+    // value domain.
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(400)((s"g${rnd.nextInt(3)}", rnd.nextInt(12).toDouble))
+      val df = rows.toDF("g", "v")
+      val hist = Ops.cumHistogram(df, Seq("g"), "v")
+      for (k <- Seq(1, 3, 7)) {
+        val fromHist = hist.filter(Ops.containsRank(lit(k)) && col("_n") >= k)
+          .select(col("g"), col("v"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val w = Window.partitionBy("g").orderBy(col("v").asc)
+        val fromRows = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === k)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(fromHist === fromRows, s"seed $seed k $k")
+      }
+      // weighted: crossing value of 2·cumw >= totw equals the per-row form
+      val wdf = rows.map { case (g, v) => (g, v, 1 + rnd.nextInt(5)) }.toDF("g", "v", "wt")
+      val wh = Ops.cumHistogram(wdf, Seq("g"), "v", weight = Some("wt"))
+        .groupBy("g").agg(min(when(col("_cum") * 2 >= col("_n"), col("v"))).as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val wRows = wdf
+        .withColumn("cumw", sum(col("wt")).over(
+          Window.partitionBy("g").orderBy(col("v").asc)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("totw", sum(col("wt")).over(Window.partitionBy("g")))
+        .groupBy("g").agg(min(when(col("cumw") * 2 >= col("totw"), col("v"))).as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(wh === wRows, s"seed $seed weighted")
+    }
+  }
 }
