@@ -29,13 +29,19 @@ object SurfaceQueries {
     * sync with `fuzzyBlockSql` below.
     */
   private def fuzzyBlocks(s: SparkSession, d: String): DataFrame =
-    Ops.cappedBlocks(
-      Tables.documents(s, d).select(col("doc_id"),
+    // fanOut: the key/head projection reads the full text column (the
+    // corpus-sized part of this stage) — pin it at full width instead of
+    // the few partitions a compact scan gets. scopedPersist: the blocked
+    // table feeds BOTH legs of the pair self-join (and the CC lane's
+    // recomputes); without the cache each leg re-reads and re-windows the
+    // corpus (measured at sf1: two 5 s × 2-task legs, twice).
+    graft.runtime.Stage.scopedPersist(Ops.cappedBlocks(
+      Ops.fanOut(Tables.documents(s, d).select(col("doc_id"),
         concat_ws("|", substring(col("text"), 1, 8),
           floor(length(col("text")) / 64).cast("long").cast("string")).as("_bk"),
-        substring(col("text"), 1, 40).as("head")),
+        substring(col("text"), 1, 40).as("head"))),
       blockKey = col("_bk"), orderCol = "doc_id", cap = FuzzyBlockCap)
-      .drop("_bk")
+      .drop("_bk"))
 
   /** DuckDB rendering of [[fuzzyBlocks]] — CTEs `t0` (raw composite key)
     * and `t` (size-capped block id), identical split semantics.
@@ -88,8 +94,14 @@ object SurfaceQueries {
       val t = fuzzyBlocks(s, d)
       val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("head").as("_ha"))
       val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("head").as("_hb"))
-      a.join(b, Seq("blk"))
-        .filter(col("doc_a") < col("doc_b"))
+      // fanOut BEFORE the edit distance: the candidate-pair frame is tiny
+      // in BYTES (ids + 64-char heads), so AQE coalesces the block join's
+      // exchanges to a few partitions — blind to the O(len²) CPU each pair
+      // costs (measured: the sf1 pair scan ran 4-wide on 32 cores). The
+      // round-robin explicit-N shuffle moves only the bounded cap²-per-
+      // block pair rows and pins the expensive stage at full width.
+      Ops.fanOut(a.join(b, Seq("blk"))
+          .filter(col("doc_a") < col("doc_b")))
         .withColumn("dist", levenshtein(col("_ha"), col("_hb")))
         .filter(col("dist") <= 10)
         .select(col("doc_a"), col("doc_b"), col("dist"))
@@ -504,9 +516,16 @@ object SurfaceQueries {
       val t = fuzzyBlocks(s, d)
       val a = t.select(col("blk"), col("doc_id").as("a"), col("head").as("_ha"))
       val b = t.select(col("blk"), col("doc_id").as("b"), col("head").as("_hb"))
-      val edges = a.join(b, Seq("blk")).filter(col("a") < col("b"))
-        .filter(levenshtein(col("_ha"), col("_hb")) <= 10)
-        .select(col("a"), col("b"))
+      // Same fanOut-before-levenshtein as q225 (pins the byte-small,
+      // CPU-heavy pair scan at full width instead of AQE's byte-sized
+      // coalesce), PLUS scopedPersist: connectedComponents consumes the
+      // edge set through a two-leg union (src→dst ∪ dst→src), and without
+      // the cache each leg re-runs the whole levenshtein scan (measured:
+      // the sf1 profile showed the pair scan materializing twice).
+      val edges = graft.runtime.Stage.scopedPersist(
+        Ops.fanOut(a.join(b, Seq("blk")).filter(col("a") < col("b")))
+          .filter(levenshtein(col("_ha"), col("_hb")) <= 10)
+          .select(col("a"), col("b")))
       val labels = graft.ext.Dedup.connectedComponents(
         Tables.documents(s, d).select(col("doc_id").as("_id")), edges,
         reroot = graft.runtime.Reroot.fromEnv())
