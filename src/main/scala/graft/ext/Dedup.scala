@@ -196,8 +196,15 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 25,
                           reroot: graft.runtime.Reroot = graft.runtime.Reroot.Local): DataFrame = {
-    val sym = reroot(edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst"))))
+    // Symmetrize in ONE pass over `edges`: a union of two selects scans
+    // the edge lineage twice, and for callers whose candidate-pair input
+    // is an expensive uncached computation (a blocked edit-distance or
+    // similarity scan) that doubles the most expensive stage of the whole
+    // query. The explode emits both directions per input row instead.
+    val sym = reroot(edges.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst")))
     // Every iteration re-roots `labels` with an EAGER localCheckpoint:
     //  - the logical plan stays one join deep, instead of growing by two
     //    joins per round (re-analysis/optimization of an N-round lineage is
@@ -248,11 +255,11 @@ object Dedup {
     // block-manager cache entry for the session lifetime.
     graft.runtime.Stage.scopedPersist(labels)
     // Isolated vertices (no incident edge) never entered the iteration;
-    // their label is their own id. (Recomputes the edge-endpoint set from
-    // `edges` — callers keep their candidate-pair input persisted.)
+    // their label is their own id. Endpoints come from the CHECKPOINTED
+    // `sym` (src alone covers both directions), not from two more scans
+    // of the raw edge lineage.
     val isolated = vertices.select(col("_id"))
-      .join(edges.select(col("a").as("_id"))
-        .union(edges.select(col("b").as("_id"))).distinct(),
+      .join(sym.select(col("src").as("_id")).distinct(),
         Seq("_id"), "left_anti")
       .select(col("_id"), col("_id").as("label"))
     labels.union(isolated)
