@@ -318,7 +318,15 @@ object ScaleQueries {
     // Window-function surface, part 2 (q59 covers lag/lead/ntile/rank):
     // percent_rank, cume_dist, dense_rank and nth_value over the same
     // single-shuffle partition sort — one window spec, four frames, no
-    // extra exchange.
+    // extra exchange. Scale note: partitioned by a 3-value flag, this is
+    // a parallelism-3 per-group total order — kept DELIBERATELY, because
+    // the lane's purpose is the built-in window-function surface. A
+    // deployment needing these per-row ranks at corpus scale decomposes
+    // them over Ops.cumHistogram: global rank = histogram cumBefore(value)
+    // + row_number within the (flag, value) tie group (tiny partitions),
+    // and under this lane's UNIQUE tie-broken ordering percent_rank,
+    // cume_dist and dense_rank are all rank arithmetic while nth_value is
+    // a containsRank(3) broadcast — the q57/q118/q145/q149 treatment.
     "q115_window_suite2" -> ((s, d) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
