@@ -518,10 +518,11 @@ object SurfaceQueries {
       val b = t.select(col("blk"), col("doc_id").as("b"), col("head").as("_hb"))
       // Same fanOut-before-levenshtein as q225 (pins the byte-small,
       // CPU-heavy pair scan at full width instead of AQE's byte-sized
-      // coalesce), PLUS scopedPersist: connectedComponents consumes the
-      // edge set through a two-leg union (src→dst ∪ dst→src), and without
-      // the cache each leg re-runs the whole levenshtein scan (measured:
-      // the sf1 profile showed the pair scan materializing twice).
+      // coalesce). connectedComponents now symmetrizes in one pass, so
+      // under the default Reroot.Local its eager checkpoint scans this
+      // frame exactly once and no cache is needed; the scopedPersist
+      // guards the Reroot.Reliable deployment path, where
+      // Dataset.checkpoint computes its input twice by contract.
       val edges = graft.runtime.Stage.scopedPersist(
         Ops.fanOut(a.join(b, Seq("blk")).filter(col("a") < col("b")))
           .filter(levenshtein(col("_ha"), col("_hb")) <= 10)

@@ -155,9 +155,14 @@ object Stage {
     */
   def sharedCut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val base = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").getOrElse {
+    // jvmId in every path: session tags and cut numbers restart per JVM,
+    // so two concurrent graft processes on one host (or sharing the
+    // durable scratch dir) would otherwise write — and at application end
+    // DELETE — each other's cut directories.
+    val base = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        .map(d => s"$d/graft-$jvmId").getOrElse {
       val tag = sessionTag(spark)
-      val d = s"${System.getProperty("java.io.tmpdir")}/graft-shared-$tag"
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft-shared-$jvmId-$tag"
       synchronized {
         if (!scratchHooked.contains(tag)) {
           scratchHooked += tag
@@ -180,6 +185,7 @@ object Stage {
 
   private val cutCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private val scratchHooked = mutable.Set[String]()
+  private val jvmId = java.util.UUID.randomUUID().toString.take(8)
 
   /** [[sharedCut]] + pinned parallelism + session-lifetime cache — the
     * variant for shared stages that feed HIGH-FANOUT joins (the TF-IDF

@@ -32,9 +32,15 @@ object ExplainOne {
     graft.runtime.Stage.newQueryScope()
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val t0 = System.nanoTime()
-    df.write.mode("overwrite").format("noop").save()
+    // Drive df's OWN QueryExecution (toRdd → count): a write(noop) runs a
+    // separate cloned execution, and printing df.queryExecution afterwards
+    // would show a fresh, never-executed AdaptiveSparkPlan (isFinalPlan=
+    // false, pre-AQE join strategies) — the opposite of this tool's
+    // purpose. toRdd computes every output column without materializing
+    // rows on the driver.
+    val n = df.queryExecution.toRdd.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[explain] $name took $secs%.1f s at $sfDir")
+    println(f"[explain] $name took $secs%.1f s at $sfDir ($n rows)")
     println(df.queryExecution.executedPlan.toString)
   }
 }

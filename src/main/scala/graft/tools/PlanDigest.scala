@@ -58,7 +58,16 @@ object PlanDigest {
         }
       }
       parts += sb.toString
-      (parts.map(_.trim).sorted.mkString(","), i)
+      // Blank BARE integer segments inside square-bracket lists only: the
+      // Expand branches of a distinct-rewrite carry the unstable gid as a
+      // bare mid-branch element ([null, null, 0, cast(...)]), which the
+      // sort below would otherwise order by. Done here — where bracket
+      // context is known — rather than by regex over the whole line, so
+      // numeric FUNCTION arguments (substring(x, 1, 8): a (..) list) are
+      // genuinely untouched and adjacent numeric segments all blank.
+      val blanked = parts.map(_.trim).map(p =>
+        if (close == ']' && p.nonEmpty && p.forall(_.isDigit)) "K" else p)
+      (blanked.sorted.mkString(","), i)
     }
     inner(0, '\u0000')._1
   }
@@ -99,18 +108,11 @@ object PlanDigest {
           // match) — so blank the literals before the permutation sort.
           // Real regressions still diff: the function set, FILTER columns,
           // and Expand branch contents all survive.
-          // Three shapes carry the unstable literal: `gid#N = k` filters,
-          // and the Expand branches, where the raw plan holds the gid as a
-          // BARE mid-branch segment (`[null, null, 0, cast(...)]`) that the
-          // permutation sort then moves to the front — so blank any bare
-          // integer segment inside a bracket list too (lookahead/behind
-          // restricted to `[`/`,`/`]` so numeric arguments of functions,
-          // e.g. `round(x, 0)`, are untouched; the partition count of a
-          // gid-carrying Exchange line is blanked as collateral, a signal
-          // every other exchange line still carries).
-          canonPermutation(l
-            .replaceAll("gid#N = \\d+", "gid#N = K")
-            .replaceAll("([\\[,]\\s*)\\d+(\\s*[,\\]])", "$1K$2"))
+          // Two shapes carry the unstable literal: `gid#N = k` filters
+          // (blanked here) and the Expand branches' bare mid-branch gid
+          // segments (blanked inside canonPermutation, where bracket
+          // context distinguishes them from numeric function arguments).
+          canonPermutation(l.replaceAll("gid#N = \\d+", "gid#N = K"))
         }
       }
       .mkString("\n")
