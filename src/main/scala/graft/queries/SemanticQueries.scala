@@ -221,10 +221,17 @@ object SemanticQueries {
     "q255_mix_sample" -> ((s, d) => {
       val wAll = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
+      val srcIdx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
       val weights = Tables.documents(s, d)
         .groupBy(col("source")).agg(count(lit(1)).as("n"))
-        .withColumn("_i",
-          regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"))
+        // Loud on a suffix-less source name: the failed extract casts to
+        // null, which least() would silently skip — assigning the MAX
+        // (capped) weight to exactly the source whose weight is underived.
+        // The guard runs on the ≤|sources|-row aggregate, not per doc.
+        .withColumn("_i", when(srcIdx.isNotNull, srcIdx).otherwise(raise_error(
+          concat(lit("q255: source '"), col("source"),
+            lit("' has no trailing digits; mixture weights derive from " +
+              "the numeric source suffix")))))
         .withColumn("wu", least(
           Ops.ratioHalfUp((col("_i") + 1) * sum(col("n")).over(wAll) * 1000000L,
             sum(col("_i") + 1).over(wAll) * col("n"), 0).cast("long"),

@@ -151,7 +151,11 @@ object Stage {
     *
     * Location: `SPARK_GRAFT_CHECKPOINT_DIR` (the deployment's durable
     * scratch — same switch [[Reroot]] uses) when set, else a per-session
-    * java.io.tmpdir directory deleted when the application ends.
+    * java.io.tmpdir directory. Cut files are application-lifetime scratch
+    * in EITHER location (unlike [[Reroot.Reliable]] checkpoints they are
+    * never recovery state), so the per-JVM base is deleted when the
+    * application ends — via the Hadoop FileSystem API, which covers the
+    * durable branch on HDFS/object stores as well as local tmpdir.
     */
   def sharedCut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -160,23 +164,24 @@ object Stage {
     // durable scratch dir) would otherwise write — and at application end
     // DELETE — each other's cut directories.
     val base = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
-        .map(d => s"$d/graft-$jvmId").getOrElse {
-      val tag = sessionTag(spark)
-      val d = s"${System.getProperty("java.io.tmpdir")}/graft-shared-$jvmId-$tag"
-      synchronized {
-        if (!scratchHooked.contains(tag)) {
-          scratchHooked += tag
-          spark.sparkContext.addSparkListener(new SparkListener {
-            override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-              def rm(f: java.io.File): Unit = {
-                val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
-              }
-              rm(new java.io.File(d))
-            }
-          })
-        }
+      .map(d => s"$d/graft-$jvmId")
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft-shared-$jvmId-${sessionTag(spark)}")
+    synchronized {
+      if (!scratchHooked.contains(base)) {
+        scratchHooked += base
+        // Capture the Hadoop conf now — at onApplicationEnd the context is
+        // mid-shutdown and its accessors are not guaranteed.
+        val hconf = spark.sparkContext.hadoopConfiguration
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+            val p = new org.apache.hadoop.fs.Path(base)
+            try { p.getFileSystem(hconf).delete(p, true); () }
+            catch { case ex: java.io.IOException => System.err.println(
+              s"[stage] shared-cut scratch cleanup failed for $base: $ex") }
+          }
+        })
       }
-      d
     }
     val dir = s"$base/cut-${cutCounter.incrementAndGet()}"
     df.write.mode("overwrite").parquet(dir)

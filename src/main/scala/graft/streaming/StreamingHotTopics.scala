@@ -43,11 +43,18 @@ object StreamingHotTopics {
     */
   def eventsSchemaFor(spark: SparkSession, path: String,
                       glob: Option[String]): StructType = {
-    val tsType = probedTsTypes.computeIfAbsent((path, glob), { _ =>
+    // The missing/empty-path fallback is deliberately NOT memoized: a path
+    // probed before its dataset exists would otherwise be stuck on the
+    // long layout for the JVM lifetime even after the real (NTZ) files
+    // appear. Only a schema read from an actual footer is stable enough
+    // to cache.
+    val tsType = Option(probedTsTypes.get((path, glob))).getOrElse {
       try {
         val r = spark.read
         glob.foreach(g => r.option("pathGlobFilter", g))
-        r.parquet(path).schema("ts").dataType
+        val t = r.parquet(path).schema("ts").dataType
+        probedTsTypes.put((path, glob), t)
+        t
       } catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition != null &&
@@ -55,7 +62,7 @@ object StreamingHotTopics {
                 e.getCondition.contains("UNABLE_TO_INFER_SCHEMA")) =>
           LongType
       }
-    })
+    }
     StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", tsType),

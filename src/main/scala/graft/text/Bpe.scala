@@ -90,7 +90,10 @@ object Bpe {
     val reroot = graft.runtime.Reroot.fromEnv()
     val roll = graft.runtime.Reroot.rolling(reroot)
     var vocab = roll(initVocab(docs, textCol))
-    val rounds = (1 to k).map { r =>
+    val rounds = scala.collection.mutable.ListBuffer[DataFrame]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
       // Global argmax with a total order (weight desc, pair asc) — the
       // selection is deterministic, so the LEARNED TOKENIZER itself is
       // oracle-checkable, not just its statistics.
@@ -98,14 +101,29 @@ object Bpe {
         pairWeights(vocab)
           .orderBy(col("weight").desc, col("left_sym").asc, col("right_sym").asc)
           .limit(1))
-      vocab = roll(
-        vocab.crossJoin(broadcast(best))
-          .withColumn("repr", replace(col("repr"),
-            concat(lit("|"), col("left_sym"), lit("||"), col("right_sym"), lit("|")),
-            concat(lit("|"), col("left_sym"), col("right_sym"), lit("|"))))
-          .select("word", "freq", "repr"))
-      best.withColumn("round", lit(r))
+      // A fully-merged vocabulary (every word one symbol) has no adjacent
+      // pairs left: best is EMPTY, and crossJoining it through would
+      // annihilate the vocab frame — every downstream lane would return a
+      // silently-empty answer. Real BPE training stops here instead; the
+      // merge table then carries r−1 < k rounds. isEmpty on the
+      // just-checkpointed 1-row frame is a cheap local scan.
+      if (best.isEmpty) {
+        exhausted = true
+      } else {
+        vocab = roll(
+          vocab.crossJoin(broadcast(best))
+            .withColumn("repr", replace(col("repr"),
+              concat(lit("|"), col("left_sym"), lit("||"), col("right_sym"), lit("|")),
+              concat(lit("|"), col("left_sym"), col("right_sym"), lit("|"))))
+            .select("word", "freq", "repr"))
+        rounds += best.withColumn("round", lit(r))
+      }
+      r += 1
     }
+    require(rounds.nonEmpty,
+      "BPE training found no adjacent symbol pairs in round 1 — every word " +
+        "is already a single symbol; a merge table cannot be learned from " +
+        "this corpus")
     val merges = rounds.reduce(_.unionByName(_))
       .select(col("round"), col("left_sym"), col("right_sym"),
         concat(col("left_sym"), col("right_sym")).as("merged"), col("weight"))

@@ -89,6 +89,23 @@ class BpeSpec extends AnyFunSuite {
     assert(w === Map("aaa" -> 3, "aa" -> 2))
   }
 
+  test("training stops when the vocabulary is fully merged instead of wiping it") {
+    // One word "ab": available merges are (a,b) then (ab,</w>) — after
+    // round 2 every word is a single symbol and no adjacent pairs remain.
+    // Asking for k=5 must return the 2 learnable rounds and the intact
+    // fully-merged vocabulary, not annihilate the vocab through a
+    // crossJoin with the empty argmax frame.
+    val df = docs("ab ab")
+    val m = Bpe.merges(spark, "spec-exhaust", df, col("text"), 5)
+      .orderBy("round")
+      .select("round", "left_sym", "right_sym")
+      .as[(Int, String, String)].collect().toSeq
+    assert(m === Seq((1, "a", "b"), (2, "ab", Bpe.EndOfWord)))
+    val v = Bpe.vocabAfter(spark, "spec-exhaust-v", df, col("text"), 5)
+      .as[(String, Long)].collect().toMap
+    assert(v === Map("ab" + Bpe.EndOfWord -> 2L))
+  }
+
   test("merge table output schema and merged-column composition") {
     val m = Bpe.merges(spark, "spec-ab", docs("ab ab ab"), col("text"), 1).collect().head
     assert(m.getAs[String]("merged") ===

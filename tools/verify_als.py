@@ -102,14 +102,16 @@ def topk(X, Y, k):
 
 def ndcg_of_list(scores_row, chosen, k):
     """NDCG@k of an item list `chosen` under preference scores scores_row."""
-    gains = scores_row[chosen]
-    # shift so gains are non-negative (scores are preferences ~[0,1] but can
-    # stray); relative order is what matters
-    gains = gains - gains.min() if gains.min() < 0 else gains
+    # One COMMON shift for both the chosen list and the ideal list: scores
+    # are preferences ~[0,1] but can stray negative, and shifting each list
+    # by its own minimum would put DCG and IDCG on different gain scales
+    # (the ratio could exceed 1 and rank lists inconsistently).
+    off = float(scores_row.min())
+    off = off if off < 0 else 0.0
+    gains = scores_row[chosen] - off
     disc = 1.0 / np.log2(np.arange(2, len(chosen) + 2))
     dcg = float((gains * disc).sum())
-    ideal = np.sort(scores_row)[::-1][:k]
-    ideal = ideal - ideal.min() if ideal.min() < 0 else ideal
+    ideal = np.sort(scores_row)[::-1][:k] - off
     idcg = float((ideal * disc[: len(ideal)]).sum())
     return dcg / idcg if idcg > 0 else 1.0
 
