@@ -1,0 +1,706 @@
+#!/usr/bin/env python3
+"""Third-opinion checker for mirror-risk lanes.
+
+The DuckDB oracle gate proves Spark and DuckDB agree, but for lanes whose
+oracle SQL deliberately MIRRORS the engine's rearranged algebra (the
+histogram rank-collapse forms, hand-rolled statistics, unrolled iterative
+recurrences) agreement cannot catch a shared algebra error — both sides
+would compute the same wrong thing. This tool recomputes those lanes from
+FIRST PRINCIPLES (textbook formulas, numpy/pandas, no reuse of either
+side's rearrangement) on the raw parquet and compares against the
+graft.Verify dump.
+
+Usage:
+  sbt -batch 'runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out'
+  python3 tools/verify_independent.py --sf-dir /root/testdata/sf0.01 \
+      --spark-out /tmp/verify_out
+
+Exact-integer outputs compare exactly; rounded-double outputs compare with
+a tolerance of one rounding half-grid plus float slack (the recompute is
+unrounded, the dump is rounded at a known scale).
+"""
+import argparse
+import glob
+import math
+import os
+import re
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def tbl(sf_dir, name):
+    """Path pattern for a testdata table (file or directory layout)."""
+    p = f"{sf_dir}/{name}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
+def load(con, sf_dir, name, cols="*", where=""):
+    q = f"SELECT {cols} FROM read_parquet('{tbl(sf_dir, name)}')"
+    if where:
+        q += f" WHERE {where}"
+    return con.execute(q).df()
+
+
+def dump(spark_out, lane):
+    files = sorted(glob.glob(f"{spark_out}/{lane}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no dump for {lane} under {spark_out}")
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def clicks(con, sf_dir):
+    """Tables.clicks: click events mapped onto the 500-doc id space."""
+    return con.execute(
+        f"""SELECT user_id AS userId, event_id % 500 AS newsId,
+                   CAST(ts AS DATE) AS date
+            FROM read_parquet('{tbl(sf_dir, 'events')}')
+            WHERE event_type = 'click'"""
+    ).df()
+
+
+def tokenize(text):
+    """Python twin of graft.text.Tokenizer.tokens."""
+    return [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+
+
+def half_up_ratio(num, den, out_scale):
+    """Ops.ratioHalfUp: half_up(num/den) / 10^out_scale, exact integers."""
+    v = (2 * int(num) + int(den)) // (2 * int(den))
+    return v / (10 ** out_scale)
+
+
+def close(a, b, tol):
+    return abs(float(a) - float(b)) <= tol
+
+
+# ---------------------------------------------------------------- checks
+
+def check_q145_gini(con, sf_dir, spark_out):
+    """Textbook Gini: G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n, x sorted asc."""
+    df = con.execute(
+        f"""SELECT c_mktsegment AS seg, o_totalprice AS p
+            FROM read_parquet('{tbl(sf_dir, 'orders')}') o
+            JOIN read_parquet('{tbl(sf_dir, 'customer')}') c
+              ON o.o_custkey = c.c_custkey"""
+    ).df()
+    got = dump(spark_out, "q145_gini").set_index("c_mktsegment")
+    errs = []
+    for seg, grp in df.groupby("seg"):
+        x = np.sort(grp["p"].to_numpy(dtype=np.float64))
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        gini = 2.0 * float((i * x).sum()) / (n * float(x.sum())) - (n + 1) / n
+        row = got.loc[seg]
+        if int(row["n_orders"]) != n:
+            errs.append(f"{seg}: n_orders {row['n_orders']} != {n}")
+        if not close(row["gini"], gini, 6e-7):
+            errs.append(f"{seg}: gini {row['gini']} vs textbook {gini:.9f}")
+    return errs
+
+
+def check_q149_weighted_median(con, sf_dir, spark_out):
+    """Weighted lower median: min x with cumweight(sorted asc) * 2 >= total."""
+    df = load(con, sf_dir, "documents", "lang, n_chars")
+    df["wt"] = df["n_chars"] % 7 + 1
+    got = dump(spark_out, "q149_weighted_median").set_index("lang")
+    errs = []
+    for lang, grp in df.groupby("lang"):
+        g = grp.sort_values("n_chars")
+        cum = g["wt"].cumsum()
+        total = int(g["wt"].sum())
+        med = int(g.loc[cum * 2 >= total, "n_chars"].iloc[0])
+        row = got.loc[lang]
+        if int(row["total_weight"]) != total:
+            errs.append(f"{lang}: total_weight {row['total_weight']} != {total}")
+        if int(row["weighted_median"]) != med:
+            errs.append(f"{lang}: median {row['weighted_median']} != {med}")
+    return errs
+
+
+def check_q57_percentiles(con, sf_dir, spark_out):
+    """Nearest-rank percentiles (ceil(q*n)) + exact half-up 2-dec mean."""
+    df = load(con, sf_dir, "lineitem", "l_returnflag AS flag, l_extendedprice AS p")
+    df["p"] = df["p"].round(2)
+    got = dump(spark_out, "q57_percentiles").set_index("l_returnflag")
+    errs = []
+    for flag, grp in df.groupby("flag"):
+        x = np.sort(grp["p"].to_numpy())
+        n = len(x)
+        row = got.loc[flag]
+        for q, colname in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            v = x[math.ceil(q * n) - 1]
+            if not close(row[colname], v, 1e-9):
+                errs.append(f"{flag}: {colname} {row[colname]} != {v}")
+        cents = np.rint(grp["p"].to_numpy() * 100).astype(np.int64)
+        mean = half_up_ratio(int(cents.sum()), n, 2)
+        if not close(row["mean"], mean, 1e-9):
+            errs.append(f"{flag}: mean {row['mean']} != {mean}")
+    return errs
+
+
+def check_q118_mad(con, sf_dir, spark_out):
+    """Median, MAD (both nearest-rank ceil(n/2)), 3-sigma outliers."""
+    df = load(con, sf_dir, "lineitem", "l_returnflag AS flag, l_extendedprice AS p")
+    df["p"] = df["p"].round(2)
+    got = dump(spark_out, "q118_mad_outliers").set_index("flag")
+    errs = []
+    for flag, grp in df.groupby("flag"):
+        x = np.sort(grp["p"].to_numpy())
+        n = len(x)
+        med = x[math.ceil(n / 2) - 1]
+        dev = np.sort(np.round(np.abs(grp["p"].to_numpy() - med), 2))
+        mad = dev[math.ceil(n / 2) - 1]
+        n_out = int((dev > 3.0 * 1.4826 * mad).sum())
+        row = got.loc[flag]
+        for name, v in (("median", med), ("mad", mad)):
+            if not close(row[name], v, 1e-9):
+                errs.append(f"{flag}: {name} {row[name]} != {v}")
+        if int(row["n_rows"]) != n or int(row["n_outliers"]) != n_out:
+            errs.append(f"{flag}: counts ({row['n_rows']},{row['n_outliers']})"
+                        f" != ({n},{n_out})")
+    return errs
+
+
+def check_q164_chi2(con, sf_dir, spark_out):
+    df = load(con, sf_dir, "documents", "lang, source")
+    obs = df.groupby(["lang", "source"]).size()
+    nl = df.groupby("lang").size()
+    ns = df.groupby("source").size()
+    n = len(df)
+    chi2 = 0.0
+    cells = 0
+    for lang in nl.index:
+        for src in ns.index:
+            e = nl[lang] * ns[src] / n
+            o = obs.get((lang, src), 0)
+            chi2 += (o - e) ** 2 / e
+            cells += 1
+    row = dump(spark_out, "q164_chi_square").iloc[0]
+    errs = []
+    if int(row["n_cells"]) != cells:
+        errs.append(f"n_cells {row['n_cells']} != {cells}")
+    if not close(row["chi2"], chi2, 6e-7):
+        errs.append(f"chi2 {row['chi2']} vs textbook {chi2:.9f}")
+    return errs
+
+
+def check_q176_welch(con, sf_dir, spark_out):
+    df = load(con, sf_dir, "events", "user_id, value")
+    a = df.loc[df["user_id"] % 2 == 0, "value"].to_numpy(dtype=np.float64)
+    b = df.loc[df["user_id"] % 2 == 1, "value"].to_numpy(dtype=np.float64)
+    na, nb = len(a), len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / na + vb / nb
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    dof = se2 ** 2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    row = dump(spark_out, "q176_welch_ttest").iloc[0]
+    errs = []
+    if int(row["n_a"]) != na or int(row["n_b"]) != nb:
+        errs.append(f"group sizes ({row['n_a']},{row['n_b']}) != ({na},{nb})")
+    if not close(row["mean_diff"], a.mean() - b.mean(), 6e-7):
+        errs.append(f"mean_diff {row['mean_diff']} vs {a.mean() - b.mean():.9f}")
+    if not close(row["t_stat"], t, 6e-7):
+        errs.append(f"t_stat {row['t_stat']} vs textbook {t:.9f}")
+    if not close(row["welch_df"], dof, 6e-4):
+        errs.append(f"welch_df {row['welch_df']} vs textbook {dof:.6f}")
+    return errs
+
+
+def check_q177_benford(con, sf_dir, spark_out):
+    df = load(con, sf_dir, "orders", "o_totalprice AS p", "o_totalprice > 0")
+    digits = df["p"].map(lambda v: int(str(v)[0]))
+    obs = digits.value_counts()
+    n = len(df)
+    got = dump(spark_out, "q177_benford").set_index("d")
+    errs = []
+    for d in range(1, 10):
+        if d not in got.index:
+            if obs.get(d, 0):
+                errs.append(f"digit {d} missing from dump")
+            continue
+        row = got.loc[d]
+        e = n * math.log10(1 + 1 / d)
+        z = (obs.get(d, 0) - e) / math.sqrt(e)
+        if int(row["observed"]) != int(obs.get(d, 0)):
+            errs.append(f"d={d}: observed {row['observed']} != {obs.get(d, 0)}")
+        if not close(row["expected"], e, 6e-4):
+            errs.append(f"d={d}: expected {row['expected']} vs {e:.6f}")
+        if not close(row["z"], z, 6e-7):
+            errs.append(f"d={d}: z {row['z']} vs {z:.9f}")
+    return errs
+
+
+def check_q85_zipf(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "text")
+    freq = {}
+    for t in docs["text"]:
+        for w in tokenize(t):
+            freq[w] = freq.get(w, 0) + 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    lf = np.log([f for _, f in top])
+    lr = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    slope, intercept = np.polyfit(lr, lf, 1)
+    row = dump(spark_out, "q85_zipf_slope").iloc[0]
+    errs = []
+    if int(row["n_words"]) != len(top):
+        errs.append(f"n_words {row['n_words']} != {len(top)}")
+    if not close(row["slope"], slope, 5e-6):
+        errs.append(f"slope {row['slope']} vs OLS {slope:.9f}")
+    if not close(row["intercept"], intercept, 5e-6):
+        errs.append(f"intercept {row['intercept']} vs OLS {intercept:.9f}")
+    return errs
+
+
+def coclick_edges(con, sf_dir):
+    """Distinct news pairs (a < b) sharing a user — the q184/q186 graph."""
+    ck = clicks(con, sf_dir)[["userId", "newsId"]].drop_duplicates()
+    edges = set()
+    for _, grp in ck.groupby("userId"):
+        ids = sorted(grp["newsId"].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                edges.add((ids[i], ids[j]))
+    return edges
+
+
+def check_q184_clustering(con, sf_dir, spark_out):
+    edges = coclick_edges(con, sf_dir)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = sum(len(adj[a] & adj[b]) for a, b in edges) // 3
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    cc = 3.0 * tris / wedges
+    row = dump(spark_out, "q184_clustering_coeff").iloc[0]
+    errs = []
+    if int(row["n_triangles"]) != tris or int(row["n_wedges"]) != wedges:
+        errs.append(f"counts ({row['n_triangles']},{row['n_wedges']})"
+                    f" != ({tris},{wedges})")
+    if not close(row["clustering_coeff"], cc, 6e-7):
+        errs.append(f"coeff {row['clustering_coeff']} vs {cc:.9f}")
+    return errs
+
+
+def check_q186_assortativity(con, sf_dir, spark_out):
+    edges = coclick_edges(con, sf_dir)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    da, db = [], []
+    for a, b in edges:  # both orientations
+        da += [deg[a], deg[b]]
+        db += [deg[b], deg[a]]
+    r = np.corrcoef(np.array(da, dtype=np.float64),
+                    np.array(db, dtype=np.float64))[0, 1]
+    row = dump(spark_out, "q186_degree_assortativity").iloc[0]
+    errs = []
+    if int(row["n_directed_edges"]) != 2 * len(edges):
+        errs.append(f"n_directed_edges {row['n_directed_edges']}"
+                    f" != {2 * len(edges)}")
+    if not close(row["assortativity"], r, 6e-7):
+        errs.append(f"assortativity {row['assortativity']} vs {r:.9f}")
+    return errs
+
+
+def check_q101_pagerank(con, sf_dir, spark_out, iters=10, damp=0.85):
+    ck = clicks(con, sf_dir)[["userId", "newsId"]].drop_duplicates()
+    e0 = {(int(u) * 2, int(v) * 2 + 1) for u, v in
+          zip(ck["userId"], ck["newsId"])}
+    edges = list(e0) + [(v, u) for u, v in e0]
+    nodes = sorted({s for s, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        m = np.zeros(n)
+        contrib = r / out
+        for s, d in edges:
+            m[idx[d]] += contrib[idx[s]]
+        r = (1 - damp) / n + damp * m
+    got = dump(spark_out, "q101_pagerank")
+    got["id"] = got.apply(
+        lambda row: int(row["ref_id"]) * 2 + (0 if row["kind"] == "user" else 1),
+        axis=1)
+    got = got.set_index("id")
+    errs = []
+    if len(got) != n:
+        errs.append(f"node count {len(got)} != {n}")
+    bad = 0
+    for v in nodes:
+        if not close(got.loc[v, "rank"], r[idx[v]], 1e-7):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} ranks differ from numpy power iteration"
+                    f" beyond 1e-7")
+    return errs
+
+
+def check_q208_theil_sen(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)
+    daily = ck.groupby("date").size().reset_index(name="c")
+    x = (pd.to_datetime(daily["date"]) -
+         pd.Timestamp("2024-01-01")).dt.days.to_numpy(dtype=np.float64)
+    y = daily["c"].to_numpy(dtype=np.float64)
+    slopes = []
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            slopes.append((y[j] - y[i]) / (x[j] - x[i]))
+    slopes.sort()
+    sen = slopes[math.ceil(len(slopes) / 2) - 1]  # engine's nearest-rank pick
+    ols = np.polyfit(x, y, 1)[0]
+    row = dump(spark_out, "q208_theil_sen").iloc[0]
+    errs = []
+    if int(row["n_pairs"]) != len(slopes):
+        errs.append(f"n_pairs {row['n_pairs']} != {len(slopes)}")
+    if not close(row["sen_slope"], sen, 6e-7):
+        errs.append(f"sen_slope {row['sen_slope']} vs {sen:.9f}")
+    if not close(row["ols_slope"], ols, 5e-6):
+        errs.append(f"ols_slope {row['ols_slope']} vs OLS {ols:.9f}")
+    return errs
+
+
+def check_q256_shard_manifest(con, sf_dir, spark_out, shards=16):
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    docs["n_tok"] = docs["text"].map(lambda t: len(tokenize(t)))
+    ranked = docs.sort_values(["n_tok", "doc_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+    ranked["rank"] = ranked.index + 1
+    pas = (ranked["rank"] - 1) // shards
+    pos = (ranked["rank"] - 1) % shards
+    ranked["shard"] = np.where(pas % 2 == 0, pos, shards - 1 - pos)
+    exp = ranked.groupby("shard").agg(
+        n_docs=("doc_id", "size"), n_tokens=("n_tok", "sum"),
+        max_tok=("n_tok", "max"), min_tok=("n_tok", "min"))
+    got = dump(spark_out, "q256_shard_manifest").set_index("shard")
+    errs = []
+    for shard in exp.index:
+        for c in ("n_docs", "n_tokens", "max_tok", "min_tok"):
+            if int(got.loc[shard, c]) != int(exp.loc[shard, c]):
+                errs.append(f"shard {shard}: {c} {got.loc[shard, c]}"
+                            f" != {exp.loc[shard, c]}")
+    # snake-dealt longest-first shards must be token-balanced: spread < one
+    # max-doc width
+    spread = int(exp["n_tokens"].max() - exp["n_tokens"].min())
+    if spread > int(docs["n_tok"].max()):
+        errs.append(f"shards not token-balanced: spread {spread}")
+    return errs
+
+
+def check_q254_dsir(con, sf_dir, spark_out, buckets=256):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, lang, text")
+    per_doc = {}       # doc_id -> {bucket: k}
+    ct = np.zeros(buckets, dtype=np.int64)   # target (en) bucket counts
+    cr = np.zeros(buckets, dtype=np.int64)   # raw corpus bucket counts
+    for _, row in docs.iterrows():
+        tk = tokenize(row["text"])
+        if len(tk) < 2:
+            continue
+        buck = {}
+        for i in range(len(tk) - 1):
+            bg = tk[i] + " " + tk[i + 1]
+            b = int(hashlib.md5(bg.encode()).hexdigest()[:3], 16) % buckets
+            buck[b] = buck.get(b, 0) + 1
+        per_doc[row["doc_id"]] = buck
+        for b, k in buck.items():
+            cr[b] += k
+            if row["lang"] == "en":
+                ct[b] += k
+    nt, nr = float(ct.sum()), float(cr.sum())
+    got = dump(spark_out, "q254_dsir_weights").set_index("doc_id")
+    errs = []
+    if len(got) != len(per_doc):
+        errs.append(f"doc count {len(got)} != {len(per_doc)}")
+    bad = 0
+    for doc_id, buck in per_doc.items():
+        n = sum(buck.values())
+        lw = sum(k * math.log(((ct[b] + 1) / (nt + buckets)) /
+                              ((cr[b] + 1) / (nr + buckets)))
+                 for b, k in buck.items())
+        row = got.loc[doc_id]
+        if int(row["n_bigrams"]) != n or \
+           not close(row["avg_log_ratio"], lw / n, 6e-7):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(per_doc)} docs differ from first-principles"
+                    f" DSIR recompute")
+    return errs
+
+
+def spark_round(x, scale):
+    """Spark's round(double, n): BigDecimal(Double.toString(x)) HALF_UP.
+    Python's repr is the same shortest round-trip decimal form."""
+    from decimal import Decimal, ROUND_HALF_UP
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def check_q250_chunk_pack(con, sf_dir, spark_out, cap=2048):
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    docs["n_tok"] = docs["text"].map(lambda t: len(tokenize(t)))
+    docs = docs[docs["n_tok"] > 0].sort_values("doc_id").reset_index(drop=True)
+    cum = docs["n_tok"].cumsum()
+    docs["tok_start"] = cum - docs["n_tok"]
+    docs["first_chunk"] = docs["tok_start"] // cap
+    docs["last_chunk"] = (cum - 1) // cap
+    got = dump(spark_out, "q250_chunk_pack").set_index("doc_id")
+    errs = []
+    if len(got) != len(docs):
+        errs.append(f"doc count {len(got)} != {len(docs)}")
+    bad = 0
+    for _, r in docs.iterrows():
+        g = got.loc[r["doc_id"]]
+        if any(int(g[c]) != int(r[c])
+               for c in ("n_tok", "tok_start", "first_chunk", "last_chunk")):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(docs)} docs differ from sequential prefix sum")
+    return errs
+
+
+def check_q251_chunk_summary(con, sf_dir, spark_out, cap=2048):
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    docs["n_tok"] = docs["text"].map(lambda t: len(tokenize(t)))
+    docs = docs[docs["n_tok"] > 0].sort_values("doc_id")
+    n_docs = {}
+    n_tokens = {}
+    start = 0
+    for nt in docs["n_tok"]:
+        end = start + nt
+        for ch in range(start // cap, (end - 1) // cap + 1):
+            n_docs[ch] = n_docs.get(ch, 0) + 1
+            n_tokens[ch] = n_tokens.get(ch, 0) + (
+                min(end, (ch + 1) * cap) - max(start, ch * cap))
+        start = end
+    got = dump(spark_out, "q251_chunk_summary").set_index("chunk_id")
+    errs = []
+    if len(got) != len(n_docs):
+        errs.append(f"chunk count {len(got)} != {len(n_docs)}")
+    for ch in n_docs:
+        g = got.loc[ch]
+        if int(g["n_docs"]) != n_docs[ch] or int(g["n_tokens"]) != n_tokens[ch]:
+            errs.append(f"chunk {ch}: ({g['n_docs']},{g['n_tokens']})"
+                        f" != ({n_docs[ch]},{n_tokens[ch]})")
+    last = max(n_tokens)
+    if any(v != cap for ch, v in n_tokens.items() if ch != last):
+        errs.append("packing invariant broken: a non-final chunk is not full")
+    return errs
+
+
+def _kmeans_assign(X, cents_items):
+    """Assign each row to nearest centroid: round(d2, 6) asc, cl asc."""
+    out = {}
+    for vid, x in X.items():
+        best = min(((spark_round(float(((x - c) ** 2).sum()), 6), cl)
+                    for cl, c in cents_items), key=lambda t: t)
+        out[vid] = best[1]
+    return out
+
+
+def check_q151_kmeans(con, sf_dir, spark_out):
+    emb = load(con, sf_dir, "embeddings", "vec_id, embedding")
+    X = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+         for _, r in emb.iterrows()}
+    cents = [(cl, X[cl]) for cl in range(4)]
+    for _ in range(1):  # assign -> recompute once, then final assign below
+        a = _kmeans_assign(X, cents)
+        cents = [(cl, np.mean([X[v] for v, c in a.items() if c == cl], axis=0))
+                 for cl in sorted({c for c in a.values()})]
+    a2 = _kmeans_assign(X, cents)
+    finals = {cl: np.mean([X[v] for v, c in a2.items() if c == cl], axis=0)
+              for cl in sorted({c for c in a2.values()})}
+    sizes = {cl: sum(1 for c in a2.values() if c == cl) for cl in finals}
+    got = dump(spark_out, "q151_kmeans").set_index(["cluster", "dim"])
+    errs = []
+    bad = 0
+    for cl, cen in finals.items():
+        for dim, v in enumerate(cen):
+            g = got.loc[(cl, dim)]
+            if int(g["n_points"]) != sizes[cl] or \
+               not close(g["centroid"], v, 6e-7):
+                bad += 1
+    if bad:
+        errs.append(f"{bad} centroid cells differ from numpy Lloyd recompute")
+    if len(got) != sum(len(c) for c in finals.values()):
+        errs.append(f"cell count {len(got)} != "
+                    f"{sum(len(c) for c in finals.values())}")
+    return errs
+
+
+def check_q252_semantic_dedup(con, sf_dir, spark_out, k=8, tau=0.30):
+    emb = load(con, sf_dir, "embeddings", "vec_id, embedding")
+    X = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+         for _, r in emb.iterrows()}
+    seeds = [(cl, X[cl]) for cl in range(k)]
+    assign = _kmeans_assign(X, seeds)
+    nrm = {v: math.sqrt(float((x * x).sum())) for v, x in X.items()}
+    pruned = set()
+    by_cl = {}
+    for v, cl in assign.items():
+        by_cl.setdefault(cl, []).append(v)
+    for cl, vs in by_cl.items():
+        vs.sort()
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = vs[i], vs[j]
+                cos = spark_round(
+                    float(X[a] @ X[b]) / (nrm[a] * nrm[b]), 6)
+                if cos >= tau:
+                    pruned.add(b)
+    got = dump(spark_out, "q252_semantic_dedup").set_index("vec_id")
+    errs = []
+    bad = 0
+    for v in X:
+        g = got.loc[v]
+        if int(g["cluster"]) != assign[v] or \
+           bool(g["is_kept"]) != (v not in pruned):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(X)} rows differ from first-principles"
+                    f" cluster-prune recompute")
+    return errs
+
+
+def check_q237_ppr(con, sf_dir, spark_out, iters=10, damp=0.85):
+    ck = clicks(con, sf_dir)[["userId", "newsId"]].drop_duplicates()
+    e0 = {(int(u) * 2, int(v) * 2 + 1) for u, v in
+          zip(ck["userId"], ck["newsId"])}
+    edges = list(e0) + [(v, u) for u, v in e0]
+    seeds = {v for _, v in e0 if ((v - 1) // 2) % 100 == 0}
+    nodes = sorted({s for s, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    svec = np.zeros(n)
+    for v in seeds:
+        svec[idx[v]] = 1.0 / len(seeds)
+    r = svec.copy()
+    for _ in range(iters):
+        m = np.zeros(n)
+        contrib = r / out
+        for s, d in edges:
+            m[idx[d]] += contrib[idx[s]]
+        r = (1 - damp) * svec + damp * m
+    got = dump(spark_out, "q237_personalized_pr")
+    got["id"] = got.apply(
+        lambda row: int(row["ref_id"]) * 2 + (0 if row["kind"] == "user" else 1),
+        axis=1)
+    got = got.set_index("id")
+    errs = []
+    if len(got) != n:
+        errs.append(f"node count {len(got)} != {n}")
+    bad = sum(1 for v in nodes if not close(got.loc[v, "rank"], r[idx[v]], 1e-7))
+    if bad:
+        errs.append(f"{bad}/{n} ranks differ from numpy PPR beyond 1e-7")
+    # seed mass sanity: teleport returns to seeds, so seed ranks must carry
+    # more mass per node than non-seeds on average
+    seed_avg = float(np.mean([r[idx[v]] for v in seeds]))
+    rest_avg = float(np.mean([r[idx[v]] for v in nodes if v not in seeds]))
+    if seed_avg <= rest_avg:
+        errs.append("seed nodes do not dominate: PPR teleport suspect")
+    return errs
+
+
+def check_q116_twa(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "user_id, event_id, ts, value")
+    got = dump(spark_out, "q116_time_weighted_avg").set_index("user_id")
+    errs = []
+    n_checked = 0
+    bad = 0
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("int64").to_numpy() // 1000  # ns -> µs
+        v = g["value"].to_numpy(dtype=np.float64)
+        if len(g) < 2:
+            if uid in got.index:
+                errs.append(f"user {uid}: single-event user should be dropped")
+            continue
+        dt = (t[1:] - t[:-1]).astype(np.float64)
+        twa = float(((v[:-1] + v[1:]) / 2.0 * dt).sum() / dt.sum())
+        n_checked += 1
+        row = got.loc[uid]
+        if int(row["n_events"]) != len(g) or not close(row["twa"], twa, 6e-7):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{n_checked} users differ from trapezoid recompute")
+    return errs
+
+
+def check_q90_corr(con, sf_dir, spark_out):
+    li = load(con, sf_dir, "lineitem",
+              "l_quantity AS q, l_extendedprice AS p, l_discount AS dc")
+    q, p, dc = (li[c].to_numpy(dtype=np.float64) for c in ("q", "p", "dc"))
+    row = dump(spark_out, "q90_corr_matrix").iloc[0]
+    errs = []
+    for name, a, b in (("corr_qty_price", q, p), ("corr_qty_disc", q, dc),
+                       ("corr_price_disc", p, dc)):
+        r = float(np.corrcoef(a, b)[0, 1])
+        if not close(row[name], r, 6e-7):
+            errs.append(f"{name} {row[name]} vs numpy {r:.9f}")
+    cov = float(np.cov(q, p, ddof=1)[0, 1])
+    if not close(row["covar_qty_price"], cov, 6e-4):
+        errs.append(f"covar_qty_price {row['covar_qty_price']} vs {cov:.6f}")
+    return errs
+
+
+CHECKS = {
+    "q90_corr_matrix": check_q90_corr,
+    "q116_time_weighted_avg": check_q116_twa,
+    "q151_kmeans": check_q151_kmeans,
+    "q237_personalized_pr": check_q237_ppr,
+    "q250_chunk_pack": check_q250_chunk_pack,
+    "q251_chunk_summary": check_q251_chunk_summary,
+    "q252_semantic_dedup": check_q252_semantic_dedup,
+    "q57_percentiles": check_q57_percentiles,
+    "q85_zipf_slope": check_q85_zipf,
+    "q101_pagerank": check_q101_pagerank,
+    "q118_mad_outliers": check_q118_mad,
+    "q145_gini": check_q145_gini,
+    "q149_weighted_median": check_q149_weighted_median,
+    "q164_chi_square": check_q164_chi2,
+    "q176_welch_ttest": check_q176_welch,
+    "q177_benford": check_q177_benford,
+    "q184_clustering_coeff": check_q184_clustering,
+    "q186_degree_assortativity": check_q186_assortativity,
+    "q208_theil_sen": check_q208_theil_sen,
+    "q254_dsir_weights": check_q254_dsir,
+    "q256_shard_manifest": check_q256_shard_manifest,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--spark-out", required=True)
+    ap.add_argument("--only", help="comma-separated lane subset")
+    args = ap.parse_args()
+    lanes = (args.only.split(",") if args.only else sorted(CHECKS))
+    con = duckdb.connect()
+    n_fail = 0
+    for lane in lanes:
+        try:
+            errs = CHECKS[lane](con, args.sf_dir, args.spark_out)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            errs = [f"check crashed: {type(e).__name__}: {e}"]
+        if errs:
+            n_fail += 1
+            for e in errs:
+                print(f"FAIL {lane}: {e}")
+        else:
+            print(f"PASS {lane}")
+    print(f"== {len(lanes) - n_fail} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,6 +85,14 @@ def main(out_dir, sf_dir, only=None):
             print(f"FAIL {name}: rows spark={len(sr)} oracle={len(orr)} "
                   f"(len diff {extra}); first diffs: {diff}")
             n_fail += 1
+        elif len(sr) == 0:
+            # An empty result that hash-matches an empty oracle is the one
+            # agreement the compare can't vouch for: a shared degenerate
+            # bug (e.g. a filter both sides copy) passes trivially. Every
+            # lane is expected to produce rows on the driver's testdata.
+            print(f"FAIL {name}: PASS-EMPTY — both engine and oracle "
+                  f"returned 0 rows; parity proves nothing here")
+            n_fail += 1
         else:
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
