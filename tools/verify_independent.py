@@ -653,7 +653,430 @@ def check_q90_corr(con, sf_dir, spark_out):
     return errs
 
 
+def _doc_tokens(con, sf_dir):
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    return {int(r["doc_id"]): tokenize(r["text"]) for _, r in docs.iterrows()}
+
+
+def check_q201_bm25(con, sf_dir, spark_out, k1=1.2, b=0.75):
+    toks = _doc_tokens(con, sf_dir)
+    tf = {}
+    for d, tk in toks.items():
+        for w in tk:
+            tf.setdefault(d, {})
+            tf[d][w] = tf[d].get(w, 0) + 1
+    dfreq = {}
+    for d in tf:
+        for w in tf[d]:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    terms = sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    n = len(toks)
+    avgdl = sum(len(tk) for tk in toks.values()) / n
+    scores = {}
+    for w, df_w in terms:
+        idf = math.log(1 + (n - df_w + 0.5) / (df_w + 0.5))
+        for d in tf:
+            if w in tf[d]:
+                f = tf[d][w]
+                dl = len(toks[d])
+                scores[d] = scores.get(d, 0.0) + \
+                    idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / avgdl))
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = dump(spark_out, "q201_bm25").sort_values("rank")
+    errs = []
+    for rank, ((d, sc), (_, row)) in enumerate(zip(top, got.iterrows()), 1):
+        if int(row["doc_id"]) != d or int(row["rank"]) != rank or \
+           not close(row["score"], sc, 6e-7):
+            errs.append(f"rank {rank}: ({row['doc_id']},{row['score']})"
+                        f" != ({d},{sc:.9f})")
+    return errs
+
+
+def check_q202_rrf(con, sf_dir, spark_out, rrf_k=60):
+    # lexical leg: full BM25 ranking (same derivation as check_q201_bm25)
+    toks = _doc_tokens(con, sf_dir)
+    tf = {}
+    for d, tk in toks.items():
+        tf[d] = {}
+        for w in tk:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    dfreq = {}
+    for d in tf:
+        for w in tf[d]:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    terms = sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    n = len(toks)
+    avgdl = sum(len(tk) for tk in toks.values()) / n
+    bm = {}
+    for w, df_w in terms:
+        idf = math.log(1 + (n - df_w + 0.5) / (df_w + 0.5))
+        for d in tf:
+            if w in tf[d]:
+                f = tf[d][w]
+                dl = len(toks[d])
+                bm[d] = bm.get(d, 0.0) + \
+                    idf * f * 2.2 / (f + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    # engine rounds BM25 scores to 6 before ranking
+    ra = {d: r for r, (d, _) in enumerate(
+        sorted(((d, spark_round(s, 6)) for d, s in bm.items()),
+               key=lambda kv: (-kv[1], kv[0])), 1)}
+    # vector leg: cosine to the seed-centroid query vector
+    emb = load(con, sf_dir, "embeddings", "vec_id, embedding")
+    X = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+         for _, r in emb.iterrows()}
+    qv = np.mean([X[v] for v in range(5)], axis=0)
+    qn = math.sqrt(float((qv * qv).sum()))
+    cos = {v: spark_round(float(x @ qv) / (math.sqrt(float((x * x).sum())) * qn), 6)
+           for v, x in X.items()}
+    rb = {v: r for r, (v, _) in enumerate(
+        sorted(cos.items(), key=lambda kv: (-kv[1], kv[0])), 1)}
+    fused = {}
+    for d in set(ra) | set(rb):
+        fused[d] = (1.0 / (ra[d] + rrf_k) if d in ra else 0.0) + \
+                   (1.0 / (rb[d] + rrf_k) if d in rb else 0.0)
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = dump(spark_out, "q202_hybrid_rrf")
+    got = got.sort_values(["rrf", "doc_id"], ascending=[False, True])
+    errs = []
+    for (d, s), (_, row) in zip(top, got.iterrows()):
+        # engine reports round(rrf, 9)
+        if int(row["doc_id"]) != d or not close(row["rrf"], s, 6e-10):
+            errs.append(f"({row['doc_id']},{row['rrf']}) != ({d},{s:.12f})")
+    return errs
+
+
+def _hot_rec_hits(con, sf_dir):
+    """recs(D) = top-10 hottest news of D-1; per active user-day, the
+    distinct-click set, its size m, and hit positions."""
+    ck = clicks(con, sf_dir)
+    daily = ck.groupby(["date", "newsId"]).size().reset_index(name="c")
+    recs = {}   # rdate -> [(newsId, p)]
+    for date, grp in daily.groupby("date"):
+        top = grp.sort_values(["c", "newsId"],
+                              ascending=[False, True]).head(10)
+        recs[date + pd.Timedelta(days=1)] = \
+            {int(nid): p for p, nid in enumerate(top["newsId"], 1)}
+    uc = ck.drop_duplicates(["date", "userId", "newsId"])
+    out = []   # (date, userId, m, hit positions)
+    for (date, uid), grp in uc.groupby(["date", "userId"]):
+        rd = recs.get(pd.Timestamp(date))
+        if rd is None:
+            continue
+        ps = sorted(rd[int(n)] for n in grp["newsId"] if int(n) in rd)
+        out.append((pd.Timestamp(date), uid, len(grp), ps))
+    return out
+
+
+def check_q125_ndcg(con, sf_dir, spark_out):
+    rows = _hot_rec_hits(con, sf_dir)
+    per_date = {}
+    for date, _, m, ps in rows:
+        dcg = sum(1.0 / math.log2(p + 1) for p in ps)
+        idcg = sum(1.0 / math.log2(i + 1) for i in range(1, min(m, 10) + 1))
+        per_date.setdefault(date, []).append(dcg / idcg)
+    got = dump(spark_out, "q125_ndcg")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index("date")
+    errs = []
+    for date, vals in per_date.items():
+        row = got.loc[date]
+        if int(row["n_users"]) != len(vals) or \
+           not close(row["avg_ndcg"], sum(vals) / len(vals), 6e-7):
+            errs.append(f"{date.date()}: ({row['n_users']},{row['avg_ndcg']})"
+                        f" != ({len(vals)},{sum(vals)/len(vals):.9f})")
+    if len(got) != len(per_date):
+        errs.append(f"date count {len(got)} != {len(per_date)}")
+    return errs
+
+
+def check_q133_recall(con, sf_dir, spark_out):
+    rows = _hot_rec_hits(con, sf_dir)
+    per_date = {}
+    for date, _, m, ps in rows:
+        per_date.setdefault(date, []).append(len(ps) / m)
+    got = dump(spark_out, "q133_recall")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index("date")
+    errs = []
+    for date, vals in per_date.items():
+        row = got.loc[date]
+        if int(row["n_users"]) != len(vals) or \
+           not close(row["avg_recall"], sum(vals) / len(vals), 6e-7):
+            errs.append(f"{date.date()}: recall mismatch")
+    return errs
+
+
+def check_q134_map(con, sf_dir, spark_out):
+    rows = _hot_rec_hits(con, sf_dir)
+    per_date = {}
+    for date, _, m, ps in rows:
+        ap = sum(r / p for r, p in enumerate(ps, 1)) / min(m, 10)
+        per_date.setdefault(date, []).append(ap)
+    got = dump(spark_out, "q134_map_eval")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index("date")
+    errs = []
+    for date, vals in per_date.items():
+        row = got.loc[date]
+        if int(row["n_users"]) != len(vals) or \
+           not close(row["map10"], sum(vals) / len(vals), 6e-7):
+            errs.append(f"{date.date()}: map mismatch")
+    return errs
+
+
+def check_q123_bigram_lm(con, sf_dir, spark_out):
+    toks = _doc_tokens(con, sf_dir)
+    per_doc = {}   # doc -> {(w1,w2): k}
+    for d, tk in toks.items():
+        if len(tk) < 2:
+            continue
+        bg = {}
+        for i in range(len(tk) - 1):
+            bg[(tk[i], tk[i + 1])] = bg.get((tk[i], tk[i + 1]), 0) + 1
+        per_doc[d] = bg
+    c2 = {}
+    c1 = {}
+    for bg in per_doc.values():
+        for (w1, w2), k in bg.items():
+            c2[(w1, w2)] = c2.get((w1, w2), 0) + k
+            c1[w1] = c1.get(w1, 0) + k
+    vocab = len({w for tk in toks.values() for w in tk})
+    got = dump(spark_out, "q123_bigram_lm").set_index("doc_id")
+    errs = []
+    bad = 0
+    for d, bg in per_doc.items():
+        n = sum(bg.values())
+        lp = sum(k * math.log((c2[(w1, w2)] + 1) / (c1[w1] + vocab))
+                 for (w1, w2), k in bg.items())
+        row = got.loc[d]
+        if int(row["n_bigrams"]) != n or \
+           not close(row["avg_logp"], lp / n, 6e-7):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(per_doc)} docs differ from add-1 bigram LM")
+    if len(got) != len(per_doc):
+        errs.append(f"doc count {len(got)} != {len(per_doc)}")
+    return errs
+
+
+def check_q124_zscore(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "event_type, CAST(ts AS DATE) AS day")
+    got = dump(spark_out, "q124_rolling_zscore")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index(["event_type", "day"])
+    errs = []
+    n_exp = 0
+    for et, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day").size().sort_index()
+        c = daily.to_numpy(dtype=np.float64)
+        days = pd.to_datetime(daily.index)
+        for i in range(len(c)):
+            prior = c[max(0, i - 7):i]
+            if len(prior) < 3 or prior.std(ddof=1) == 0:
+                continue
+            n_exp += 1
+            z = (c[i] - prior.mean()) / prior.std(ddof=1)
+            row = got.loc[(et, days[i])]
+            if int(row["n_events"]) != int(c[i]) or \
+               not close(row["z"], z, 6e-7) or \
+               int(row["is_spike"]) != int(z > 2.0):
+                errs.append(f"{et} {days[i].date()}: z {row['z']}"
+                            f" vs {z:.9f}")
+    if len(got) != n_exp:
+        errs.append(f"row count {len(got)} != {n_exp}")
+    return errs
+
+
+def check_q135_markov(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "user_id, ts, event_id", "event_type = 'click'")
+    trans = {}
+    for _, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        news = (g["event_id"] % 500).tolist()
+        for a, b in zip(news, news[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    top = sorted(trans.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = dump(spark_out, "q135_markov_transitions")
+    got = got.sort_values(["n", "src_news", "dst_news"],
+                          ascending=[False, True, True])
+    errs = []
+    for ((a, b), n), (_, row) in zip(top, got.iterrows()):
+        if (int(row["src_news"]), int(row["dst_news"]), int(row["n"])) \
+           != (a, b, n):
+            errs.append(f"({row['src_news']},{row['dst_news']},{row['n']})"
+                        f" != ({a},{b},{n})")
+    return errs
+
+
+def check_q185_entropy(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "user_id, ts, event_id", "event_type = 'click'")
+    trans = {}
+    for _, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        news = (g["event_id"] % 50).tolist()
+        for a, b in zip(news, news[1:]):
+            trans.setdefault(a, {})
+            trans[a][b] = trans[a].get(b, 0) + 1
+    got = dump(spark_out, "q185_transition_entropy").set_index("src")
+    errs = []
+    for src, dsts in trans.items():
+        tot = sum(dsts.values())
+        ent = -sum((k / tot) * math.log(k / tot) for k in dsts.values())
+        row = got.loc[src]
+        if int(row["n_dsts"]) != len(dsts) or \
+           not close(row["entropy"], ent, 6e-7):
+            errs.append(f"src {src}: entropy {row['entropy']} vs {ent:.9f}")
+    return errs
+
+
+def check_q100_ewma(con, sf_dir, spark_out, alpha=0.3):
+    ck = clicks(con, sf_dir)
+    got = dump(spark_out, "q100_ewma_trend").set_index("news_id")
+    errs = []
+    bad = 0
+    daily = ck.groupby(["newsId", "date"]).size()
+    for nid, series in daily.groupby(level=0):
+        c = series.sort_index(level=1).to_numpy(dtype=np.float64)
+        ew = c[0]
+        for x in c[1:]:
+            ew = alpha * x + (1 - alpha) * ew
+        row = got.loc[nid]
+        if int(row["n_days"]) != len(c) or \
+           not close(row["last_count"], c[-1], 1e-9) or \
+           not close(row["ewma"], ew, 6e-7) or \
+           not close(row["lift"], c[-1] / ew, 6e-7):
+            bad += 1
+    if bad:
+        errs.append(f"{bad} news series differ from scalar EWMA fold")
+    return errs
+
+
+def check_q30_ann(con, sf_dir, spark_out, k=5):
+    emb = load(con, sf_dir, "embeddings", "vec_id, embedding")
+    X = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+         for _, r in emb.iterrows()}
+    nrm = {v: math.sqrt(float((x * x).sum())) for v, x in X.items()}
+    qs = [v for v in X if v < 10]
+    cands = [v for v in X if v >= 10]
+    got = dump(spark_out, "q30_ann_topk").set_index(["q_id", "rn"])
+    errs = []
+    for q in qs:
+        scored = sorted(
+            ((spark_round(float(X[q] @ X[c]) / (nrm[q] * nrm[c]), 6), c)
+             for c in cands), key=lambda t: (-t[0], t[1]))[:k]
+        for rn, (cos, c) in enumerate(scored, 1):
+            row = got.loc[(q, rn)]
+            if int(row["c_id"]) != c or not close(row["cosine"], cos, 1e-9):
+                errs.append(f"q {q} rn {rn}: ({row['c_id']},{row['cosine']})"
+                            f" != ({c},{cos})")
+    return errs
+
+
+def check_q28_simhash(con, sf_dir, spark_out):
+    import hashlib
+    got = dump(spark_out, "q28_simhash").set_index("doc_id")
+    toks = _doc_tokens(con, sf_dir)
+    errs = []
+    bad = 0
+    for d, tk in toks.items():
+        votes = [0] * 32
+        counts = {}
+        for w in tk:
+            counts[w] = counts.get(w, 0) + 1
+        for w, tf in counts.items():
+            md = hashlib.md5(w.encode()).digest()
+            h = (md[0] << 24) | (md[1] << 16) | (md[2] << 8) | md[3]
+            for j in range(32):
+                votes[j] += tf if (h >> j) & 1 else -tf
+        sh = sum(1 << j for j in range(32) if votes[j] > 0)
+        if sh >= 1 << 31:   # engine emits a signed 32-bit Int
+            sh -= 1 << 32
+        if int(got.loc[d, "simhash"]) != sh:
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(toks)} simhashes differ from bit-vote"
+                    f" recompute")
+    return errs
+
+
+def _jaccard_pairs_errs(pairs, sets, got, a_col, b_col):
+    errs = []
+    for a, b in pairs:
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        row = got.loc[(a, b)]
+        if not close(row["jaccard"], j, 6e-7):
+            errs.append(f"({a},{b}): jaccard {row['jaccard']} vs {j:.9f}")
+    return errs
+
+
+def check_q27_jaccard(con, sf_dir, spark_out, n=3):
+    toks = _doc_tokens(con, sf_dir)
+    sets = {d: {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+            if len(tk) >= n else set() for d, tk in toks.items()}
+    pairs = [(d, d + 1) for d in sorted(toks) if d + 1 in toks]
+    got = dump(spark_out, "q27_ngram_jaccard").set_index(["doc_a", "doc_b"])
+    errs = _jaccard_pairs_errs(pairs, sets, got, "doc_a", "doc_b")
+    if len(got) != len(pairs):
+        errs.append(f"pair count {len(got)} != {len(pairs)}")
+    return errs
+
+
+def check_q119_user_sim(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)[["userId", "newsId"]].drop_duplicates()
+    sets = {int(u): set(g["newsId"].astype(int))
+            for u, g in ck.groupby("userId")}
+    df = {}
+    for s in sets.values():
+        for n in s:
+            df[n] = df.get(n, 0) + 1
+    rare = {n for n, c in df.items() if c <= 50}
+    co = {}
+    users = sorted(sets)
+    by_item = {}
+    for u in users:
+        for n in sets[u] & rare:
+            by_item.setdefault(n, []).append(u)
+    for us in by_item.values():
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                co[(us[i], us[j])] = co.get((us[i], us[j]), 0) + 1
+    pairs = [p for p, c in co.items() if c >= 2]
+    exp = {}
+    for a, b in pairs:
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if spark_round(j, 6) >= 0.05:
+            exp[(a, b)] = j
+    got = dump(spark_out, "q119_user_set_sim").set_index(["user_a", "user_b"])
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"pair count {len(got)} != {len(exp)}")
+    for (a, b), j in exp.items():
+        if (a, b) not in got.index:
+            errs.append(f"pair ({a},{b}) missing")
+        elif not close(got.loc[(a, b), "jaccard"], j, 6e-7):
+            errs.append(f"({a},{b}): jaccard mismatch")
+    return errs
+
+
 CHECKS = {
+    "q27_ngram_jaccard": check_q27_jaccard,
+    "q28_simhash": check_q28_simhash,
+    "q30_ann_topk": check_q30_ann,
+    "q100_ewma_trend": check_q100_ewma,
+    "q119_user_set_sim": check_q119_user_sim,
+    "q123_bigram_lm": check_q123_bigram_lm,
+    "q124_rolling_zscore": check_q124_zscore,
+    "q125_ndcg": check_q125_ndcg,
+    "q133_recall": check_q133_recall,
+    "q134_map_eval": check_q134_map,
+    "q135_markov_transitions": check_q135_markov,
+    "q185_transition_entropy": check_q185_entropy,
+    "q201_bm25": check_q201_bm25,
+    "q202_hybrid_rrf": check_q202_rrf,
     "q90_corr_matrix": check_q90_corr,
     "q116_time_weighted_avg": check_q116_twa,
     "q151_kmeans": check_q151_kmeans,
