@@ -17,11 +17,17 @@ object TextRankCore {
 
   /** F2 — sliding-window co-occurrence graph (TextRank.java:164-192).
     *
-    * Faithfully replicates the reference's tail-window quirk: when
-    * `index + windowSize` runs past the end, `right` clamps to **0** (not
-    * `size-1`; TextRank.java:184), so tail tokens collect either just the
-    * sentence-initial token (when `left == 0`) or nothing. Guarded by a unit
-    * test so nobody "fixes" it silently.
+    * Faithfully replicates TWO reference quirks, both guarded by unit tests
+    * so nobody "fixes" them silently:
+    *  - the cursor loop's condition is `cursor <= right && cursor != index`,
+    *    so it TERMINATES at the token's own position rather than skipping
+    *    it — only the LEFT half-window `[index-windowSize, index)` is ever
+    *    collected, never the tokens to the right (they add the reverse edge
+    *    when their own turn comes);
+    *  - when `index + windowSize` runs past the end, `right` clamps to
+    *    **0** (not `size-1`; TextRank.java:184), so tail tokens collect
+    *    either just the sentence-initial token (when `left == 0`) or
+    *    nothing.
     */
   def windowGraph(tokens: Seq[String], windowSize: Int): Map[String, Set[String]] = {
     val words = mutable.LinkedHashMap[String, mutable.LinkedHashSet[String]]()

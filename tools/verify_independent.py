@@ -1062,7 +1062,436 @@ def check_q119_user_sim(con, sf_dir, spark_out):
     return errs
 
 
+# ------------------------------------------------- reference pipeline core
+
+FROM_DATE = pd.Timestamp("2024-01-05")
+TO_DATE = pd.Timestamp("2024-01-25")
+NUM_DAYS = 7
+
+
+def _tfidf_profiles(con, sf_dir):
+    """The shared E1 profile build: news top-8 TF-IDF keywords (with the
+    doc_id%30-derived publication date) and user top-8 profiles from
+    click-weighted news term counts. Values = round6(tf * ln(N/df))."""
+    toks = _doc_tokens(con, sf_dir)
+    n_docs = len(toks)
+    tf = {d: {} for d in toks}
+    for d, tk in toks.items():
+        for w in tk:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    dfreq = {}
+    for d in tf:
+        for w in tf[d]:
+            dfreq[w] = dfreq.get(w, 0) + 1
+
+    def top8(scored):
+        return sorted(scored, key=lambda t: (-t[1], t[0]))[:8]
+
+    news_kw = {}
+    for d in tf:
+        scored = [(w, spark_round(k * math.log(n_docs / dfreq[w]), 6))
+                  for w, k in tf[d].items()]
+        news_kw[d] = top8(scored)
+    news_date = {d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d % 30)
+                 for d in toks}
+
+    ck = clicks(con, sf_dir)
+    user_news = ck.groupby(["userId", "newsId"]).size()
+    utf = {}
+    for (u, nid), c in user_news.items():
+        if nid not in tf:
+            continue
+        for w, k in tf[nid].items():
+            utf.setdefault(u, {})
+            utf[u][w] = utf[u].get(w, 0) + c * k
+    user_kw = {}
+    for u, words in utf.items():
+        scored = [(w, spark_round(k * math.log(n_docs / dfreq[w]), 6))
+                  for w, k in words.items()]
+        user_kw[u] = top8(scored)
+    return news_kw, news_date, user_kw, ck
+
+
+def _rec_scores(news_kw, news_date, user_kw, active_users, mode, score_round):
+    """Day-invariant (user, news) scores over in-range news for the given
+    active-user set; mode 'dot' or 'cosine' (calculateX)."""
+    in_range = {d for d, dt in news_date.items()
+                if FROM_DATE <= dt <= TO_DATE + pd.Timedelta(days=NUM_DAYS)}
+    inv = {}   # word -> [(news, value)]
+    for d in in_range:
+        for w, v in news_kw[d]:
+            inv.setdefault(w, []).append((d, v))
+    scores = {}
+    for u in active_users:
+        prof = user_kw.get(u)
+        if not prof:
+            continue
+        acc = {}
+        common = {}
+        for w, uv in prof:
+            for d, nv in inv.get(w, ()):
+                acc[d] = acc.get(d, 0.0) + uv * nv
+                common[d] = common.get(d, 0) + 1
+        for d in acc:
+            if mode == "dot":
+                sc = acc[d]
+            else:
+                sc = common[d] / (len(prof) * len(news_kw[d]))
+            sc = spark_round(sc, score_round)
+            if sc > 0:
+                scores[(u, d)] = sc
+    return scores
+
+
+def check_q21_q22(con, sf_dir, spark_out, lane, mode, score_round):
+    news_kw, news_date, user_kw, ck = _tfidf_profiles(con, sf_dir)
+    today = pd.Timestamp("2024-01-15")
+    active = {int(u) for u in
+              ck.loc[pd.to_datetime(ck["date"]) == today, "userId"]}
+    # single-day scene: in-range = [today, today+7]; eligible day = today
+    global FROM_DATE, TO_DATE
+    save = (FROM_DATE, TO_DATE)
+    FROM_DATE = TO_DATE = today
+    try:
+        scores = _rec_scores(news_kw, news_date, user_kw, active,
+                             mode, score_round)
+    finally:
+        FROM_DATE, TO_DATE = save
+    per_user = {}
+    for (u, d), sc in scores.items():
+        per_user.setdefault(u, []).append((sc, d))
+    got = dump(spark_out, lane).set_index(["userId", "rn"])
+    errs = []
+    n_rows = 0
+    for u, lst in per_user.items():
+        top = sorted(lst, key=lambda t: (-t[0], t[1]))[:5]
+        for rn, (sc, d) in enumerate(top, 1):
+            n_rows += 1
+            row = got.loc[(u, rn)]
+            if int(row["newsId"]) != d or not close(row["score"], sc, 1e-9):
+                errs.append(f"user {u} rn {rn}: ({row['newsId']},"
+                            f"{row['score']}) != ({d},{sc})")
+    if len(got) != n_rows:
+        errs.append(f"row count {len(got)} != {n_rows}")
+    return errs
+
+
+def check_q21(con, sf_dir, spark_out):
+    return check_q21_q22(con, sf_dir, spark_out, "q21_rec_dot", "dot", 4)
+
+
+def check_q22(con, sf_dir, spark_out):
+    return check_q21_q22(con, sf_dir, spark_out, "q22_rec_cosine",
+                         "cosine", 6)
+
+
+def _rec_lists(con, sf_dir):
+    """q23/q46's all-days run: per (day, user) top-5 dot-scored news."""
+    news_kw, news_date, user_kw, ck = _tfidf_profiles(con, sf_dir)
+    ckd = ck.copy()
+    ckd["date"] = pd.to_datetime(ckd["date"])
+    act = ckd[(ckd["date"] >= FROM_DATE) & (ckd["date"] <= TO_DATE)]
+    active_by_day = {pd.Timestamp(day): {int(u) for u in g["userId"]}
+                     for day, g in act.groupby("date")}
+    all_active = set().union(*active_by_day.values())
+    scores = _rec_scores(news_kw, news_date, user_kw, all_active, "dot", 4)
+    per_day_user = {}
+    for (u, d), sc in scores.items():
+        dt = news_date[d]
+        lo = max(dt - pd.Timedelta(days=NUM_DAYS), FROM_DATE)
+        hi = min(dt, TO_DATE)
+        day = lo
+        while day <= hi:
+            if u in active_by_day.get(day, ()):
+                per_day_user.setdefault((day, u), []).append((sc, d))
+            day += pd.Timedelta(days=1)
+    lists = {}
+    for (day, u), lst in per_day_user.items():
+        top = sorted(lst, key=lambda t: (-t[0], t[1]))[:5]
+        lists[(day, u)] = [d for _, d in top]
+    return lists, ckd
+
+
+def check_q23(con, sf_dir, spark_out):
+    lists, _ = _rec_lists(con, sf_dir)
+    got = dump(spark_out, "q23_rec_lists")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index(["userId", "date"])
+    errs = []
+    if len(got) != len(lists):
+        errs.append(f"row count {len(got)} != {len(lists)}")
+    bad = 0
+    for (day, u), ids in lists.items():
+        exp = ",".join(str(i) for i in ids)
+        if (u, day) not in got.index or got.loc[(u, day), "news"] != exp:
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(lists)} rec lists differ")
+    return errs
+
+
+def _precision_errs(recs, ckd, got):
+    """recs: {(day, user): [newsIds]}. Per-date hit stats."""
+    clicked = {(pd.Timestamp(r["date"]), int(r["userId"]), int(r["newsId"]))
+               for _, r in ckd.iterrows()}
+    per_date = {}
+    for (day, u), ids in recs.items():
+        h, n = per_date.get(day, (0, 0))
+        hits = sum(1 for i in ids if (day, u, i) in clicked)
+        per_date[day] = (h + hits, n + len(ids))
+    errs = []
+    if len(got) != len(per_date):
+        errs.append(f"date count {len(got)} != {len(per_date)}")
+    for day, (h, n) in per_date.items():
+        row = got.loc[day]
+        if int(row["n_hits"]) != h or int(row["n_recommended"]) != n or \
+           not close(row["precision"], h / n, 6e-7):
+            errs.append(f"{day.date()}: ({row['n_hits']},"
+                        f"{row['n_recommended']}) != ({h},{n})")
+    return errs
+
+
+def check_q46(con, sf_dir, spark_out):
+    lists, ckd = _rec_lists(con, sf_dir)
+    got = dump(spark_out, "q46_precision_rec")
+    got["date"] = pd.to_datetime(got["date"])
+    return _precision_errs(lists, ckd, got.set_index("date"))
+
+
+def _hot_topics(con, sf_dir, k=10):
+    """E3: per loop-day window counts, top-k (clicks desc, newsId asc)."""
+    ck = clicks(con, sf_dir)
+    ckd = ck.copy()
+    ckd["date"] = pd.to_datetime(ckd["date"])
+    counts = {}
+    for (date, nid), c in ckd.groupby(["date", "newsId"]).size().items():
+        lo = max(pd.Timestamp(date), FROM_DATE)
+        hi = min(pd.Timestamp(date) + pd.Timedelta(days=NUM_DAYS), TO_DATE)
+        day = lo
+        while day <= hi:
+            counts[(day, int(nid))] = counts.get((day, int(nid)), 0) + c
+            day += pd.Timedelta(days=1)
+    per_day = {}
+    for (day, nid), c in counts.items():
+        per_day.setdefault(day, []).append((c, nid))
+    return {day: sorted(lst, key=lambda t: (-t[0], t[1]))[:k]
+            for day, lst in per_day.items()}, ckd
+
+
+def check_q19(con, sf_dir, spark_out):
+    top, _ = _hot_topics(con, sf_dir)
+    got = dump(spark_out, "q19_hot_topics")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index(["day", "rn"])
+    errs = []
+    n = 0
+    for day, lst in top.items():
+        for rn, (c, nid) in enumerate(lst, 1):
+            n += 1
+            row = got.loc[(day, rn)]
+            if int(row["newsId"]) != nid or int(row["clicks"]) != c:
+                errs.append(f"{day.date()} rn {rn}: ({row['newsId']},"
+                            f"{row['clicks']}) != ({nid},{c})")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q24(con, sf_dir, spark_out):
+    top, ckd = _hot_topics(con, sf_dir)
+    act = ckd[(ckd["date"] >= FROM_DATE) & (ckd["date"] <= TO_DATE)]
+    recs = {}
+    for (day, u), _ in act.groupby(["date", "userId"]):
+        day = pd.Timestamp(day)
+        if day in top:
+            recs[(day, int(u))] = [nid for _, nid in top[day]]
+    got = dump(spark_out, "q24_precision_hot")
+    got["date"] = pd.to_datetime(got["date"])
+    return _precision_errs(recs, ckd, got.set_index("date"))
+
+
+def check_q18(con, sf_dir, spark_out):
+    toks = _doc_tokens(con, sf_dir)
+    n_docs = len(toks)
+    tf = {d: {} for d in toks}
+    for d, tk in toks.items():
+        for w in tk:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    dfreq = {}
+    for d in tf:
+        for w in tf[d]:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    got = dump(spark_out, "q18_tfidf_topk").set_index(["doc_id", "rn"])
+    errs = []
+    bad = 0
+    n = 0
+    for d in tf:
+        scored = sorted(
+            ((w, spark_round(k * math.log(n_docs / dfreq[w]), 6))
+             for w, k in tf[d].items()), key=lambda t: (-t[1], t[0]))[:5]
+        for rn, (w, sc) in enumerate(scored, 1):
+            n += 1
+            row = got.loc[(d, rn)]
+            if row["word"] != w or not close(row["score"], sc, 1e-9):
+                bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} keyword rows differ from textbook TF-IDF")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def _textrank_vote(words, num_keywords, d=0.85, max_it=30, min_diff=1e-4):
+    """Reference F4 power iteration (sorted-word summation order)."""
+    keys = sorted(words)
+    idx = {k: i for i, k in enumerate(keys)}
+    deg = [len(words[k]) for k in keys]
+    adj = []
+    for ki, k in enumerate(keys):
+        a = sorted(idx[n] for n in words[k]
+                   if idx[n] != ki and deg[idx[n]] != 0)
+        adj.append(a)
+    inv = [d / g if g else 0.0 for g in deg]
+    score = [0.0] * len(keys)
+    for _ in range(max_it):
+        m = [0.0] * len(keys)
+        max_diff = 0.0
+        for i in range(len(keys)):
+            v = 1 - d
+            for ni in adj[i]:
+                v += inv[ni] * score[ni]
+            m[i] = v
+            max_diff = max(max_diff, abs(v - score[i]))
+        score = m
+        if max_diff <= min_diff:
+            break
+    ranked = sorted(zip(keys, score), key=lambda t: (-t[1], t[0]))
+    return ranked[:num_keywords]
+
+
+def check_q39(con, sf_dir, spark_out, window=5, k=5):
+    toks = _doc_tokens(con, sf_dir)
+    got = dump(spark_out, "q39_textrank_kw")
+    by_doc = {d: {r["word"]: r["value"] for _, r in g.iterrows()}
+              for d, g in got.groupby("id")}
+    errs = []
+    bad = 0
+    n = 0
+    for d, tk in toks.items():
+        words = {}
+        for i, tok in enumerate(tk):
+            s = words.setdefault(tok, set())
+            left = max(0, i - window)
+            right = i + window
+            if right >= len(tk):
+                right = 0   # reference tail clamp (TextRank.java:184)
+            # the reference's cursor loop TERMINATES at the index (it does
+            # not skip and continue right), so only the left half-window is
+            # collected — replicate the while-loop shape exactly
+            c = left
+            while c <= right and c != i:
+                s.add(tk[c])
+                c += 1
+        top = _textrank_vote(words, k)
+        exp = {w: spark_round(v, 6) for w, v in top}
+        gotd = by_doc.get(d, {})
+        n += len(exp)
+        if set(exp) != set(gotd) or \
+           any(not close(gotd[w], v, 6e-7) for w, v in exp.items()):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(toks)} docs differ from reference-contract"
+                    f" TextRank recompute")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def _minhash_sigs(con, sf_dir, n=3, num_hashes=8):
+    import hashlib
+    toks = _doc_tokens(con, sf_dir)
+    sigs = {}
+    for d, tk in toks.items():
+        sh = [" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)] \
+            if len(tk) >= n else []
+        mins = [None] * num_hashes
+        for s in sh:
+            for seed in range(num_hashes // 2):
+                dig = hashlib.md5(f"{seed}_{s}".encode()).hexdigest()
+                lo, hi = dig[:16], dig[16:32]
+                i = 2 * seed
+                if mins[i] is None or lo < mins[i]:
+                    mins[i] = lo
+                if mins[i + 1] is None or hi < mins[i + 1]:
+                    mins[i + 1] = hi
+        sigs[d] = mins
+    return sigs, toks
+
+
+def check_q25(con, sf_dir, spark_out):
+    sigs, _ = _minhash_sigs(con, sf_dir)
+    got = dump(spark_out, "q25_minhash_sig").set_index("doc_id")
+    errs = []
+    bad = 0
+    for d, mins in sigs.items():
+        row = got.loc[d]
+        for i, m in enumerate(mins):
+            g = row[f"sig{i}"]
+            if (m is None) != (g is None or pd.isna(g)) or \
+               (m is not None and g != m):
+                bad += 1
+    if bad:
+        errs.append(f"{bad} signature cells differ from md5 minhash"
+                    f" recompute")
+    return errs
+
+
+def check_q26(con, sf_dir, spark_out, band=2):
+    sigs, toks = _minhash_sigs(con, sf_dir)
+    buckets = {}
+    for d, mins in sigs.items():
+        if mins[0] is None:
+            continue
+        for b in range(len(mins) // band):
+            key = (b, "".join(mins[b * band:(b + 1) * band]))
+            buckets.setdefault(key, []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    sets = {d: {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+            for d, tk in toks.items() if len(tk) >= 3}
+    got = dump(spark_out, "q26_lsh_pairs").set_index(["doc_a", "doc_b"])
+    errs = []
+    exp = {}
+    for a, b in pairs:
+        if a not in sets or b not in sets:
+            continue   # empty-shingle docs drop at the sizes join
+        inter = len(sets[a] & sets[b])
+        exp[(a, b)] = inter / (len(sets[a]) + len(sets[b]) - inter)
+    if len(got) != len(exp):
+        errs.append(f"pair count {len(got)} != {len(exp)}")
+    for (a, b), j in exp.items():
+        if (a, b) not in got.index:
+            errs.append(f"pair ({a},{b}) missing")
+        elif not close(got.loc[(a, b), "jaccard"], j, 6e-7):
+            errs.append(f"({a},{b}): jaccard mismatch")
+    return errs
+
+
 CHECKS = {
+    "q18_tfidf_topk": check_q18,
+    "q19_hot_topics": check_q19,
+    "q21_rec_dot": check_q21,
+    "q22_rec_cosine": check_q22,
+    "q23_rec_lists": check_q23,
+    "q24_precision_hot": check_q24,
+    "q25_minhash_sig": check_q25,
+    "q26_lsh_pairs": check_q26,
+    "q39_textrank_kw": check_q39,
+    "q46_precision_rec": check_q46,
     "q27_ngram_jaccard": check_q27_jaccard,
     "q28_simhash": check_q28_simhash,
     "q30_ann_topk": check_q30_ann,
