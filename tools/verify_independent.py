@@ -943,10 +943,12 @@ def check_q100_ewma(con, sf_dir, spark_out, alpha=0.3):
         for x in c[1:]:
             ew = alpha * x + (1 - alpha) * ew
         row = got.loc[nid]
+        # the lane derives lift from the DISPLAY-ROUNDED ewma column
+        lift = c[-1] / spark_round(ew, 6)
         if int(row["n_days"]) != len(c) or \
            not close(row["last_count"], c[-1], 1e-9) or \
            not close(row["ewma"], ew, 6e-7) or \
-           not close(row["lift"], c[-1] / ew, 6e-7):
+           not close(row["lift"], lift, 6e-7):
             bad += 1
     if bad:
         errs.append(f"{bad} news series differ from scalar EWMA fold")
