@@ -1483,7 +1483,658 @@ def check_q26(con, sf_dir, spark_out, band=2):
     return errs
 
 
+def _tfidf_kw8(con, sf_dir):
+    """docKeywords: per-doc top-8 TF-IDF keywords (round6), rank order."""
+    toks = _doc_tokens(con, sf_dir)
+    n_docs = len(toks)
+    tf = {d: {} for d in toks}
+    for d, tk in toks.items():
+        for w in tk:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    dfreq = {}
+    for d in tf:
+        for w in tf[d]:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    out = {}
+    for d in tf:
+        scored = sorted(
+            ((w, spark_round(k * math.log(n_docs / dfreq[w]), 6))
+             for w, k in tf[d].items()), key=lambda t: (-t[1], t[0]))[:8]
+        out[d] = scored
+    return out
+
+
+def check_q37(con, sf_dir, spark_out):
+    """F6 compute: sum(min^2)/sum(max^2) over the union of keyword maps
+    (distinct words per list, so insertion order is immaterial)."""
+    kw = _tfidf_kw8(con, sf_dir)
+    got = dump(spark_out, "q37_sim_weighted").set_index(["doc_a", "doc_b"])
+    errs = []
+    for a in sorted(kw):
+        b = a + 1
+        if b not in kw:
+            continue
+        ka, kb = dict(kw[a]), dict(kw[b])
+        num = sum(min(ka[w], kb[w]) ** 2 for w in ka if w in kb)
+        den = sum(max(ka.get(w, float("-inf")), kb.get(w, float("-inf"))) ** 2
+                  for w in set(ka) | set(kb))
+        sim = num / den
+        if not close(got.loc[(a, b), "sim"], sim, 6e-7):
+            errs.append(f"({a},{b}): sim {got.loc[(a, b), 'sim']}"
+                        f" vs {sim:.9f}")
+    return errs
+
+
+def _rank_distance(k1, k2):
+    """F9 — the reference's rank-encoded squared distance, exactly."""
+    l1, l2 = len(k1), len(k2)
+    map2 = {}
+    multiple = l1 * l2
+    for s2 in k2:
+        map2[s2] = multiple
+        multiple -= l1
+    multiple = l1 * l2
+    dist = 0
+    for s1 in k1:
+        if s1 in map2:
+            temp = multiple - map2[s1]
+            map2[s1] = 0
+        else:
+            temp = multiple
+        dist += temp * temp
+        multiple -= l2
+    for v in map2.values():
+        dist += v * v
+    return dist
+
+
+def _rank_distance_max(l1, l2):
+    v = 0
+    m = l1 * l2
+    while m > 0:
+        v += m * m
+        m -= l1
+    m = l1 * l2
+    while m > 0:
+        v += m * m
+        m -= l2
+    return v
+
+
+def _rank_match_score(k1, k2):
+    l1, l2 = len(k1), len(k2)
+    dist = 0
+    m1 = l1 * l2
+    for key1 in k1:
+        m2 = l1 * l2
+        for key2 in k2:
+            if key1 == key2:
+                dist += m1 * m2
+            m2 -= l1
+        m1 -= l2
+    return dist
+
+
+def check_q38(con, sf_dir, spark_out):
+    kw = _tfidf_kw8(con, sf_dir)
+    words = {d: [w for w, _ in lst] for d, lst in kw.items()}
+    got = dump(spark_out, "q38_rank_sim").set_index(["doc_a", "doc_b"])
+    errs = []
+    for a in sorted(words):
+        b = a + 1
+        if b not in words:
+            continue
+        wa, wb = words[a], words[b]
+        common = len(set(wa) & set(wb))
+        f7 = common / (len(wa) * len(wb))
+        row = got.loc[(a, b)]
+        if not close(row["f7_boolean"], f7, 6e-7) or \
+           int(row["f9_rank_distance"]) != _rank_distance(wa, wb) or \
+           int(row["f12_max"]) != _rank_distance_max(len(wa), len(wb)) or \
+           int(row["f10_match_score"]) != _rank_match_score(wa, wb):
+            errs.append(f"({a},{b}): rank-sim mismatch")
+    return errs
+
+
+def check_q222(con, sf_dir, spark_out):
+    kw = _tfidf_kw8(con, sf_dir)
+    words = {d: [w for w, _ in lst] for d, lst in kw.items()}
+    got = dump(spark_out, "q222_tuple_rank_sim").set_index(["doc_a", "doc_b"])
+    errs = []
+    for a in sorted(words):
+        b = a + 1
+        if b not in words:
+            continue
+        if int(got.loc[(a, b), "f11_rank_distance"]) != \
+           _rank_distance(words[a], words[b]):
+            errs.append(f"({a},{b}): f11 mismatch")
+    return errs
+
+
+def _textrank_recs(con, sf_dir):
+    """E2 end-to-end: per-doc TextRank news keywords (k=5), clique-graph
+    user profiles (k=8), dot scoring round6, per (day,user) top-5 lists."""
+    toks = _doc_tokens(con, sf_dir)
+    window = 5
+    news_kw = {}
+    for d, tk in toks.items():
+        words = {}
+        for i, tok in enumerate(tk):
+            s = words.setdefault(tok, set())
+            left = max(0, i - window)
+            right = i + window
+            if right >= len(tk):
+                right = 0
+            c = left
+            while c <= right and c != i:
+                s.add(tk[c])
+                c += 1
+        news_kw[d] = _textrank_vote(words, 5)
+    news_date = {d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d % 30)
+                 for d in toks}
+    ck = clicks(con, sf_dir)
+    ckd = ck.copy()
+    ckd["date"] = pd.to_datetime(ckd["date"])
+    user_kw = {}
+    for u, g in ck.groupby("userId"):
+        words = {}
+        for nid in set(g["newsId"].astype(int)):
+            if nid not in toks:
+                continue
+            keys = set(toks[nid])
+            for k in keys:
+                words.setdefault(k, set()).update(keys - {k})
+        if words:
+            user_kw[int(u)] = _textrank_vote(words, 8)
+    act = ckd[(ckd["date"] >= FROM_DATE) & (ckd["date"] <= TO_DATE)]
+    active_by_day = {pd.Timestamp(day): {int(u) for u in g["userId"]}
+                     for day, g in act.groupby("date")}
+    all_active = set().union(*active_by_day.values())
+    in_range = {d for d, dt in news_date.items()
+                if FROM_DATE <= dt <= TO_DATE + pd.Timedelta(days=NUM_DAYS)}
+    inv = {}
+    for d in in_range:
+        for w, v in news_kw[d]:
+            inv.setdefault(w, []).append((d, v))
+    per_day_user = {}
+    for u in all_active:
+        prof = user_kw.get(u)
+        if not prof:
+            continue
+        acc = {}
+        for w, uv in prof:
+            for d, nv in inv.get(w, ()):
+                acc[d] = acc.get(d, 0.0) + uv * nv
+        for d, sc in acc.items():
+            sc = spark_round(sc, 6)
+            if sc <= 0:
+                continue
+            dt = news_date[d]
+            lo = max(dt - pd.Timedelta(days=NUM_DAYS), FROM_DATE)
+            hi = min(dt, TO_DATE)
+            day = lo
+            while day <= hi:
+                if u in active_by_day.get(day, ()):
+                    per_day_user.setdefault((day, u), []).append((sc, d))
+                day += pd.Timedelta(days=1)
+    lists = {}
+    for (day, u), lst in per_day_user.items():
+        top = sorted(lst, key=lambda t: (-t[0], t[1]))[:5]
+        lists[(day, u)] = [d for _, d in top]
+    return lists, ckd
+
+
+def check_q40(con, sf_dir, spark_out):
+    lists, _ = _textrank_recs(con, sf_dir)
+    got = dump(spark_out, "q40_textrank_rec")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index(["userId", "date"])
+    errs = []
+    if len(got) != len(lists):
+        errs.append(f"row count {len(got)} != {len(lists)}")
+    bad = 0
+    for (day, u), ids in lists.items():
+        exp = ",".join(str(i) for i in ids)
+        if (u, day) not in got.index or got.loc[(u, day), "news"] != exp:
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(lists)} textrank rec lists differ")
+    return errs
+
+
+def check_q117(con, sf_dir, spark_out):
+    lists, ckd = _textrank_recs(con, sf_dir)
+    got = dump(spark_out, "q117_precision_textrank")
+    got["date"] = pd.to_datetime(got["date"])
+    return _precision_errs(lists, ckd, got.set_index("date"))
+
+
+def _bpe_train(con, sf_dir, k=6):
+    """Reference BPE: overlapping pair counts, argmax (weight desc, pair
+    asc), leftmost-non-overlapping merge; early-stop when no pairs left."""
+    toks = _doc_tokens(con, sf_dir)
+    freq = {}
+    for tk in toks.values():
+        for w in tk:
+            freq[w] = freq.get(w, 0) + 1
+    reprs = {w: list(w) + ["</w>"] for w in freq}
+    merges = []
+    for r in range(1, k + 1):
+        pc = {}
+        for w, syms in reprs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + freq[w]
+        if not pc:
+            break
+        (a, b), wgt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, wgt))
+        for w, syms in reprs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reprs[w] = out
+    return merges, reprs, freq, toks
+
+
+def check_q247(con, sf_dir, spark_out):
+    merges, _, _, _ = _bpe_train(con, sf_dir)
+    got = dump(spark_out, "q247_bpe_merges").sort_values("round")
+    errs = []
+    if len(got) != len(merges):
+        errs.append(f"merge count {len(got)} != {len(merges)}")
+    for (r, a, b, wgt), (_, row) in zip(merges, got.iterrows()):
+        if (int(row["round"]), row["left_sym"], row["right_sym"],
+                row["merged"], int(row["weight"])) != (r, a, b, a + b, wgt):
+            errs.append(f"round {r}: ({row['left_sym']},{row['right_sym']},"
+                        f"{row['weight']}) != ({a},{b},{wgt})")
+    return errs
+
+
+def check_q248(con, sf_dir, spark_out):
+    _, reprs, freq, _ = _bpe_train(con, sf_dir)
+    counts = {}
+    for w, syms in reprs.items():
+        for s in syms:
+            counts[s] = counts.get(s, 0) + freq[w]
+    got = dump(spark_out, "q248_bpe_vocab").set_index("token")
+    errs = []
+    if len(got) != len(counts):
+        errs.append(f"token count {len(got)} != {len(counts)}")
+    for t, n in counts.items():
+        if t not in got.index or int(got.loc[t, "n"]) != n:
+            errs.append(f"token '{t}': count mismatch")
+    return errs
+
+
+def check_q249(con, sf_dir, spark_out):
+    _, reprs, _, _ = _bpe_train(con, sf_dir)
+    docs = load(con, sf_dir, "documents", "lang, text")
+    lang_words = {}
+    for _, r in docs.iterrows():
+        for w in tokenize(r["text"]):
+            key = (r["lang"], w)
+            lang_words[key] = lang_words.get(key, 0) + 1
+    per_lang = {}
+    for (lang, w), lf in lang_words.items():
+        t, n = per_lang.get(lang, (0, 0))
+        per_lang[lang] = (t + lf * len(reprs[w]), n + lf)
+    got = dump(spark_out, "q249_bpe_fertility").set_index("lang")
+    errs = []
+    for lang, (t, n) in per_lang.items():
+        row = got.loc[lang]
+        fert = half_up_ratio(t * 1000000, n, 6)
+        if int(row["n_tokens"]) != t or int(row["n_words"]) != n or \
+           not close(row["fertility"], fert, 1e-9):
+            errs.append(f"{lang}: ({row['n_tokens']},{row['n_words']},"
+                        f"{row['fertility']}) != ({t},{n},{fert})")
+    return errs
+
+
+def _emb(con, sf_dir):
+    emb = load(con, sf_dir, "embeddings", "vec_id, embedding")
+    return {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+            for _, r in emb.iterrows()}
+
+
+def _lsh_coefs(num_planes=8, dim=64):
+    import hashlib
+    return [[1.0 if hashlib.md5(f"{j}_{i}".encode()).digest()[0] >> 4 <= 7
+             else -1.0 for i in range(dim)] for j in range(num_planes)]
+
+
+def _lsh_bucket(x, coefs):
+    out = []
+    for row in coefs:
+        # same left-to-right accumulation as the ordered fold
+        acc = 0.0
+        for xi, c in zip(x, row):
+            acc += xi * c
+        out.append("1" if acc >= 0 else "0")
+    return "".join(out)
+
+
+def check_q29_norm(con, sf_dir, spark_out):
+    X = _emb(con, sf_dir)
+    got = dump(spark_out, "q29_embed_norm").set_index("vec_id")
+    errs = []
+    bad = sum(1 for v, x in X.items()
+              if not close(got.loc[v, "l2_norm"],
+                           math.sqrt(float((x * x).sum())), 6e-7))
+    if bad:
+        errs.append(f"{bad}/{len(X)} norms differ")
+    return errs
+
+
+def check_q31_lsh(con, sf_dir, spark_out):
+    X = _emb(con, sf_dir)
+    coefs = _lsh_coefs()
+    got = dump(spark_out, "q31_lsh_buckets").set_index("vec_id")
+    errs = []
+    bad = sum(1 for v, x in X.items()
+              if got.loc[v, "bucket"] != _lsh_bucket(x, coefs))
+    if bad:
+        errs.append(f"{bad}/{len(X)} buckets differ from signed md5"
+                    f" hyperplane projections")
+    return errs
+
+
+def _cos(X, a, b):
+    na = math.sqrt(float((X[a] * X[a]).sum()))
+    nb = math.sqrt(float((X[b] * X[b]).sum()))
+    return spark_round(float(X[a] @ X[b]) / (na * nb), 6)
+
+
+def check_q32_lsh_pairs(con, sf_dir, spark_out):
+    X = _emb(con, sf_dir)
+    coefs = _lsh_coefs()
+    buckets = {}
+    for v, x in X.items():
+        buckets.setdefault(_lsh_bucket(x, coefs), []).append(v)
+    exp = {}
+    for bk, vs in buckets.items():
+        vs.sort()
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                exp[(bk, vs[i], vs[j])] = _cos(X, vs[i], vs[j])
+    got = dump(spark_out, "q32_lsh_ann_pairs")
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"pair count {len(got)} != {len(exp)}")
+    for _, row in got.iterrows():
+        key = (row["bucket"], int(row["a_id"]), int(row["b_id"]))
+        if key not in exp:
+            errs.append(f"unexpected pair {key}")
+        elif not close(row["cosine"], exp[key], 1e-9):
+            errs.append(f"{key}: cosine mismatch")
+    return errs
+
+
+def check_q43_neardup(con, sf_dir, spark_out):
+    X = _emb(con, sf_dir)
+    coefs = _lsh_coefs()
+    buckets = {}
+    for v, x in X.items():
+        buckets.setdefault(_lsh_bucket(x, coefs), []).append(v)
+    exp = {}
+    for vs in buckets.values():
+        vs.sort()
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                c = _cos(X, vs[i], vs[j])
+                if c >= 0.3:
+                    exp[(vs[i], vs[j])] = c
+    got = dump(spark_out, "q43_embed_neardup").set_index(["a_id", "b_id"])
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"pair count {len(got)} != {len(exp)}")
+    for k, c in exp.items():
+        if k not in got.index:
+            errs.append(f"pair {k} missing")
+        elif not close(got.loc[k, "cosine"], c, 1e-9):
+            errs.append(f"{k}: cosine mismatch")
+    return errs
+
+
+def _ivf_assign(X, cent_ids, cents=None):
+    """(vec -> (cell, dist2)): nearest seed centroid, round6 d2, tie c asc.
+    `cents` supplies centroid vectors when X itself is a filtered subset."""
+    cents = cents if cents is not None else X
+    out = {}
+    for v, x in X.items():
+        best = min(((spark_round(float(((x - cents[c]) ** 2).sum()), 6), c)
+                    for c in cent_ids), key=lambda t: t)
+        out[v] = (best[1], best[0])
+    return out
+
+
+def check_q44_ivf(con, sf_dir, spark_out):
+    X = _emb(con, sf_dir)
+    assign = _ivf_assign(X, range(8))
+    got = dump(spark_out, "q44_ivf_cells").set_index("vec_id")
+    errs = []
+    bad = sum(1 for v, (cell, d2) in assign.items()
+              if int(got.loc[v, "cell"]) != cell or
+              not close(got.loc[v, "dist2"], d2, 1e-9))
+    if bad:
+        errs.append(f"{bad}/{len(X)} cell assignments differ")
+    return errs
+
+
+def check_q45_ivf_topk(con, sf_dir, spark_out, nprobe=2, k=3):
+    X = _emb(con, sf_dir)
+    cents = list(range(8))
+    cand_cells = _ivf_assign({v: X[v] for v in X if v >= 18}, cents, X)
+    by_cell = {}
+    for v, (cell, _) in cand_cells.items():
+        by_cell.setdefault(cell, []).append(v)
+    got = dump(spark_out, "q45_ivf_topk").set_index(["q_id", "rn"])
+    errs = []
+    n = 0
+    for q in range(8, 18):
+        probes = sorted(
+            ((spark_round(float(((X[q] - X[c]) ** 2).sum()), 6), c)
+             for c in cents), key=lambda t: t)[:nprobe]
+        cand = [v for _, c in probes for v in by_cell.get(c, [])]
+        scored = sorted(((_cos(X, q, v) if q < v else _cos(X, v, q), v)
+                         for v in cand), key=lambda t: (-t[0], t[1]))[:k]
+        for rn, (cos, v) in enumerate(scored, 1):
+            n += 1
+            row = got.loc[(q, rn)]
+            if int(row["c_id"]) != v or not close(row["cosine"], cos, 1e-9):
+                errs.append(f"q {q} rn {rn}: ({row['c_id']},{row['cosine']})"
+                            f" != ({v},{cos})")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def _pq_codebooks(X, num_sub=8, dim=64):
+    sub = dim // num_sub
+    return {(m, k): X[k][m * sub:(m + 1) * sub]
+            for m in range(num_sub) for k in range(16)}
+
+
+def _pq_encode(X, cb, num_sub=8, dim=64):
+    sub = dim // num_sub
+    codes = {}
+    for v, x in X.items():
+        for m in range(num_sub):
+            sv = x[m * sub:(m + 1) * sub]
+            best = min(((spark_round(float(((sv - cb[(m, k)]) ** 2).sum()), 6), k)
+                        for k in range(16)), key=lambda t: t)
+            codes[(v, m)] = (best[1], best[0])
+    return codes
+
+
+def check_q67_pq(con, sf_dir, spark_out):
+    X = _emb(con, sf_dir)
+    cb = _pq_codebooks(X)
+    codes = _pq_encode(X, cb)
+    got = dump(spark_out, "q67_pq_codes").set_index(["vec_id", "m"])
+    errs = []
+    bad = sum(1 for (v, m), (code, d2) in codes.items()
+              if int(got.loc[(v, m), "code"]) != code or
+              not close(got.loc[(v, m), "dist2"], d2, 1e-9))
+    if bad:
+        errs.append(f"{bad}/{len(codes)} PQ codes differ")
+    if len(got) != len(codes):
+        errs.append(f"row count {len(got)} != {len(codes)}")
+    return errs
+
+
+def check_q68_pq_topk(con, sf_dir, spark_out, num_sub=8, dim=64, k=3):
+    X = _emb(con, sf_dir)
+    cb = _pq_codebooks(X)
+    cand = {v: x for v, x in X.items() if v >= 26}
+    codes = _pq_encode(cand, cb)
+    sub = dim // num_sub
+    got = dump(spark_out, "q68_pq_topk").set_index(["q_id", "rn"])
+    errs = []
+    n = 0
+    for q in range(16, 26):
+        lut = {(m, kk): spark_round(
+            float(((X[q][m * sub:(m + 1) * sub] - cb[(m, kk)]) ** 2).sum()), 6)
+            for m in range(num_sub) for kk in range(16)}
+        adist = {}
+        for v in cand:
+            s = sum(lut[(m, codes[(v, m)][0])] for m in range(num_sub))
+            adist[v] = spark_round(s, 6)
+        top = sorted(adist.items(), key=lambda t: (t[1], t[0]))[:k]
+        for rn, (v, ad) in enumerate(top, 1):
+            n += 1
+            row = got.loc[(q, rn)]
+            if int(row["c_id"]) != v or not close(row["adist"], ad, 1e-9):
+                errs.append(f"q {q} rn {rn}: ({row['c_id']},{row['adist']})"
+                            f" != ({v},{ad})")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q198_ivfpq(con, sf_dir, spark_out, num_sub=8, dim=64,
+                     nprobe=2, k=3):
+    X = _emb(con, sf_dir)
+    cents = list(range(8))
+    sub = dim // num_sub
+    cb = {(m, kk): X[kk][m * sub:(m + 1) * sub]
+          for m in range(num_sub) for kk in range(8, 24)}
+    cand_ids = [v for v in X if v >= 34]
+    cand_cells = _ivf_assign({v: X[v] for v in cand_ids}, cents, X)
+    by_cell = {}
+    for v, (cell, _) in cand_cells.items():
+        by_cell.setdefault(cell, []).append(v)
+    codes = {}
+    for v in cand_ids:
+        for m in range(num_sub):
+            sv = X[v][m * sub:(m + 1) * sub]
+            best = min(
+                ((spark_round(float(((sv - cb[(m, kk)]) ** 2).sum()), 6), kk)
+                 for kk in range(8, 24)), key=lambda t: t)
+            codes[(v, m)] = best[1]
+    got = dump(spark_out, "q198_ivfpq").set_index(["q_id", "rn"])
+    errs = []
+    n = 0
+    for q in range(24, 34):
+        probes = sorted(
+            ((spark_round(float(((X[q] - X[c]) ** 2).sum()), 6), c)
+             for c in cents), key=lambda t: t)[:nprobe]
+        cand = [v for _, c in probes for v in by_cell.get(c, [])]
+        lut = {(m, kk): spark_round(
+            float(((X[q][m * sub:(m + 1) * sub] - cb[(m, kk)]) ** 2).sum()), 6)
+            for m in range(num_sub) for kk in range(8, 24)}
+        adist = {v: spark_round(
+            sum(lut[(m, codes[(v, m)])] for m in range(num_sub)), 6)
+            for v in cand}
+        top = sorted(adist.items(), key=lambda t: (t[1], t[0]))[:k]
+        for rn, (v, ad) in enumerate(top, 1):
+            n += 1
+            row = got.loc[(q, rn)]
+            if int(row["c_id"]) != v or not close(row["adist"], ad, 1e-9):
+                errs.append(f"q {q} rn {rn}: ({row['c_id']},{row['adist']})"
+                            f" != ({v},{ad})")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q214_filtered(con, sf_dir, spark_out, k=3):
+    emb = load(con, sf_dir, "embeddings", "vec_id, label, embedding")
+    X = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+         for _, r in emb.iterrows()}
+    lab = {int(r["vec_id"]): r["label"] for _, r in emb.iterrows()}
+    by_label = {}
+    for v in X:
+        if v >= 30:
+            by_label.setdefault(lab[v], []).append(v)
+    got = dump(spark_out, "q214_filtered_ann").set_index(["q_id", "rn"])
+    errs = []
+    n = 0
+    for q in X:
+        if q >= 30:
+            continue
+        cand = by_label.get(lab[q], [])
+        scored = sorted(((_cos(X, q, v), v) for v in cand),
+                        key=lambda t: (-t[0], t[1]))[:k]
+        for rn, (cos, v) in enumerate(scored, 1):
+            n += 1
+            row = got.loc[(q, rn)]
+            if int(row["c_id"]) != v or row["label"] != lab[q] or \
+               not close(row["cosine"], cos, 1e-9):
+                errs.append(f"q {q} rn {rn}: mismatch")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q242_hardneg(con, sf_dir, spark_out, k=3):
+    emb = load(con, sf_dir, "embeddings", "vec_id, label, embedding")
+    X = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+         for _, r in emb.iterrows()}
+    lab = {int(r["vec_id"]): r["label"] for _, r in emb.iterrows()}
+    got = dump(spark_out, "q242_hard_negatives").set_index(["q_id", "rn"])
+    errs = []
+    n = 0
+    for q in range(10):
+        cand = [v for v in X if v >= 10 and lab[v] != lab[q]]
+        scored = sorted(((_cos(X, q, v), v) for v in cand),
+                        key=lambda t: (-t[0], t[1]))[:k]
+        for rn, (cos, v) in enumerate(scored, 1):
+            n += 1
+            row = got.loc[(q, rn)]
+            if int(row["c_id"]) != v or row["c_label"] != lab[v] or \
+               not close(row["cosine"], cos, 1e-9):
+                errs.append(f"q {q} rn {rn}: mismatch")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
 CHECKS = {
+    "q198_ivfpq": check_q198_ivfpq,
+    "q214_filtered_ann": check_q214_filtered,
+    "q242_hard_negatives": check_q242_hardneg,
+    "q29_embed_norm": check_q29_norm,
+    "q31_lsh_buckets": check_q31_lsh,
+    "q32_lsh_ann_pairs": check_q32_lsh_pairs,
+    "q43_embed_neardup": check_q43_neardup,
+    "q44_ivf_cells": check_q44_ivf,
+    "q45_ivf_topk": check_q45_ivf_topk,
+    "q67_pq_codes": check_q67_pq,
+    "q68_pq_topk": check_q68_pq_topk,
+    "q37_sim_weighted": check_q37,
+    "q38_rank_sim": check_q38,
+    "q40_textrank_rec": check_q40,
+    "q117_precision_textrank": check_q117,
+    "q222_tuple_rank_sim": check_q222,
+    "q247_bpe_merges": check_q247,
+    "q248_bpe_vocab": check_q248,
+    "q249_bpe_fertility": check_q249,
     "q18_tfidf_topk": check_q18,
     "q19_hot_topics": check_q19,
     "q21_rec_dot": check_q21,
