@@ -2115,7 +2115,341 @@ def check_q242_hardneg(con, sf_dir, spark_out, k=3):
     return errs
 
 
+def check_q83_pmi(con, sf_dir, spark_out, top_n=50):
+    toks = _doc_tokens(con, sf_dir)
+    n_docs = len(toks)
+    inc = {d: set(tk) for d, tk in toks.items()}
+    df = {}
+    for s in inc.values():
+        for w in s:
+            df[w] = df.get(w, 0) + 1
+    top = {w for w, _ in
+           sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]}
+    co = {}
+    for s in inc.values():
+        ws = sorted(s & top)
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                co[(ws[i], ws[j])] = co.get((ws[i], ws[j]), 0) + 1
+    got = dump(spark_out, "q83_pmi_cooccur").set_index(["word_a", "word_b"])
+    errs = []
+    if len(got) != len(co):
+        errs.append(f"pair count {len(got)} != {len(co)}")
+    for (a, b), n in co.items():
+        pmi = math.log(n * n_docs / (df[a] * df[b]))
+        row = got.loc[(a, b)]
+        if int(row["n_co"]) != n or not close(row["pmi"], pmi, 6e-7):
+            errs.append(f"({a},{b}): pmi mismatch")
+    return errs
+
+
+def check_q110_triangles(con, sf_dir, spark_out):
+    edges = coclick_edges(con, sf_dir)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = sum(len(adj[a] & adj[b]) for a, b in edges) // 3
+    row = dump(spark_out, "q110_triangles").iloc[0]
+    errs = []
+    if int(row["n_edges"]) != len(edges) or int(row["n_triangles"]) != tris:
+        errs.append(f"({row['n_edges']},{row['n_triangles']})"
+                    f" != ({len(edges)},{tris})")
+    return errs
+
+
+def check_q121_itemcf(con, sf_dir, spark_out, k=5):
+    ck = clicks(con, sf_dir)[["userId", "newsId"]].drop_duplicates()
+    ni = ck.groupby("newsId").size().to_dict()
+    co = {}
+    for _, g in ck.groupby("userId"):
+        ids = sorted(g["newsId"].astype(int))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                co[(ids[i], ids[j])] = co.get((ids[i], ids[j]), 0) + 1
+    nbrs = {}
+    for (a, b), c in co.items():
+        s = spark_round(c / math.sqrt(ni[a] * ni[b]), 6)
+        nbrs.setdefault(a, []).append((s, b))
+        nbrs.setdefault(b, []).append((s, a))
+    got = dump(spark_out, "q121_item_cf").set_index(["news_id", "rank"])
+    errs = []
+    n = 0
+    for a, lst in nbrs.items():
+        top = sorted(lst, key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (s, b) in enumerate(top, 1):
+            n += 1
+            row = got.loc[(a, rank)]
+            if int(row["neighbor_id"]) != b or \
+               not close(row["cos_sim"], s, 1e-9):
+                errs.append(f"news {a} rank {rank}: mismatch")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q238_assoc(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)[["userId", "date", "newsId"]].drop_duplicates()
+    supp = ck.groupby("newsId").size().to_dict()
+    n_baskets = len(ck[["userId", "date"]].drop_duplicates())
+    co = {}
+    for _, g in ck.groupby(["userId", "date"]):
+        ids = sorted(g["newsId"].astype(int))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                co[(ids[i], ids[j])] = co.get((ids[i], ids[j]), 0) + 1
+    rules = sorted(
+        ((spark_round(c * n_baskets / (supp[a] * supp[b]), 6), a, b, c)
+         for (a, b), c in co.items()),
+        key=lambda t: (-t[0], t[1], t[2]))[:100]
+    got = dump(spark_out, "q238_assoc_rules")
+    got = got.sort_values(["lift", "item_a", "item_b"],
+                          ascending=[False, True, True])
+    errs = []
+    for (lift, a, b, c), (_, row) in zip(rules, got.iterrows()):
+        if (int(row["item_a"]), int(row["item_b"]), int(row["n_pair"])) \
+           != (a, b, c) or not close(row["lift"], lift, 1e-9) or \
+           int(row["n_baskets"]) != n_baskets:
+            errs.append(f"rule ({a},{b}): mismatch")
+    return errs
+
+
+def check_q244_twohop(con, sf_dir, spark_out, cap=128):
+    ck = clicks(con, sf_dir)[["userId", "newsId"]].drop_duplicates()
+    hop1 = ck.groupby("newsId")["userId"].nunique().to_dict()
+    deg = ck.groupby("userId").size()
+    ok = set(deg[deg <= cap].index)
+    two = {}
+    for u, g in ck.groupby("userId"):
+        if u not in ok:
+            continue
+        ids = set(g["newsId"].astype(int))
+        for a in ids:
+            two.setdefault(a, set()).update(ids - {a})
+    got = dump(spark_out, "q244_two_hop").set_index("newsId")
+    errs = []
+    if len(got) != len(hop1):
+        errs.append(f"row count {len(got)} != {len(hop1)}")
+    for nid, nu in hop1.items():
+        row = got.loc[nid]
+        if int(row["n_users"]) != nu or \
+           int(row["n_two_hop_news"]) != len(two.get(nid, ())):
+            errs.append(f"news {nid}: mismatch")
+    return errs
+
+
+def check_q233_power(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)
+    c = ck.groupby(["userId", "newsId"]).size().astype(float)
+    news = sorted({n for _, n in c.index})
+    v = {n: 1.0 for n in news}
+
+    def u_step(v):
+        u = {}
+        for (uu, nn), cc in c.items():
+            if nn in v:
+                u[uu] = u.get(uu, 0.0) + cc * v[nn]
+        nrm = math.sqrt(sum(x * x for x in u.values()))
+        return {k: spark_round(x / nrm, 6) for k, x in u.items()}
+
+    def v_step(u):
+        vv = {}
+        for (uu, nn), cc in c.items():
+            if uu in u:
+                vv[nn] = vv.get(nn, 0.0) + cc * u[uu]
+        nrm = math.sqrt(sum(x * x for x in vv.values()))
+        return {k: spark_round(x / nrm, 6) for k, x in vv.items()}
+
+    v = v_step(u_step(v_step(u_step(v))))
+    got = dump(spark_out, "q233_power_factor").set_index("newsId")
+    errs = []
+    bad = sum(1 for n, x in v.items()
+              if not close(got.loc[n, "v"], x, 2e-6))
+    if bad:
+        errs.append(f"{bad}/{len(v)} power-factor components differ")
+    return errs
+
+
+def check_q235_seasonal(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)
+    daily = ck.groupby("date").size().sort_index()
+    days = [pd.Timestamp(d) for d in daily.index]
+    n = daily.to_numpy(dtype=np.float64)
+    rows = []
+    for i in range(len(n)):
+        lo, hi = i - 3, i + 3
+        if lo < 0 or hi >= len(n):
+            continue
+        trend = n[lo:hi + 1].mean()
+        dow = (days[i] - pd.Timestamp("2024-01-01")).days % 7
+        rows.append((days[i], n[i], trend, dow, n[i] - trend))
+    seas = {}
+    for _, _, _, dow, detr in rows:
+        seas.setdefault(dow, []).append(detr)
+    seas = {k: sum(v) / len(v) for k, v in seas.items()}
+    got = dump(spark_out, "q235_seasonal")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index("date")
+    errs = []
+    if len(got) != len(rows):
+        errs.append(f"row count {len(got)} != {len(rows)}")
+    for day, nn, trend, dow, detr in rows:
+        row = got.loc[day]
+        if not close(row["n"], nn, 1e-9) or \
+           not close(row["trend"], trend, 6e-7) or \
+           not close(row["seasonal"], seas[dow], 6e-7) or \
+           not close(row["resid"], detr - seas[dow], 6e-7):
+            errs.append(f"{day.date()}: seasonal decomposition mismatch")
+    return errs
+
+
+def _ntile(n_rows, tiles, rank):
+    """SQL ntile: first (n mod t) tiles get ceil(n/t) rows. rank 1-based."""
+    big = n_rows // tiles + 1
+    n_big = n_rows % tiles
+    if rank <= big * n_big:
+        return (rank - 1) // big + 1
+    return n_big + (rank - big * n_big - 1) // (n_rows // tiles) + 1
+
+
+def check_q232_qnorm(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, lang, n_chars")
+    docs = docs.sort_values(["lang", "n_chars", "doc_id"])
+    bins = {}
+    for lang, g in docs.groupby("lang"):
+        nr = len(g)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            bins[int(r["doc_id"])] = _ntile(nr, 20, rank)
+    ref = {}
+    for d, qb in bins.items():
+        ref.setdefault(qb, []).append(
+            int(docs.loc[docs["doc_id"] == d, "n_chars"].iloc[0]))
+    ref = {qb: spark_round(sum(v) / len(v), 6) for qb, v in ref.items()}
+    got = dump(spark_out, "q232_quantile_norm").set_index("doc_id")
+    errs = []
+    bad = sum(1 for d, qb in bins.items()
+              if int(got.loc[d, "qbin"]) != qb or
+              not close(got.loc[d, "norm_value"], ref[qb], 1e-9))
+    if bad:
+        errs.append(f"{bad}/{len(bins)} quantile-norm rows differ")
+    return errs
+
+
+def check_q166_rfm(con, sf_dir, spark_out):
+    orders = load(con, sf_dir, "orders",
+                  "o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice")
+    per = orders.groupby("o_custkey").agg(
+        last=("d", "max"), freq=("d", "size"), mon=("o_totalprice", "sum"))
+    per["mon"] = per["mon"].map(lambda v: spark_round(v, 2))
+    nr = len(per)
+    scores = {}
+    for colname, key in (("r", "last"), ("f", "freq"), ("m", "mon")):
+        # key desc, tie-break custkey asc — the lane's ntile order
+        order = per.reset_index().sort_values(
+            [key, "o_custkey"], ascending=[False, True])
+        for rank, (_, r) in enumerate(order.iterrows(), 1):
+            scores.setdefault(int(r["o_custkey"]), {})[colname] = \
+                _ntile(nr, 5, rank)
+    cells = {}
+    for _, sc in scores.items():
+        key = (sc["r"], sc["f"], sc["m"])
+        cells[key] = cells.get(key, 0) + 1
+    got = dump(spark_out, "q166_rfm").set_index(["r", "f", "m"])
+    errs = []
+    if len(got) != len(cells):
+        errs.append(f"cell count {len(got)} != {len(cells)}")
+    for key, cnt in cells.items():
+        if key not in got.index or int(got.loc[key, "n_customers"]) != cnt:
+            errs.append(f"cell {key}: count mismatch")
+    return errs
+
+
+def check_q231_gapfill(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "user_id, CAST(ts AS DATE) AS day, value")
+    daily = ev.groupby(["user_id", "day"])["value"].mean().map(
+        lambda v: spark_round(v, 6))
+    got = dump(spark_out, "q231_gapfill_linear")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index(["user_id", "day"])
+    errs = []
+    n = 0
+    bad = 0
+    for uid, series in daily.groupby(level=0):
+        obs = {pd.Timestamp(d): v for (_, d), v in series.items()}
+        days = sorted(obs)
+        day = days[0]
+        while day <= days[-1]:
+            n += 1
+            if day in obs:
+                exp = obs[day]
+                observed = True
+            else:
+                pdm = max(d for d in days if d < day)
+                ndm = min(d for d in days if d > day)
+                pvu = int(spark_round(obs[pdm] * 1e6, 0))
+                nvu = int(spark_round(obs[ndm] * 1e6, 0))
+                num = (nvu - pvu) * (day - pdm).days
+                den = (ndm - pdm).days
+                exp = spark_round((pvu + num // den) / 1e6, 6)
+                observed = False
+            row = got.loc[(uid, day)]
+            if bool(row["observed"]) != observed or \
+               not close(row["value"], exp, 1e-9):
+                bad += 1
+            day += pd.Timedelta(days=1)
+    if bad:
+        errs.append(f"{bad}/{n} gapfill rows differ")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q253_spans(con, sf_dir, spark_out, n=5):
+    toks = _doc_tokens(con, sf_dir)
+    per_doc = {}
+    for d, tk in toks.items():
+        if len(tk) < n:
+            continue
+        g = {}
+        for i in range(len(tk) - n + 1):
+            ng = " ".join(tk[i:i + n])
+            g[ng] = g.get(ng, 0) + 1
+        per_doc[d] = g
+    ndocs = {}
+    for g in per_doc.values():
+        for ng in g:
+            ndocs[ng] = ndocs.get(ng, 0) + 1
+    got = dump(spark_out, "q253_dup_spans").set_index("doc_id")
+    errs = []
+    if len(got) != len(per_doc):
+        errs.append(f"doc count {len(got)} != {len(per_doc)}")
+    bad = 0
+    for d, g in per_doc.items():
+        total = sum(g.values())
+        ndup = sum(k for ng, k in g.items() if ndocs[ng] >= 2)
+        frac = half_up_ratio(ndup * 10000, total, 4)
+        row = got.loc[d]
+        if int(row["n_ngrams"]) != total or int(row["n_dup"]) != ndup or \
+           not close(row["dup_frac"], frac, 1e-9):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(per_doc)} dup-span rows differ")
+    return errs
+
+
 CHECKS = {
+    "q83_pmi_cooccur": check_q83_pmi,
+    "q110_triangles": check_q110_triangles,
+    "q121_item_cf": check_q121_itemcf,
+    "q166_rfm": check_q166_rfm,
+    "q231_gapfill_linear": check_q231_gapfill,
+    "q232_quantile_norm": check_q232_qnorm,
+    "q233_power_factor": check_q233_power,
+    "q235_seasonal": check_q235_seasonal,
+    "q238_assoc_rules": check_q238_assoc,
+    "q244_two_hop": check_q244_twohop,
+    "q253_dup_spans": check_q253_spans,
     "q198_ivfpq": check_q198_ivfpq,
     "q214_filtered_ann": check_q214_filtered,
     "q242_hard_negatives": check_q242_hardneg,
