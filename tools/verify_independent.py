@@ -2438,7 +2438,350 @@ def check_q253_spans(con, sf_dir, spark_out, n=5):
     return errs
 
 
+def check_q54_sessionize(con, sf_dir, spark_out, gap=1800):
+    ev = load(con, sf_dir, "events", "user_id, event_id, ts")
+    got = dump(spark_out, "q54_sessionize").set_index(["user_id", "session_id"])
+    errs = []
+    n = 0
+    bad = 0
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        # explicit µs epoch — the frame's native resolution varies (ns via
+        # pandas, µs via pyarrow), and a unit slip here silently merges
+        # every session
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        sid = 0
+        stats = {}
+        prev = None
+        for tt in t:
+            if prev is None or tt - prev >= gap * 1000000:
+                sid += 1
+                stats[sid] = [0, tt, tt]
+            stats[sid][0] += 1
+            stats[sid][2] = tt
+            prev = tt
+        for s, (ne, t0, t1) in stats.items():
+            n += 1
+            row = got.loc[(uid, s)]
+            if int(row["n_events"]) != ne or \
+               int(pd.Timestamp(row["t_start"]).value // 1000) != t0 or \
+               int(pd.Timestamp(row["t_end"]).value // 1000) != t1:
+                bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} sessions differ from the gap-merge rule")
+    if len(got) != n:
+        errs.append(f"session count {len(got)} != {n}")
+    return errs
+
+
+def check_q99_funnel(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, n_chars, text")
+    stages = {}
+    for _, r in docs.iterrows():
+        tk = tokenize(r["text"])
+        uniq = spark_round(len(set(tk)) / len(tk), 6) if tk else 0.0
+        nc = int(r["n_chars"])
+        if not (200 <= nc <= 20000):
+            reach = 0
+        elif not uniq >= 0.3:
+            reach = 1
+        elif not len(tk) >= 50:
+            reach = 2
+        else:
+            reach = 3
+        for st in range(reach + 1):
+            a, b = stages.get(st, (0, 0))
+            stages[st] = (a + 1, b + nc)
+    got = dump(spark_out, "q99_funnel").set_index("stage")
+    errs = []
+    for st, (nd, sc) in stages.items():
+        row = got.loc[st]
+        if int(row["n_docs"]) != nd or int(row["sum_chars"]) != sc:
+            errs.append(f"stage {st}: ({row['n_docs']},{row['sum_chars']})"
+                        f" != ({nd},{sc})")
+    return errs
+
+
+def check_q108_retention(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)[["userId", "date"]].drop_duplicates()
+    ck["date"] = pd.to_datetime(ck["date"])
+    cohort = ck.groupby("userId")["date"].min()
+    cells = {}
+    for _, r in ck.iterrows():
+        co = cohort[r["userId"]]
+        age = (r["date"] - co).days
+        cells[(co, age)] = cells.get((co, age), 0) + 1
+    got = dump(spark_out, "q108_retention")
+    got["cohort"] = pd.to_datetime(got["cohort"])
+    got = got.set_index(["cohort", "age"])
+    errs = []
+    if len(got) != len(cells):
+        errs.append(f"cell count {len(got)} != {len(cells)}")
+    for key, nu in cells.items():
+        if key not in got.index or int(got.loc[key, "n_users"]) != nu:
+            errs.append(f"cell {key}: mismatch")
+    return errs
+
+
+def check_q147_gaps(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)[["newsId", "date"]].drop_duplicates()
+    ck["date"] = pd.to_datetime(ck["date"])
+    gaps = []
+    for nid, g in ck.groupby("newsId"):
+        days = set(g["date"])
+        lo, hi = min(days), max(days)
+        run = None
+        day = lo
+        while day <= hi:
+            if day not in days:
+                if run is None:
+                    run = [day, day]
+                else:
+                    run[1] = day
+            else:
+                if run is not None:
+                    gaps.append((int(nid), run[0], run[1],
+                                 (run[1] - run[0]).days + 1))
+                    run = None
+            day += pd.Timedelta(days=1)
+        if run is not None:
+            gaps.append((int(nid), run[0], run[1],
+                         (run[1] - run[0]).days + 1))
+    got = dump(spark_out, "q147_gap_islands")
+    got["gap_start"] = pd.to_datetime(got["gap_start"])
+    got["gap_end"] = pd.to_datetime(got["gap_end"])
+    got = got.set_index(["news_id", "gap_start"])
+    errs = []
+    if len(got) != len(gaps):
+        errs.append(f"gap count {len(got)} != {len(gaps)}")
+    for nid, s, e, ln in gaps:
+        if (nid, s) not in got.index:
+            errs.append(f"gap ({nid},{s.date()}) missing")
+        else:
+            row = got.loc[(nid, s)]
+            if pd.Timestamp(row["gap_end"]) != e or int(row["gap_len"]) != ln:
+                errs.append(f"gap ({nid},{s.date()}): mismatch")
+    return errs
+
+
+def check_q209_streaks(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)[["userId", "date"]].drop_duplicates()
+    ck["date"] = pd.to_datetime(ck["date"])
+    dist = {}
+    for _, g in ck.groupby("userId"):
+        days = sorted(g["date"])
+        longest = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if (b - a).days == 1 else 1
+            longest = max(longest, run)
+        dist[longest] = dist.get(longest, 0) + 1
+    got = dump(spark_out, "q209_longest_streak").set_index("longest")
+    errs = []
+    if len(got) != len(dist):
+        errs.append(f"bucket count {len(got)} != {len(dist)}")
+    for ln, nu in dist.items():
+        if ln not in got.index or int(got.loc[ln, "n_users"]) != nu:
+            errs.append(f"streak {ln}: mismatch")
+    return errs
+
+
+def check_q187_trigrams(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "user_id, ts, event_id, event_type")
+    tri = {}
+    for _, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        et = g["event_type"].tolist()
+        for a, b, c in zip(et, et[1:], et[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    got = dump(spark_out, "q187_trigram_paths").set_index(
+        ["step1", "step2", "step3"])
+    errs = []
+    if len(got) != len(tri):
+        errs.append(f"path count {len(got)} != {len(tri)}")
+    for key, n in tri.items():
+        if key not in got.index or int(got.loc[key, "n"]) != n:
+            errs.append(f"path {key}: mismatch")
+    return errs
+
+
+def check_q14_quality(con, sf_dir, spark_out):
+    stop = {"the", "a", "of", "and"}
+    docs = load(con, sf_dir, "documents", "doc_id, n_chars, text")
+    got = dump(spark_out, "q14_quality_score").set_index("doc_id")
+    errs = []
+    bad = 0
+    for _, r in docs.iterrows():
+        tk = tokenize(r["text"])
+        sr = spark_round(sum(1 for w in tk if w in stop) / len(tk), 6)
+        al = spark_round(sum(len(w) for w in tk) / len(tk), 6)
+        row = got.loc[int(r["doc_id"])]
+        if not close(row["stopword_ratio"], sr, 1e-9) or \
+           not close(row["avg_token_len"], al, 1e-9):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(docs)} quality rows differ")
+    return errs
+
+
+def check_q95_entropy(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    got = dump(spark_out, "q95_token_entropy").set_index("doc_id")
+    errs = []
+    bad = 0
+    for _, r in docs.iterrows():
+        tk = tokenize(r["text"])
+        counts = {}
+        for w in tk:
+            counts[w] = counts.get(w, 0) + 1
+        n = len(tk)
+        # H = ln n - (Σ c·ln c)/n — the aggregated form both engines use;
+        # identical to -Σ p·ln p
+        h = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+        nd = len(counts)
+        norm = h / math.log(nd) if nd > 1 else 0.0
+        row = got.loc[int(r["doc_id"])]
+        if int(row["n_tokens"]) != n or int(row["n_distinct"]) != nd or \
+           not close(row["entropy"], h, 6e-7) or \
+           not close(row["norm_entropy"], norm, 6e-7):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(docs)} entropy rows differ")
+    return errs
+
+
+def check_q79_repetition(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    got = dump(spark_out, "q79_repetition").set_index("doc_id")
+    errs = []
+    bad = 0
+    for _, r in docs.iterrows():
+        tk = tokenize(r["text"])
+        bg = {}
+        for a, b in zip(tk, tk[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+        n_bg = sum(bg.values())
+        top = max(bg.values()) if bg else 0
+        row = got.loc[int(r["doc_id"])]
+        if int(row["n_bigrams"]) != n_bg or int(row["top_count"]) != top or \
+           not close(row["rep_ratio"], spark_round(top / n_bg, 6), 1e-9) or \
+           not close(row["uniq_ratio"],
+                     spark_round(len(set(tk)) / len(tk), 6), 1e-9):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(docs)} repetition rows differ")
+    return errs
+
+
+def check_q42_budget(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, n_chars, text")
+    got = dump(spark_out, "q42_token_budget").set_index("doc_id")
+    errs = []
+    bad = 0
+    for _, r in docs.iterrows():
+        tk = tokenize(r["text"])
+        sub = sum(math.ceil(len(w) / 4.0) for w in tk)
+        row = got.loc[int(r["doc_id"])]
+        if int(row["ws_tokens"]) != len(tk) or \
+           int(row["subword_tokens"]) != sub or \
+           int(row["n_chars"]) != int(r["n_chars"]):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(docs)} token budgets differ")
+    return errs
+
+
+def check_q65_pack(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, text").sort_values("doc_id")
+    got = dump(spark_out, "q65_pack_sequences").set_index("doc_id")
+    errs = []
+    off = 0
+    bad = 0
+    for _, r in docs.iterrows():
+        n_tok = sum(math.ceil(len(w) / 4.0) for w in tokenize(r["text"]))
+        row = got.loc[int(r["doc_id"])]
+        if int(row["n_tok"]) != n_tok or int(row["start_off"]) != off or \
+           int(row["bin"]) != off // 2048:
+            bad += 1
+        off += n_tok
+    if bad:
+        errs.append(f"{bad}/{len(docs)} packing rows differ")
+    return errs
+
+
+def check_q33_langid(con, sf_dir, spark_out):
+    markers = {"en": {"the", "a", "of", "and", "is"},
+               "de": {"der", "die", "das", "und", "ist"},
+               "fr": {"le", "la", "les", "et", "est"},
+               "es": {"el", "los", "las", "y", "es"}}
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    got = dump(spark_out, "q33_lang_id").set_index("doc_id")
+    errs = []
+    bad = 0
+    for _, r in docs.iterrows():
+        tk = tokenize(r["text"])
+        best = max(sorted(markers),
+                   key=lambda l: (sum(1 for w in tk if w in markers[l]),
+                                  [-ord(c) for c in l]))
+        n_best = sum(1 for w in tk if w in markers[best])
+        pred = "und" if n_best == 0 else best
+        if got.loc[int(r["doc_id"]), "predicted_lang"] != pred:
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(docs)} language predictions differ")
+    return errs
+
+
+def check_q34_fingerprint(con, sf_dir, spark_out):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    got = dump(spark_out, "q34_fingerprint").set_index("doc_id")
+    errs = []
+    bad = sum(1 for _, r in docs.iterrows()
+              if got.loc[int(r["doc_id"]), "fingerprint"] !=
+              hashlib.md5("|".join(tokenize(r["text"])).encode()).hexdigest())
+    if bad:
+        errs.append(f"{bad}/{len(docs)} fingerprints differ")
+    return errs
+
+
+def check_q15_dedup(con, sf_dir, spark_out):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    groups = {}
+    for _, r in docs.iterrows():
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        n, rep = groups.get(h, (0, None))
+        d = int(r["doc_id"])
+        groups[h] = (n + 1, d if rep is None else min(rep, d))
+    got = dump(spark_out, "q15_dedup_exact").set_index("content_hash")
+    errs = []
+    if len(got) != len(groups):
+        errs.append(f"group count {len(got)} != {len(groups)}")
+    for h, (n, rep) in groups.items():
+        if h not in got.index:
+            errs.append(f"hash {h} missing")
+        else:
+            row = got.loc[h]
+            if int(row["n_docs"]) != n or int(row["rep_doc"]) != rep:
+                errs.append(f"hash {h}: mismatch")
+    return errs
+
+
 CHECKS = {
+    "q14_quality_score": check_q14_quality,
+    "q15_dedup_exact": check_q15_dedup,
+    "q33_lang_id": check_q33_langid,
+    "q34_fingerprint": check_q34_fingerprint,
+    "q42_token_budget": check_q42_budget,
+    "q54_sessionize": check_q54_sessionize,
+    "q65_pack_sequences": check_q65_pack,
+    "q79_repetition": check_q79_repetition,
+    "q95_token_entropy": check_q95_entropy,
+    "q99_funnel": check_q99_funnel,
+    "q108_retention": check_q108_retention,
+    "q147_gap_islands": check_q147_gaps,
+    "q187_trigram_paths": check_q187_trigrams,
+    "q209_longest_streak": check_q209_streaks,
     "q83_pmi_cooccur": check_q83_pmi,
     "q110_triangles": check_q110_triangles,
     "q121_item_cf": check_q121_itemcf,
