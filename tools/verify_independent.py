@@ -2767,7 +2767,198 @@ def check_q15_dedup(con, sf_dir, spark_out):
     return errs
 
 
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _cc_labels(all_ids, edges):
+    """Min-label connected components via union-find (the independent
+    formulation of the engine's BSP label propagation)."""
+    uf = _UF()
+    for a, b in edges:
+        uf.union(a, b)
+    members = {}
+    for v in list(uf.p):
+        members.setdefault(uf.find(v), set()).add(v)
+    label = {}
+    for root, vs in members.items():
+        m = min(vs)
+        for v in vs:
+            label[v] = m
+    return {v: label.get(v, v) for v in all_ids}
+
+
+def _lsh_dup_edges(con, sf_dir, tau=0.5):
+    """q70's edge set: LSH candidate pairs with rounded jaccard >= tau."""
+    sigs, toks = _minhash_sigs(con, sf_dir)
+    buckets = {}
+    for d, mins in sigs.items():
+        if mins[0] is None:
+            continue
+        for b in range(4):
+            buckets.setdefault((b, "".join(mins[2 * b:2 * b + 2])),
+                               []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    sets = {d: {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+            for d, tk in toks.items() if len(tk) >= 3}
+    edges = []
+    for a, b in pairs:
+        if a not in sets or b not in sets:
+            continue
+        inter = len(sets[a] & sets[b])
+        j = spark_round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+        if j >= tau:
+            edges.append((a, b))
+    return edges, set(toks)
+
+
+def check_q70_clusters(con, sf_dir, spark_out):
+    edges, all_ids = _lsh_dup_edges(con, sf_dir)
+    labels = _cc_labels(all_ids, edges)
+    got = dump(spark_out, "q70_dedup_clusters").set_index("doc_id")
+    errs = []
+    bad = sum(1 for v, l in labels.items()
+              if int(got.loc[v, "cluster"]) != l or
+              bool(got.loc[v, "is_canonical"]) != (v == l))
+    if bad:
+        errs.append(f"{bad}/{len(labels)} cluster labels differ from"
+                    f" union-find")
+    if len(got) != len(labels):
+        errs.append(f"row count {len(got)} != {len(labels)}")
+    return errs
+
+
+def check_q98_keep_one(con, sf_dir, spark_out):
+    edges, all_ids = _lsh_dup_edges(con, sf_dir)
+    labels = _cc_labels(all_ids, edges)
+    docs = load(con, sf_dir, "documents", "doc_id, lang")
+    lang = {int(r["doc_id"]): r["lang"] for _, r in docs.iterrows()}
+    ledger = {}
+    for v, l in labels.items():
+        nd, nk = ledger.get(lang[v], (0, 0))
+        ledger[lang[v]] = (nd + 1, nk + (1 if v == l else 0))
+    got = dump(spark_out, "q98_dedup_keep_one").set_index("lang")
+    errs = []
+    for lg, (nd, nk) in ledger.items():
+        row = got.loc[lg]
+        if int(row["n_docs"]) != nd or int(row["n_kept"]) != nk or \
+           int(row["n_dropped"]) != nd - nk:
+            errs.append(f"{lg}: ledger mismatch")
+    return errs
+
+
+def _levenshtein(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _fuzzy_pairs(con, sf_dir, cap=256, max_dist=10):
+    """q225's blocked edit-distance pairs: composite key (8-char prefix |
+    len//64), blocks capped at `cap` by doc_id order, 40-char heads."""
+    docs = load(con, sf_dir, "documents", "doc_id, text").sort_values("doc_id")
+    blocks = {}
+    for _, r in docs.iterrows():
+        bk = r["text"][:8] + "|" + str(len(r["text"]) // 64)
+        blocks.setdefault(bk, []).append((int(r["doc_id"]), r["text"][:40]))
+    pairs = []
+    for bk, rows in blocks.items():
+        for part in range(0, len(rows), cap):
+            sub = rows[part:part + cap]
+            for i in range(len(sub)):
+                for j in range(i + 1, len(sub)):
+                    d = _levenshtein(sub[i][1], sub[j][1])
+                    if d <= max_dist:
+                        pairs.append((sub[i][0], sub[j][0], d))
+    return pairs, [int(x) for x in docs["doc_id"]]
+
+
+def check_q225_fuzzy(con, sf_dir, spark_out):
+    pairs, _ = _fuzzy_pairs(con, sf_dir)
+    got = dump(spark_out, "q225_fuzzy_block_dedup").set_index(
+        ["doc_a", "doc_b"])
+    errs = []
+    if len(got) != len(pairs):
+        errs.append(f"pair count {len(got)} != {len(pairs)}")
+    for a, b, d in pairs:
+        if (a, b) not in got.index:
+            errs.append(f"pair ({a},{b}) missing")
+        elif int(got.loc[(a, b), "dist"]) != d:
+            errs.append(f"({a},{b}): dist mismatch")
+    return errs
+
+
+def check_q236_clusters(con, sf_dir, spark_out):
+    pairs, all_ids = _fuzzy_pairs(con, sf_dir)
+    labels = _cc_labels(all_ids, [(a, b) for a, b, _ in pairs])
+    got = dump(spark_out, "q236_fuzzy_clusters").set_index("doc_id")
+    errs = []
+    bad = sum(1 for v, l in labels.items()
+              if int(got.loc[v, "cluster"]) != l or
+              bool(got.loc[v, "is_canonical"]) != (v == l))
+    if bad:
+        errs.append(f"{bad}/{len(labels)} fuzzy cluster labels differ")
+    return errs
+
+
+def check_q210_incremental(con, sf_dir, spark_out):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, lang, text")
+    existing = {hashlib.md5(r["text"].encode()).hexdigest()
+                for _, r in docs.iterrows() if r["doc_id"] < 400}
+    delta = [(int(r["doc_id"]), r["lang"],
+              hashlib.md5(r["text"].encode()).hexdigest())
+             for _, r in docs.iterrows() if r["doc_id"] >= 400]
+    first = {}
+    for d, lg, fp in sorted(delta):
+        if fp not in existing and fp not in first:
+            first[fp] = lg
+    counts = {}
+    for lg in first.values():
+        counts[lg] = counts.get(lg, 0) + 1
+    got = dump(spark_out, "q210_incremental_dedup").set_index("lang")
+    errs = []
+    if len(got) != len(counts):
+        errs.append(f"lang count {len(got)} != {len(counts)}")
+    for lg, n in counts.items():
+        row = got.loc[lg]
+        if int(row["n_ingested"]) != n or \
+           int(row["n_delta_total"]) != len(delta):
+            errs.append(f"{lg}: ingest ledger mismatch")
+    return errs
+
+
 CHECKS = {
+    "q70_dedup_clusters": check_q70_clusters,
+    "q98_dedup_keep_one": check_q98_keep_one,
+    "q210_incremental_dedup": check_q210_incremental,
+    "q225_fuzzy_block_dedup": check_q225_fuzzy,
+    "q236_fuzzy_clusters": check_q236_clusters,
     "q14_quality_score": check_q14_quality,
     "q15_dedup_exact": check_q15_dedup,
     "q33_lang_id": check_q33_langid,
