@@ -2953,7 +2953,280 @@ def check_q210_incremental(con, sf_dir, spark_out):
     return errs
 
 
+def check_q97_winsorize(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders", "o_orderstatus AS st, o_totalprice AS p")
+    o["p"] = o["p"].round(2)
+    x = np.sort(o["p"].to_numpy())
+    n = len(x)
+    p01 = x[math.ceil(0.01 * n) - 1]
+    p99 = x[math.ceil(0.99 * n) - 1]
+    got = dump(spark_out, "q97_winsorize").set_index("o_orderstatus")
+    errs = []
+    for st, g in o.groupby("st"):
+        cents = np.rint(g["p"].to_numpy() * 100).astype(np.int64)
+        clip = np.clip(g["p"].to_numpy(), p01, p99)
+        ccents = np.rint(clip * 100).astype(np.int64)
+        row = got.loc[st]
+        if int(row["n_orders"]) != len(g) or \
+           not close(row["avg_raw"],
+                     half_up_ratio(int(cents.sum()), len(g), 2), 1e-9) or \
+           not close(row["avg_wins"],
+                     half_up_ratio(int(ccents.sum()), len(g), 2), 1e-9) or \
+           int(row["n_low"]) != int((g["p"] < p01).sum()) or \
+           int(row["n_high"]) != int((g["p"] > p99).sum()):
+            errs.append(f"{st}: winsorize stats mismatch")
+    return errs
+
+
+def check_q104_equidepth(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders", "o_totalprice AS p")
+    o["p"] = o["p"].round(2)
+    x = np.sort(o["p"].to_numpy())
+    n = len(x)
+    bounds = [x[math.ceil(i * n / 10.0) - 1] for i in range(1, 10)]
+    bucket = np.zeros(len(o), dtype=int)
+    for b in bounds:
+        bucket += (o["p"].to_numpy() > b).astype(int)
+    o = o.assign(bucket=bucket)
+    got = dump(spark_out, "q104_equidepth").set_index("bucket")
+    errs = []
+    for bk, g in o.groupby("bucket"):
+        row = got.loc[bk]
+        if int(row["n_rows"]) != len(g) or \
+           not close(row["min_p"], g["p"].min(), 1e-9) or \
+           not close(row["max_p"], g["p"].max(), 1e-9):
+            errs.append(f"bucket {bk}: mismatch")
+    if len(got) != o["bucket"].nunique():
+        errs.append("bucket count mismatch")
+    return errs
+
+
+def check_q165_ttc(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "event_id, user_id, ts, event_type")
+    views = ev[ev["event_type"] == "view"]
+    cks = ev[ev["event_type"] == "click"]
+    by_user = {u: g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+               for u, g in cks.groupby("user_id")}
+    gaps = []
+    for _, r in views.iterrows():
+        ct = by_user.get(r["user_id"])
+        if ct is None:
+            continue
+        vt = np.datetime64(r["ts"], "us").astype("int64")
+        inwin = ct[(ct >= vt) & (ct <= vt + 3600000000)]
+        if len(inwin):
+            gaps.append((int(inwin.min()) - int(vt)) / 1000000.0)
+    gaps.sort()
+    n = len(gaps)
+    p50 = gaps[math.ceil(0.5 * n) - 1]
+    p90 = gaps[math.ceil(0.9 * n) - 1]
+    row = dump(spark_out, "q165_time_to_convert").iloc[0]
+    errs = []
+    if int(row["n_converted_views"]) != n or \
+       not close(row["p50_s"], p50, 1e-9) or \
+       not close(row["p90_s"], p90, 1e-9):
+        errs.append(f"({row['n_converted_views']},{row['p50_s']},"
+                    f"{row['p90_s']}) != ({n},{p50},{p90})")
+    return errs
+
+
+def check_q103_cms(con, sf_dir, spark_out):
+    toks = _doc_tokens(con, sf_dir)
+    freq = {}
+    total = 0
+    for tk in toks.values():
+        for w in tk:
+            freq[w] = freq.get(w, 0) + 1
+            total += 1
+    threshold = (total + 499) // 500
+    heavy = {w: c for w, c in freq.items() if c >= threshold}
+    got = dump(spark_out, "q103_cms_heavy").set_index("word")
+    errs = []
+    if len(got) != len(heavy):
+        errs.append(f"heavy-hitter count {len(got)} != {len(heavy)}")
+    for w, c in heavy.items():
+        if w not in got.index or int(got.loc[w, "n"]) != c:
+            errs.append(f"word '{w}': mismatch")
+    return errs
+
+
+def check_q234_kmv(con, sf_dir, spark_out, k=32):
+    import hashlib
+    ev = load(con, sf_dir, "events", "event_type, user_id")
+    got = dump(spark_out, "q234_kmv_sketch").set_index("event_type")
+    errs = []
+    for et, g in ev.groupby("event_type"):
+        users = set(g["user_id"].astype(int))
+        hashes = sorted({int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+                         for u in users})
+        row = got.loc[et]
+        if int(row["exact_users"]) != len(users):
+            errs.append(f"{et}: exact count mismatch")
+        if len(hashes) >= k:
+            est = (k - 1) * 4294967296.0 / hashes[k - 1]
+            if not close(row["kmv_estimate"], est, 6e-5):
+                errs.append(f"{et}: kmv {row['kmv_estimate']}"
+                            f" vs {est:.6f}")
+        # sketch-quality contract: the estimate should be within ~50% of
+        # exact for k=32 (rsd ~ 1/sqrt(k-2) ≈ 18%)
+        if len(hashes) >= k and \
+           abs(row["kmv_estimate"] - len(users)) > 0.5 * len(users):
+            errs.append(f"{et}: kmv estimate off by >50%")
+    return errs
+
+
+def check_q109_wsample(con, sf_dir, spark_out, k=50):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, lang, n_chars")
+    rows = []
+    for _, r in docs.iterrows():
+        b = int(hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()[:3],
+                16)
+        u = (b + 1) / 4096.0
+        key = spark_round(u ** (1.0 / int(r["n_chars"])), 6)
+        rows.append((key, int(r["doc_id"]), r["lang"], int(r["n_chars"])))
+    top = sorted(rows, key=lambda t: (-t[0], t[1]))[:k]
+    got = dump(spark_out, "q109_weighted_sample")
+    got = got.sort_values(["key_r", "doc_id"], ascending=[False, True])
+    errs = []
+    for (key, d, lang, nc), (_, row) in zip(top, got.iterrows()):
+        if int(row["doc_id"]) != d or not close(row["key_r"], key, 1e-9):
+            errs.append(f"doc {d}: A-Res key mismatch")
+    if len(got) != k:
+        errs.append(f"row count {len(got)} != {k}")
+    return errs
+
+
+def check_q62_hsample(con, sf_dir, spark_out):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, lang")
+    exp = {}
+    for _, r in docs.iterrows():
+        b = int(hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()[:3],
+                16)
+        rate = {"en": 1024, "de": 2048}.get(r["lang"], 410)
+        if b < rate:
+            exp[int(r["doc_id"])] = b
+    got = dump(spark_out, "q62_hash_sample").set_index("doc_id")
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"sample size {len(got)} != {len(exp)}")
+    for d, b in exp.items():
+        if d not in got.index or int(got.loc[d, "bucket"]) != b:
+            errs.append(f"doc {d}: mismatch")
+    return errs
+
+
+def check_q152_negsample(con, sf_dir, spark_out, k=3):
+    import hashlib
+    ck = clicks(con, sf_dir)[["userId", "newsId"]].drop_duplicates()
+    clicked = {(int(u), int(n)) for u, n in zip(ck["userId"], ck["newsId"])}
+    users = sorted({u for u, _ in clicked})
+    news = sorted({n for _, n in clicked})
+    got = dump(spark_out, "q152_negative_sampling").set_index(
+        ["user_id", "rk"])
+    errs = []
+    cnt = 0
+    for u in users:
+        cands = [(hashlib.md5(f"{u}:{n}".encode()).hexdigest(), n)
+                 for n in news if (u, n) not in clicked]
+        top = sorted(cands)[:k]
+        for rk, (_, n) in enumerate(top, 1):
+            cnt += 1
+            if int(got.loc[(u, rk), "neg_news"]) != n:
+                errs.append(f"user {u} rk {rk}: mismatch")
+    if len(got) != cnt:
+        errs.append(f"row count {len(got)} != {cnt}")
+    return errs
+
+
+def check_q153_fhash(con, sf_dir, spark_out, buckets=64):
+    import hashlib
+    toks = _doc_tokens(con, sf_dir)
+    exp = {}
+    for d, tk in toks.items():
+        for w in tk:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:3], 16) % buckets
+            exp[(d, b)] = exp.get((d, b), 0) + 1
+    got = dump(spark_out, "q153_feature_hashing").set_index(
+        ["doc_id", "bucket"])
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"cell count {len(got)} != {len(exp)}")
+    bad = sum(1 for key, n in exp.items()
+              if key not in got.index or int(got.loc[key, "n"]) != n)
+    if bad:
+        errs.append(f"{bad}/{len(exp)} hashed-feature cells differ")
+    return errs
+
+
+def check_q169_concurrency(con, sf_dir, spark_out, gap=1800):
+    ev = load(con, sf_dir, "events", "user_id, event_id, ts")
+    intervals = []
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        start = prev = None
+        for tt in t:
+            if prev is None or tt - prev >= gap * 1000000:
+                if start is not None:
+                    intervals.append((start, prev))
+                start = tt
+            prev = tt
+        intervals.append((start, prev))
+    deltas = [(s, 1) for s, _ in intervals] + [(e, -1) for _, e in intervals]
+    # sweep order: time asc, starts (+1) before ends (-1) at equal time
+    deltas.sort(key=lambda t: (t[0], -t[1]))
+    open_c = best = 0
+    for _, d in deltas:
+        open_c += d
+        best = max(best, open_c)
+    row = dump(spark_out, "q169_max_concurrency").iloc[0]
+    errs = []
+    if int(row["n_boundaries"]) != len(deltas) or \
+       int(row["max_concurrent"]) != best:
+        errs.append(f"({row['n_boundaries']},{row['max_concurrent']})"
+                    f" != ({len(deltas)},{best})")
+    return errs
+
+
+def check_q105_paths(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type")
+    stages = {}
+    for _, grp in ev.groupby(["user_id", "day"]):
+        g = grp.sort_values(["ts", "event_id"])
+        st = 0
+        for t in g["event_type"]:
+            if st == 0 and t == "view":
+                st = 1
+            elif st == 1 and t == "click":
+                st = 2
+            elif st == 2 and t == "purchase":
+                st = 3
+        stages[st] = stages.get(st, 0) + 1
+    got = dump(spark_out, "q105_conversion_paths").set_index("stage")
+    errs = []
+    if len(got) != len(stages):
+        errs.append(f"stage count {len(got)} != {len(stages)}")
+    for st, n in stages.items():
+        if st not in got.index or int(got.loc[st, "n_user_days"]) != n:
+            errs.append(f"stage {st}: mismatch")
+    return errs
+
+
 CHECKS = {
+    "q62_hash_sample": check_q62_hsample,
+    "q97_winsorize": check_q97_winsorize,
+    "q103_cms_heavy": check_q103_cms,
+    "q104_equidepth": check_q104_equidepth,
+    "q105_conversion_paths": check_q105_paths,
+    "q109_weighted_sample": check_q109_wsample,
+    "q152_negative_sampling": check_q152_negsample,
+    "q153_feature_hashing": check_q153_fhash,
+    "q165_time_to_convert": check_q165_ttc,
+    "q169_max_concurrency": check_q169_concurrency,
+    "q234_kmv_sketch": check_q234_kmv,
     "q70_dedup_clusters": check_q70_clusters,
     "q98_dedup_keep_one": check_q98_keep_one,
     "q210_incremental_dedup": check_q210_incremental,
