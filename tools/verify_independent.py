@@ -3215,7 +3215,307 @@ def check_q105_paths(con, sf_dir, spark_out):
     return errs
 
 
+def _distinct_shingles(toks, w):
+    return {d: {" ".join(tk[i:i + w]) for i in range(len(tk) - w + 1)}
+            for d, tk in toks.items() if len(tk) >= w}
+
+
+def check_q93_boiler(con, sf_dir, spark_out, w=8):
+    toks = _doc_tokens(con, sf_dir)
+    sh = _distinct_shingles(toks, w)
+    df = {}
+    for s in sh.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    got = dump(spark_out, "q93_boilerplate").set_index("doc_id")
+    errs = []
+    bad = 0
+    for d, s in sh.items():
+        n_common = sum(1 for g in s if df[g] >= 3)
+        row = got.loc[d]
+        if int(row["n_shingles"]) != len(s) or \
+           int(row["n_common"]) != n_common or \
+           not close(row["boiler_share"],
+                     spark_round(n_common / len(s), 6), 1e-9):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(sh)} boilerplate rows differ")
+    if len(got) != len(sh):
+        errs.append(f"doc count {len(got)} != {len(sh)}")
+    return errs
+
+
+def check_q94_decontam(con, sf_dir, spark_out, w=5, mod=97):
+    toks = _doc_tokens(con, sf_dir)
+    sh = _distinct_shingles(toks, w)
+    bench = set()
+    for d, s in sh.items():
+        if d % mod == 0:
+            bench |= s
+    got = dump(spark_out, "q94_decontam").set_index("doc_id")
+    errs = []
+    n = 0
+    bad = 0
+    for d, s in sh.items():
+        if d % mod == 0:
+            continue
+        n += 1
+        hit = sum(1 for g in s if g in bench)
+        ov = spark_round(hit / len(s), 6)
+        row = got.loc[d]
+        if int(row["n_grams"]) != len(s) or int(row["n_hit"]) != hit or \
+           not close(row["overlap"], ov, 1e-9) or \
+           bool(row["contaminated"]) != (ov >= 0.05):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} decontam rows differ")
+    if len(got) != n:
+        errs.append(f"doc count {len(got)} != {n}")
+    return errs
+
+
+def check_q96_langmix(con, sf_dir, spark_out):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, lang, n_chars")
+    nl = docs.groupby("lang").size().to_dict()
+    n_tot = float(len(docs))
+    s_w = spark_round(sum(math.sqrt(v) for v in nl.values()), 6)
+    caps = {lg: int(min(1.0, math.sqrt(v) / s_w * (n_tot / 2.0) / v) * 4096)
+            for lg, v in nl.items()}
+    got = dump(spark_out, "q96_lang_mix").set_index("lang")
+    errs = []
+    for lg, v in nl.items():
+        kept = chars = 0
+        for _, r in docs[docs["lang"] == lg].iterrows():
+            b = int(hashlib.md5(str(int(r["doc_id"])).encode())
+                    .hexdigest()[:3], 16)
+            if b < caps[lg]:
+                kept += 1
+                chars += int(r["n_chars"])
+        row = got.loc[lg]
+        if int(row["n_before"]) != v or \
+           not close(row["rate"], spark_round(caps[lg] / 4096.0, 6), 1e-9) or \
+           int(row["n_after"]) != kept or int(row["kept_chars"]) != chars:
+            errs.append(f"{lg}: lang-mix mismatch")
+    return errs
+
+
+def check_q229_oov(con, sf_dir, spark_out, vsize=1000):
+    toks = _doc_tokens(con, sf_dir)
+    freq = {}
+    for tk in toks.values():
+        for w in tk:
+            freq[w] = freq.get(w, 0) + 1
+    vocab = {w for w, _ in
+             sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:vsize]}
+    got = dump(spark_out, "q229_vocab_oov").set_index("doc_id")
+    errs = []
+    bad = 0
+    for d, tk in toks.items():
+        oov = sum(1 for w in tk if w not in vocab)
+        row = got.loc[d]
+        if int(row["n_tokens"]) != len(tk) or int(row["n_oov"]) != oov or \
+           not close(row["oov_rate"], spark_round(oov / len(tk), 6), 1e-9):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(toks)} OOV rows differ")
+    return errs
+
+
+def check_q230_mix(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "source")
+    nd = docs.groupby("source").size().to_dict()
+    tot = len(docs)
+    idx = {s: int(re.search(r"([0-9]+)$", s).group(1)) for s in nd}
+    tsum = sum(i + 1 for i in idx.values())
+    got = dump(spark_out, "q230_mix_weights").set_index("source")
+    errs = []
+    for s, n in nd.items():
+        act = spark_round(n / tot, 6)
+        tgt = spark_round((idx[s] + 1) / tsum, 6)
+        wt = spark_round(min(tgt / act, 3.0), 6)
+        row = got.loc[s]
+        if int(row["n_docs"]) != n or \
+           not close(row["actual_share"], act, 1e-9) or \
+           not close(row["target_share"], tgt, 1e-9) or \
+           not close(row["weight"], wt, 1e-9):
+            errs.append(f"{s}: mix weights mismatch")
+    return errs
+
+
+def check_q239_lmq(con, sf_dir, spark_out):
+    # rebuild q123's per-doc avg_logp, then decile by (avg_logp, doc_id)
+    toks = _doc_tokens(con, sf_dir)
+    per_doc = {}
+    c2 = {}
+    c1 = {}
+    for d, tk in toks.items():
+        if len(tk) < 2:
+            continue
+        bg = {}
+        for a, b in zip(tk, tk[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+        per_doc[d] = bg
+        for (a, b), k in bg.items():
+            c2[(a, b)] = c2.get((a, b), 0) + k
+            c1[a] = c1.get(a, 0) + k
+    vocab = len({w for tk in toks.values() for w in tk})
+    scores = []
+    for d, bg in per_doc.items():
+        n = sum(bg.values())
+        lp = sum(k * math.log((c2[p] + 1) / (c1[p[0]] + vocab))
+                 for p, k in bg.items())
+        scores.append((spark_round(lp / n, 6), d))
+    scores.sort()
+    nr = len(scores)
+    deciles = {}
+    for rank, (lp, d) in enumerate(scores, 1):
+        deciles.setdefault(_ntile(nr, 10, rank), []).append(lp)
+    got = dump(spark_out, "q239_lm_quality").set_index("decile")
+    errs = []
+    for dec, lps in deciles.items():
+        row = got.loc[dec]
+        if int(row["n_docs"]) != len(lps) or \
+           not close(row["min_logp"], min(lps), 1e-9) or \
+           not close(row["max_logp"], max(lps), 1e-9) or \
+           bool(row["filtered"]) != (dec == 1):
+            errs.append(f"decile {dec}: mismatch")
+    return errs
+
+
+def check_q255_mix_sample(con, sf_dir, spark_out, cap_micros=3000000):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, source")
+    nd = docs.groupby("source").size().to_dict()
+    tot = sum(nd.values())
+    idx = {s: int(re.search(r"([0-9]+)$", s).group(1)) for s in nd}
+    tsum = sum(i + 1 for i in idx.values())
+    wu = {s: min(half_up_ratio((idx[s] + 1) * tot * 1000000,
+                               tsum * n, 0), cap_micros)
+          for s, n in nd.items()}
+    got = dump(spark_out, "q255_mix_sample").set_index("doc_id")
+    errs = []
+    bad = 0
+    for _, r in docs.iterrows():
+        d = int(r["doc_id"])
+        w = int(wu[r["source"]])
+        draw = int(hashlib.md5(str(d).encode()).hexdigest()[:6], 16) % 1000000
+        n_rep = w // 1000000 + (1 if draw < w % 1000000 else 0)
+        if int(got.loc[d, "n_rep"]) != n_rep:
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(docs)} replication counts differ")
+    return errs
+
+
+def check_q257_funnel(con, sf_dir, spark_out):
+    stop = {"the", "and", "of", "to", "in", "a", "is"}
+    toks = _doc_tokens(con, sf_dir)
+    kills = {}
+    for tk in toks.values():
+        n = len(tk)
+        sl = sum(len(w) for w in tk)
+        counts = {}
+        for w in tk:
+            counts[w] = counts.get(w, 0) + 1
+        topk = max(counts.values()) if counts else 0
+        uq = len(counts)
+        ns = len(set(tk) & stop)
+        if not (20 <= n <= 90):
+            ff = 1
+        elif sl * 100 < n * 425:
+            ff = 2
+        elif topk * 10 > n:
+            ff = 3
+        elif uq * 10 < n * 4:
+            ff = 4
+        elif ns < 1:
+            ff = 5
+        else:
+            ff = 0
+        kills[ff] = kills.get(ff, 0) + 1
+    total = sum(kills.values())
+    got = dump(spark_out, "q257_rule_funnel").set_index("rule")
+    errs = []
+    surv = total
+    for rule in range(1, 6):
+        killed = kills.get(rule, 0)
+        surv -= killed
+        row = got.loc[rule]
+        if int(row["n_killed"]) != killed or int(row["n_surviving"]) != surv:
+            errs.append(f"rule {rule}: ({row['n_killed']},"
+                        f"{row['n_surviving']}) != ({killed},{surv})")
+    return errs
+
+
+def check_q122_chunks(con, sf_dir, spark_out, chunk=64, stride=48):
+    import hashlib
+    toks = _doc_tokens(con, sf_dir)
+    got = dump(spark_out, "q122_doc_chunks").set_index(["doc_id", "chunk_idx"])
+    errs = []
+    n = 0
+    bad = 0
+    for d, tk in toks.items():
+        if not tk:
+            continue
+        for ci in range((len(tk) - 1) // stride + 1):
+            ck = tk[ci * stride:ci * stride + chunk]
+            n += 1
+            row = got.loc[(d, ci)]
+            if int(row["n_tokens"]) != len(ck) or row["chunk_hash"] != \
+               hashlib.md5(" ".join(ck).encode()).hexdigest():
+                bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} chunks differ")
+    if len(got) != n:
+        errs.append(f"chunk count {len(got)} != {n}")
+    return errs
+
+
+def check_q199_pipeline(con, sf_dir, spark_out):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, lang, n_chars, text")
+    docs = docs.sort_values("doc_id")
+    seen_exact = set()
+    seen_near = set()
+    agg = {}
+    for _, r in docs.iterrows():
+        tk = tokenize(r["text"])
+        nc = int(r["n_chars"])
+        if not (200 <= nc <= 20000) or len(set(tk)) * 10 < len(tk) * 3:
+            continue
+        he = hashlib.md5(r["text"].encode()).hexdigest()
+        if he in seen_exact:
+            continue
+        seen_exact.add(he)
+        hn = hashlib.md5(" ".join(sorted(set(tk))).encode()).hexdigest()
+        if hn in seen_near:
+            continue
+        seen_near.add(hn)
+        ndocs, ntok, nch = agg.get(r["lang"], (0, 0, 0))
+        agg[r["lang"]] = (ndocs + 1, ntok + len(tk),
+                          nch + (len(tk) + 511) // 512)
+    got = dump(spark_out, "q199_curation_pipeline").set_index("lang")
+    errs = []
+    for lg, (ndocs, ntok, nch) in agg.items():
+        row = got.loc[lg]
+        if int(row["n_docs"]) != ndocs or int(row["n_tokens"]) != ntok or \
+           int(row["n_chunks"]) != nch:
+            errs.append(f"{lg}: pipeline rollup mismatch")
+    return errs
+
+
 CHECKS = {
+    "q93_boilerplate": check_q93_boiler,
+    "q94_decontam": check_q94_decontam,
+    "q96_lang_mix": check_q96_langmix,
+    "q122_doc_chunks": check_q122_chunks,
+    "q199_curation_pipeline": check_q199_pipeline,
+    "q229_vocab_oov": check_q229_oov,
+    "q230_mix_weights": check_q230_mix,
+    "q239_lm_quality": check_q239_lmq,
+    "q255_mix_sample": check_q255_mix_sample,
+    "q257_rule_funnel": check_q257_funnel,
     "q62_hash_sample": check_q62_hsample,
     "q97_winsorize": check_q97_winsorize,
     "q103_cms_heavy": check_q103_cms,
