@@ -3505,7 +3505,464 @@ def check_q199_pipeline(con, sf_dir, spark_out):
     return errs
 
 
+def check_q80_splits(con, sf_dir, spark_out):
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, lang, n_chars")
+    cells = {}
+    for _, r in docs.iterrows():
+        b = int(hashlib.md5(str(int(r["doc_id"])).encode())
+                .hexdigest()[:3], 16) % 10
+        split = "train" if b < 8 else ("val" if b == 8 else "test")
+        nd, sc = cells.get((r["lang"], split), (0, 0))
+        cells[(r["lang"], split)] = (nd + 1, sc + int(r["n_chars"]))
+    got = dump(spark_out, "q80_split_stats").set_index(["lang", "split"])
+    errs = []
+    if len(got) != len(cells):
+        errs.append(f"cell count {len(got)} != {len(cells)}")
+    for key, (nd, sc) in cells.items():
+        row = got.loc[key]
+        if int(row["n_docs"]) != nd or int(row["sum_chars"]) != sc:
+            errs.append(f"{key}: split stats mismatch")
+    return errs
+
+
+def check_q81_pareto(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders",
+             "o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS d")
+    keep = set()
+    for _, g in o.groupby("o_custkey"):
+        rows = list(zip(g["o_orderkey"].astype(int),
+                        g["o_totalprice"], pd.to_datetime(g["d"])))
+        for k1, p1, d1 in rows:
+            dominated = any(
+                p2 >= p1 and d2 >= d1 and (p2 > p1 or d2 > d1)
+                for _, p2, d2 in rows)
+            if not dominated:
+                keep.add(k1)
+    got = dump(spark_out, "q81_pareto")
+    errs = []
+    if len(got) != len(keep):
+        errs.append(f"frontier size {len(got)} != {len(keep)}")
+    if set(got["o_orderkey"].astype(int)) != keep:
+        errs.append("frontier membership differs")
+    return errs
+
+
+def check_q89_buckets(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders", "o_totalprice AS p")
+    o["bucket"] = (o["p"] // 50000 + 1).astype(int)
+    got = dump(spark_out, "q89_value_buckets").set_index("bucket")
+    errs = []
+    for bk, g in o.groupby("bucket"):
+        row = got.loc[bk]
+        if int(row["n"]) != len(g) or \
+           not close(row["sum_price"], spark_round(g["p"].sum(), 2), 2e-6):
+            errs.append(f"bucket {bk}: mismatch")
+    return errs
+
+
+def check_q92_hist(con, sf_dir, spark_out, bins=20):
+    ev = load(con, sf_dir, "events", "value")
+    v = ev["value"].to_numpy(dtype=np.float64)
+    lo, hi = v.min(), v.max()
+    b = np.minimum(np.floor((v - lo) / ((hi - lo) / bins)), bins - 1)
+    got = dump(spark_out, "q92_value_histogram").set_index("bin")
+    errs = []
+    exp = pd.Series(b.astype(int)).value_counts().to_dict()
+    if len(got) != len(exp):
+        errs.append(f"bin count {len(got)} != {len(exp)}")
+    for bk, n in exp.items():
+        if bk not in got.index or int(got.loc[bk, "n"]) != n:
+            errs.append(f"bin {bk}: mismatch")
+    return errs
+
+
+def check_q111_centroids(con, sf_dir, spark_out):
+    emb = load(con, sf_dir, "embeddings", "label, embedding")
+    got = dump(spark_out, "q111_label_centroids").set_index(["label", "dim"])
+    errs = []
+    bad = 0
+    for label, g in emb.groupby("label"):
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        cen = X.mean(axis=0)
+        for dim, v in enumerate(cen):
+            if not close(got.loc[(label, dim), "centroid"], v, 6e-7):
+                bad += 1
+    if bad:
+        errs.append(f"{bad} centroid cells differ")
+    return errs
+
+
+def check_q112_mi(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "lang, source")
+    n = len(docs)
+    cells = docs.groupby(["lang", "source"]).size()
+    nl = docs.groupby("lang").size()
+    ns = docs.groupby("source").size()
+    mi = sum((c / n) * math.log(c * n / (nl[lg] * ns[src]))
+             for (lg, src), c in cells.items())
+    row = dump(spark_out, "q112_mi_contingency").iloc[0]
+    errs = []
+    if int(row["n_cells"]) != len(cells):
+        errs.append(f"n_cells {row['n_cells']} != {len(cells)}")
+    if not close(row["mi"], mi, 6e-7):
+        errs.append(f"mi {row['mi']} vs textbook {mi:.9f}")
+    return errs
+
+
+def check_q148_curve(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)
+    first = ck.groupby("userId")["date"].min()
+    per_day = first.value_counts().sort_index()
+    got = dump(spark_out, "q148_new_user_curve")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index("day")
+    errs = []
+    cum = 0
+    for day, n in per_day.items():
+        cum += n
+        row = got.loc[pd.Timestamp(day)]
+        if int(row["n_new"]) != n or int(row["cum_users"]) != cum:
+            errs.append(f"{day}: new-user curve mismatch")
+    return errs
+
+
+def check_q150_checksum(con, sf_dir, spark_out):
+    import hashlib
+    o = load(con, sf_dir, "orders",
+             "o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+             "CAST(o_orderdate AS DATE) AS d, o_orderpriority")
+    total = 0
+    for _, r in o.iterrows():
+        cents = int(spark_round(r["o_totalprice"] * 100, 0))
+        # pandas renders the DATE column as a midnight Timestamp — format
+        # explicitly to the yyyy-MM-dd both engines hash
+        s = "|".join([str(int(r["o_orderkey"])), str(int(r["o_custkey"])),
+                      r["o_orderstatus"], str(cents),
+                      pd.Timestamp(r["d"]).strftime("%Y-%m-%d"),
+                      r["o_orderpriority"]])
+        total += int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    row = dump(spark_out, "q150_table_checksum").iloc[0]
+    errs = []
+    if int(row["n_rows"]) != len(o) or int(row["checksum"]) != total:
+        errs.append(f"({row['n_rows']},{row['checksum']})"
+                    f" != ({len(o)},{total})")
+    return errs
+
+
+def check_q154_loo(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders",
+             "o_orderkey, o_orderpriority AS pr, o_totalprice AS p")
+    stats = o.groupby("pr")["p"].agg(["sum", "size"])
+    got = dump(spark_out, "q154_target_encoding").set_index("o_orderkey")
+    errs = []
+    bad = 0
+    for _, r in o.iterrows():
+        s, n = stats.loc[r["pr"], "sum"], stats.loc[r["pr"], "size"]
+        loo = spark_round((s - r["p"]) / (n - 1), 4)
+        if not close(got.loc[int(r["o_orderkey"]), "loo_mean"], loo, 2e-4):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(o)} LOO means differ")
+    return errs
+
+
+def check_q162_geo(con, sf_dir, spark_out):
+    cust = load(con, sf_dir, "customer", "c_custkey AS id")
+    ids = cust["id"].astype(int).to_numpy()
+    lat = ((ids * 37) % 300) / 10.0 - 15.0
+    lon = ((ids * 73) % 600) / 10.0
+    got = dump(spark_out, "q162_geo_bucket_join").set_index(["ida", "idb"])
+    # grid-accelerated haversine: same 3x3 cell neighborhood as the lane
+    cells = {}
+    for i, vid in enumerate(ids):
+        cells.setdefault((int(np.floor(lat[i])), int(np.floor(lon[i]))),
+                         []).append(i)
+    exp = {}
+    for i, vid in enumerate(ids):
+        cx, cy = int(np.floor(lat[i])), int(np.floor(lon[i]))
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in cells.get((cx + dx, cy + dy), ()):
+                    a, b = ids[i], ids[j]
+                    if a >= b:
+                        continue
+                    la1, lo1, la2, lo2 = map(
+                        math.radians, (lat[i], lon[i], lat[j], lon[j]))
+                    dkm = 12742.0 * math.asin(math.sqrt(
+                        math.sin((la2 - la1) / 2) ** 2 +
+                        math.cos(la1) * math.cos(la2) *
+                        math.sin((lo2 - lo1) / 2) ** 2))
+                    dkm = spark_round(dkm, 3)
+                    if dkm <= 40.0:
+                        exp[(a, b)] = dkm
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"pair count {len(got)} != {len(exp)}")
+    bad = sum(1 for k, dkm in exp.items()
+              if k not in got.index or
+              not close(got.loc[k, "dist_km"], dkm, 1e-9))
+    if bad:
+        errs.append(f"{bad}/{len(exp)} geo pairs differ")
+    return errs
+
+
+def check_q163_wow(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders", "CAST(o_orderdate AS DATE) AS d, "
+             "o_totalprice AS p")
+    o["week"] = pd.to_datetime(o["d"]).dt.to_period(
+        "W-SUN").dt.start_time  # ISO Monday weeks (date_trunc('week'))
+    weekly = o.groupby("week")["p"].sum().sort_index()
+    got = dump(spark_out, "q163_wow_lift")
+    got["week"] = pd.to_datetime(got["week"])
+    got = got.set_index("week")
+    errs = []
+    prev = None
+    n = 0
+    for week, rev in weekly.items():
+        if prev is not None:
+            n += 1
+            row = got.loc[week]
+            if not close(row["revenue"], spark_round(rev, 2), 2e-6) or \
+               not close(row["wow_lift"], rev / prev - 1, 6e-7):
+                errs.append(f"{week.date()}: wow mismatch")
+        prev = rev
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q167_attr(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "user_id, event_id, ts, event_type")
+    counts = {}
+    for _, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        last_touch = None  # (ts_us, type)
+        for tt, et in zip(t, g["event_type"]):
+            if et == "purchase":
+                if last_touch is None or tt - last_touch[0] > 7 * 86400000000:
+                    key = "none"
+                else:
+                    key = last_touch[1]
+                counts[key] = counts.get(key, 0) + 1
+            if et in ("click", "view"):
+                last_touch = (tt, et)
+    got = dump(spark_out, "q167_attribution").set_index("attributed_to")
+    errs = []
+    if len(got) != len(counts):
+        errs.append(f"class count {len(got)} != {len(counts)}")
+    for key, n in counts.items():
+        if key not in got.index or int(got.loc[key, "n_purchases"]) != n:
+            errs.append(f"{key}: mismatch")
+    return errs
+
+
+def check_q203_survivorship(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, lang, n_chars, text")
+    groups = {}
+    for _, r in docs.iterrows():
+        fp = " ".join(sorted(set(tokenize(r["text"]))))
+        groups.setdefault(fp, []).append(
+            (int(r["doc_id"]), r["lang"], int(r["n_chars"])))
+    agg = {}
+    for rows in groups.values():
+        keep = min(rows, key=lambda t: (-t[2], t[0]))
+        min_id = min(t[0] for t in rows)
+        nk, sc, nd = agg.get(keep[1], (0, 0, 0))
+        agg[keep[1]] = (nk + 1, sc + keep[2],
+                        nd + (1 if keep[0] != min_id else 0))
+    got = dump(spark_out, "q203_survivorship").set_index("lang")
+    errs = []
+    for lg, (nk, sc, nd) in agg.items():
+        row = got.loc[lg]
+        if int(row["n_kept"]) != nk or int(row["sum_chars"]) != sc or \
+           int(row["n_policy_differs"]) != nd:
+            errs.append(f"{lg}: survivorship mismatch")
+    return errs
+
+
+def check_q205_srm(con, sf_dir, spark_out):
+    import hashlib
+    ev = load(con, sf_dir, "events", "user_id, event_type")
+    ev["arm"] = ev["user_id"].map(
+        lambda u: int(hashlib.md5(str(int(u)).encode()).hexdigest()[:3],
+                      16) % 2)
+    per = {}
+    for arm, g in ev.groupby("arm"):
+        per[arm] = (g["user_id"].nunique(), len(g),
+                    int((g["event_type"] == "click").sum()))
+    ua, ea, ca = per[0]
+    ub, eb, cb = per[1]
+    z = (ua - (ua + ub) / 2.0) / math.sqrt((ua + ub) * 0.25)
+    row = dump(spark_out, "q205_ab_srm").iloc[0]
+    errs = []
+    if int(row["users_a"]) != ua or int(row["users_b"]) != ub or \
+       not close(row["srm_z"], z, 6e-7) or \
+       not close(row["ctr_a"], ca / ea, 6e-7) or \
+       not close(row["ctr_b"], cb / eb, 6e-7):
+        errs.append("SRM stats mismatch")
+    return errs
+
+
+def check_q206_stump(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders", "o_totalprice AS p, o_orderpriority AS pr")
+    bins = np.minimum(np.floor(o["p"].to_numpy() / 30000), 19).astype(int)
+    y = (o["pr"] == "1-URGENT").to_numpy().astype(int)
+    n_b = {}
+    p_b = {}
+    for b, yy in zip(bins, y):
+        n_b[b] = n_b.get(b, 0) + 1
+        p_b[b] = p_b.get(b, 0) + yy
+    tn, tp = len(o), int(y.sum())
+
+    def ent(p, n):
+        if p == 0 or p == n:
+            return 0.0
+        q = p / n
+        return -(q * math.log(q) + (1 - q) * math.log(1 - q))
+
+    best = None
+    cn = cp = 0
+    for b in sorted(n_b):
+        cn += n_b[b]
+        cp += p_b[b]
+        if cn >= tn:
+            continue
+        gain = spark_round(
+            ent(tp, tn) - (cn / tn) * ent(cp, cn)
+            - ((tn - cn) / tn) * ent(tp - cp, tn - cn), 6)
+        if best is None or (gain, -b) > (best[1], -best[0]):
+            best = (b, gain)
+    row = dump(spark_out, "q206_stump_split").iloc[0]
+    errs = []
+    if int(row["best_split_bin"]) != best[0] or \
+       not close(row["gain"], best[1], 1e-9):
+        errs.append(f"({row['best_split_bin']},{row['gain']}) != {best}")
+    return errs
+
+
+def check_q212_pct(con, sf_dir, spark_out):
+    df = con.execute(
+        f"""SELECT r_name, n_name, sum(o_totalprice) AS rev
+            FROM read_parquet('{tbl(sf_dir, 'orders')}') o
+            JOIN read_parquet('{tbl(sf_dir, 'customer')}') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{tbl(sf_dir, 'nation')}') n
+              ON c.c_nationkey = n.n_nationkey
+            JOIN read_parquet('{tbl(sf_dir, 'region')}') r
+              ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2"""
+    ).df()
+    tot = df["rev"].sum()
+    reg = df.groupby("r_name")["rev"].sum()
+    got = dump(spark_out, "q212_pct_of_parent").set_index(["r_name", "n_name"])
+    errs = []
+    for _, r in df.iterrows():
+        row = got.loc[(r["r_name"], r["n_name"])]
+        if not close(row["revenue"], spark_round(r["rev"], 2), 2e-6) or \
+           not close(row["pct_of_region"], r["rev"] / reg[r["r_name"]],
+                     6e-7) or \
+           not close(row["pct_of_total"], r["rev"] / tot, 6e-7):
+            errs.append(f"({r['r_name']},{r['n_name']}): pct mismatch")
+    return errs
+
+
+def check_q213_calibration(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)
+    daily = ck.groupby(["newsId", "date"]).size()
+    series = []
+    for nid, s in daily.groupby(level=0):
+        c = s.sort_index(level=1).to_numpy(dtype=np.float64)
+        if len(c) < 2:
+            continue
+        ew = c[0]
+        for x in c[1:-1]:
+            ew = 0.3 * x + 0.7 * ew
+        series.append((spark_round(ew, 6), int(nid), c[-1]))
+    series.sort(key=lambda t: (t[0], t[1]))
+    nr = len(series)
+    buckets = {}
+    for rank, (pred, nid, actual) in enumerate(series, 1):
+        buckets.setdefault(_ntile(nr, 5, rank), []).append((pred, actual))
+    got = dump(spark_out, "q213_forecast_calibration").set_index("bucket")
+    errs = []
+    for bk, vals in buckets.items():
+        row = got.loc[bk]
+        ap = sum(p for p, _ in vals) / len(vals)
+        aa = sum(a for _, a in vals) / len(vals)
+        if int(row["n_series"]) != len(vals) or \
+           not close(row["avg_pred"], ap, 6e-7) or \
+           not close(row["avg_actual"], aa, 6e-7):
+            errs.append(f"bucket {bk}: calibration mismatch")
+    return errs
+
+
+def check_q216_ltv(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "user_id, CAST(ts AS DATE) AS day, event_type, value")
+    ev["day"] = pd.to_datetime(ev["day"])
+    cohort = ev.groupby("user_id")["day"].min()
+    purch = ev[ev["event_type"] == "purchase"].copy()
+    purch["cohort"] = purch["user_id"].map(cohort)
+    purch["age"] = (purch["day"] - purch["cohort"]).dt.days
+    rev = purch.groupby(["cohort", "age"])["value"].sum()
+    got = dump(spark_out, "q216_cohort_ltv")
+    got["cohort"] = pd.to_datetime(got["cohort"])
+    got = got.set_index(["cohort", "age"])
+    errs = []
+    if len(got) != len(rev):
+        errs.append(f"cell count {len(got)} != {len(rev)}")
+    for co, g in rev.groupby(level=0):
+        cum = 0.0
+        for (c, age), r in g.sort_index().items():
+            cum += r
+            row = got.loc[(co, age)]
+            if not close(row["revenue"], spark_round(r, 2), 2e-6) or \
+               not close(row["cum_revenue"], spark_round(cum, 2), 2e-6):
+                errs.append(f"({co.date()},{age}): LTV mismatch")
+    return errs
+
+
+def check_q243_rollup(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, lang, source, n_chars")
+    agg = {}
+    for _, r in docs.iterrows():
+        for p in ("root", f"root/{r['lang']}",
+                  f"root/{r['lang']}/{r['source']}"):
+            nd, sc = agg.get(p, (0, 0))
+            agg[p] = (nd + 1, sc + int(r["n_chars"]))
+    got = dump(spark_out, "q243_path_rollup").set_index("path")
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"path count {len(got)} != {len(agg)}")
+    for p, (nd, sc) in agg.items():
+        row = got.loc[p]
+        if int(row["n_docs"]) != nd or int(row["sum_chars"]) != sc:
+            errs.append(f"{p}: rollup mismatch")
+    return errs
+
+
 CHECKS = {
+    "q80_split_stats": check_q80_splits,
+    "q81_pareto": check_q81_pareto,
+    "q89_value_buckets": check_q89_buckets,
+    "q92_value_histogram": check_q92_hist,
+    "q111_label_centroids": check_q111_centroids,
+    "q112_mi_contingency": check_q112_mi,
+    "q148_new_user_curve": check_q148_curve,
+    "q150_table_checksum": check_q150_checksum,
+    "q154_target_encoding": check_q154_loo,
+    "q162_geo_bucket_join": check_q162_geo,
+    "q163_wow_lift": check_q163_wow,
+    "q167_attribution": check_q167_attr,
+    "q203_survivorship": check_q203_survivorship,
+    "q205_ab_srm": check_q205_srm,
+    "q206_stump_split": check_q206_stump,
+    "q212_pct_of_parent": check_q212_pct,
+    "q213_forecast_calibration": check_q213_calibration,
+    "q216_cohort_ltv": check_q216_ltv,
+    "q243_path_rollup": check_q243_rollup,
     "q93_boilerplate": check_q93_boiler,
     "q94_decontam": check_q94_decontam,
     "q96_lang_mix": check_q96_langmix,
