@@ -3943,7 +3943,425 @@ def check_q243_rollup(con, sf_dir, spark_out):
     return errs
 
 
+def check_q13_tokens(con, sf_dir, spark_out):
+    toks = _doc_tokens(con, sf_dir)
+    got = dump(spark_out, "q13_token_stats").set_index("doc_id")
+    errs = []
+    bad = sum(1 for d, tk in toks.items()
+              if int(got.loc[d, "n_tokens"]) != len(tk) or
+              int(got.loc[d, "n_distinct"]) != len(set(tk)))
+    if bad:
+        errs.append(f"{bad}/{len(toks)} token stats differ")
+    return errs
+
+
+def check_q16_langstats(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "lang, n_chars, text")
+    got = dump(spark_out, "q16_lang_stats").set_index("lang")
+    errs = []
+    for lg, g in docs.groupby("lang"):
+        ntk = [len(tokenize(t)) for t in g["text"]]
+        row = got.loc[lg]
+        if int(row["n_docs"]) != len(g) or \
+           not close(row["avg_chars"],
+                     half_up_ratio(int(g["n_chars"].sum()) * 10000,
+                                   len(g), 4), 1e-9) or \
+           not close(row["avg_tokens"],
+                     half_up_ratio(sum(ntk) * 10000, len(g), 4), 1e-9):
+            errs.append(f"{lg}: lang stats mismatch")
+    return errs
+
+
+def check_q17_wordfreq(con, sf_dir, spark_out, k=20):
+    toks = _doc_tokens(con, sf_dir)
+    freq = {}
+    for tk in toks.values():
+        for w in tk:
+            freq[w] = freq.get(w, 0) + 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = dump(spark_out, "q17_word_freq").sort_values("rn")
+    errs = []
+    for (w, n), (_, row) in zip(top, got.iterrows()):
+        if row["word"] != w or int(row["n"]) != n:
+            errs.append(f"rank {row['rn']}: ({row['word']},{row['n']})"
+                        f" != ({w},{n})")
+    return errs
+
+
+def check_q20_users(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)
+    got = dump(spark_out, "q20_unique_users")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index("date")
+    errs = []
+    for day, g in ck.groupby("date"):
+        exp = ",".join(str(u) for u in sorted(set(g["userId"].astype(int))))
+        if got.loc[pd.Timestamp(day), "users"] != exp:
+            errs.append(f"{day}: user list differs")
+    return errs
+
+
+def _scd2_py(con, sf_dir):
+    ev = load(con, sf_dir, "events", "user_id, event_id, ts, event_type")
+    out = []   # (user, type, from_us, to_us|None, version)
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        changes = []
+        prev = None
+        for tt, et in zip(t, g["event_type"]):
+            if prev is None or et != prev:
+                changes.append((tt, et))
+            prev = et
+        for i, (tt, et) in enumerate(changes):
+            to = changes[i + 1][0] if i + 1 < len(changes) else None
+            out.append((int(uid), et, tt, to, i + 1))
+    return out, ev
+
+
+def check_q78_scd2(con, sf_dir, spark_out):
+    rows, _ = _scd2_py(con, sf_dir)
+    got = dump(spark_out, "q78_scd2").set_index(["user_id", "version"])
+    errs = []
+    if len(got) != len(rows):
+        errs.append(f"version count {len(got)} != {len(rows)}")
+    bad = 0
+    for uid, et, f, to, v in rows:
+        row = got.loc[(uid, v)]
+        gf = int(pd.Timestamp(row["valid_from"]).value // 1000)
+        gt = None if pd.isna(row["valid_to"]) else \
+            int(pd.Timestamp(row["valid_to"]).value // 1000)
+        if row["event_type"] != et or gf != f or gt != to:
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(rows)} SCD2 versions differ")
+    return errs
+
+
+def check_q87_temporal(con, sf_dir, spark_out):
+    rows, ev = _scd2_py(con, sf_dir)
+    by_user = {}
+    for uid, et, f, to, v in rows:
+        by_user.setdefault(uid, []).append((f, to, v, et))
+    got = dump(spark_out, "q87_temporal_join").set_index(
+        ["user_id", "event_id"])
+    errs = []
+    n = 0
+    bad = 0
+    for _, r in ev.iterrows():
+        tt = int(np.datetime64(r["ts"], "us").astype("int64"))
+        uid = int(r["user_id"])
+        for f, to, v, et in by_user.get(uid, ()):
+            if f <= tt and (to is None or tt < to):
+                n += 1
+                row = got.loc[(uid, int(r["event_id"]))]
+                if int(row["version"]) != v or row["state_type"] != et or \
+                   row["ev_type"] != r["event_type"]:
+                    bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} temporal matches differ")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q86_sliding(con, sf_dir, spark_out):
+    ck = load(con, sf_dir, "events", "user_id, ts",
+              "event_type = 'click'")
+    ck["day"] = pd.to_datetime(ck["ts"]).dt.floor("D")
+    wins = {}
+    for _, r in ck.iterrows():
+        for off in (0, 1):
+            ws = r["day"] - pd.Timedelta(days=off)
+            cnt, users = wins.get(ws, (0, set()))
+            users = users | {int(r["user_id"])}
+            wins[ws] = (cnt + 1, users)
+    got = dump(spark_out, "q86_sliding_windows")
+    got["win_start"] = pd.to_datetime(got["win_start"])
+    got = got.set_index("win_start")
+    errs = []
+    if len(got) != len(wins):
+        errs.append(f"window count {len(got)} != {len(wins)}")
+    for ws, (cnt, users) in wins.items():
+        row = got.loc[ws]
+        if int(row["n_clicks"]) != cnt or int(row["n_users"]) != len(users):
+            errs.append(f"{ws.date()}: window counts mismatch")
+    return errs
+
+
+def check_q137_share(con, sf_dir, spark_out):
+    li = load(con, sf_dir, "lineitem",
+              "l_returnflag AS rf, l_linestatus AS ls, "
+              "l_extendedprice AS p, l_discount AS dc")
+    units = {}
+    for (rf, ls), g in li.groupby(["rf", "ls"]):
+        cents = np.rint(g["p"].to_numpy() * 100).astype(np.int64)
+        dcents = np.rint(g["dc"].to_numpy() * 100).astype(np.int64)
+        units[(rf, ls)] = int((cents * (100 - dcents)).sum())
+    tot = sum(units.values())
+    by_flag = {}
+    for (rf, _), u in units.items():
+        by_flag[rf] = by_flag.get(rf, 0) + u
+    got = dump(spark_out, "q137_share_of_total").set_index(["l_returnflag",
+                                                            "l_linestatus"])
+    errs = []
+    for key, u in units.items():
+        row = got.loc[key]
+        rev = ((u + 50) - (u + 50) % 100) / 100 / 100.0
+        if not close(row["revenue"], rev, 1e-9) or \
+           not close(row["share_flag"], u / by_flag[key[0]], 6e-7) or \
+           not close(row["share_total"], u / tot, 6e-7):
+            errs.append(f"{key}: share mismatch")
+    return errs
+
+
+def check_q181_skew(con, sf_dir, spark_out, k=10):
+    li = load(con, sf_dir, "lineitem", "l_orderkey")
+    cnt = li.groupby("l_orderkey").size()
+    tot = len(li)
+    top = sorted(((int(c), int(kk)) for kk, c in cnt.items()),
+                 key=lambda t: (-t[0], t[1]))[:k]
+    got = dump(spark_out, "q181_skew_report")
+    got = got.sort_values(["cnt", "l_orderkey"], ascending=[False, True])
+    errs = []
+    for (c, kk), (_, row) in zip(top, got.iterrows()):
+        if int(row["l_orderkey"]) != kk or int(row["cnt"]) != c or \
+           not close(row["share"], c / tot, 6e-7):
+            errs.append(f"key {kk}: skew row mismatch")
+    return errs
+
+
+def check_q182_overlap(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "lang, text")
+    vocab = {}
+    for _, r in docs.iterrows():
+        vocab.setdefault(r["lang"], set()).update(tokenize(r["text"]))
+    langs = sorted(vocab)
+    got = dump(spark_out, "q182_lang_vocab_overlap").set_index(
+        ["lang_a", "lang_b"])
+    errs = []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            a, b = langs[i], langs[j]
+            inter = len(vocab[a] & vocab[b])
+            jac = inter / (len(vocab[a]) + len(vocab[b]) - inter)
+            row = got.loc[(a, b)]
+            if int(row["inter"]) != inter or \
+               not close(row["jaccard"], jac, 6e-7):
+                errs.append(f"({a},{b}): overlap mismatch")
+    return errs
+
+
+def check_q188_ohlc(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "ts, event_id, value")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    got = dump(spark_out, "q188_ohlc")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index("day")
+    errs = []
+    for day, g in ev.groupby("day"):
+        g = g.sort_values(["ts", "event_id"])
+        row = got.loc[day]
+        if int(row["n"]) != len(g) or \
+           not close(row["open"], spark_round(g["value"].iloc[0], 2), 1e-9) or \
+           not close(row["close"], spark_round(g["value"].iloc[-1], 2), 1e-9) or \
+           not close(row["high"], spark_round(g["value"].max(), 2), 1e-9) or \
+           not close(row["low"], spark_round(g["value"].min(), 2), 1e-9):
+            errs.append(f"{day.date()}: OHLC mismatch")
+    return errs
+
+
+def check_q211_debounce(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "user_id, event_id, ts, event_type")
+    got = dump(spark_out, "q211_debounce").set_index("user_id")
+    errs = []
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        kept = 0
+        prev = None
+        for et in g["event_type"]:
+            if prev is None or et != prev:
+                kept += 1
+            prev = et
+        if int(got.loc[int(uid), "n_kept"]) != kept:
+            errs.append(f"user {uid}: debounce count mismatch")
+    return errs
+
+
+def check_q215_diversity(con, sf_dir, spark_out):
+    ck = clicks(con, sf_dir)
+    emb = load(con, sf_dir, "embeddings", "vec_id, embedding")
+    X = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+         for _, r in emb.iterrows()}
+    nrm = {v: math.sqrt(float((x * x).sum())) for v, x in X.items()}
+    daily = ck.groupby(["date", "newsId"]).size().reset_index(name="c")
+    got = dump(spark_out, "q215_rec_diversity")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index("date")
+    errs = []
+    for day, g in daily.groupby("date"):
+        top = [int(n) for n in
+               g.sort_values(["c", "newsId"],
+                             ascending=[False, True])["newsId"].head(10)]
+        top = [n for n in top if n in X]
+        dis = []
+        for i in range(len(top)):
+            for j in range(i + 1, len(top)):
+                a, b = min(top[i], top[j]), max(top[i], top[j])
+                dis.append(1.0 - float(X[a] @ X[b]) / (nrm[a] * nrm[b]))
+        row = got.loc[pd.Timestamp(day)]
+        if int(row["n_pairs"]) != len(dis) or \
+           not close(row["avg_ild"], sum(dis) / len(dis), 6e-7):
+            errs.append(f"{day}: diversity mismatch")
+    return errs
+
+
+def check_q217_freshness(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "event_type, ts")
+    per = {}
+    for et, g in ev.groupby("event_type"):
+        per[et] = (len(g),
+                   int(g["ts"].to_numpy().astype("datetime64[us]")
+                       .astype("int64").max()))
+    gmax = max(t for _, t in per.values())
+    got = dump(spark_out, "q217_freshness").set_index("event_type")
+    errs = []
+    for et, (n, latest) in per.items():
+        row = got.loc[et]
+        if int(row["n"]) != n or \
+           int(pd.Timestamp(row["latest"]).value // 1000) != latest or \
+           int(row["lag_minutes"]) != (gmax - latest) // 60000000:
+            errs.append(f"{et}: freshness mismatch")
+    return errs
+
+
+def check_q226_urls(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, lang, source")
+    got = dump(spark_out, "q226_url_parse").set_index("doc_id")
+    errs = []
+    bad = 0
+    for _, r in docs.iterrows():
+        d = int(r["doc_id"])
+        row = got.loc[d]
+        if row["host"] != f"{r['source']}.example.com" or \
+           row["path"] != f"/{r['lang']}/doc-{d}" or \
+           row["query"] != f"ref={d % 7}":
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(docs)} parsed URLs differ")
+    return errs
+
+
+def check_q228_cep(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "user_id, ts, event_id, event_type")
+    got = dump(spark_out, "q228_event_pattern").set_index("user_id")
+    errs = []
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        seq = "".join(et[0] for et in g["event_type"])
+        n_vc = len(re.findall(r"v[^c]*c", seq))
+        row = got.loc[int(uid)]
+        if int(row["n_events"]) != len(seq) or \
+           int(row["n_view_click"]) != n_vc or \
+           bool(row["has_vcp_path"]) != bool(re.search(r"v.*c.*p", seq)):
+            errs.append(f"user {uid}: CEP pattern mismatch")
+    return errs
+
+
+def check_q241_diff(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "user_id, EXTRACT(day FROM ts) AS dom, value")
+
+    def snap(lo, hi, excl):
+        g = ev[(ev["dom"] >= lo) & (ev["dom"] <= hi) &
+               (ev["user_id"] % excl != 0)]
+        return {int(u): (len(gg), spark_round(gg["value"].sum(), 2))
+                for u, gg in g.groupby("user_id")}
+
+    old, neu = snap(1, 15, 11), snap(16, 31, 7)
+    classes = {}
+    for u in set(old) | set(neu):
+        if u not in old:
+            c = "insert"
+        elif u not in neu:
+            c = "delete"
+        elif old[u] == neu[u]:
+            c = "unchanged"
+        else:
+            c = "update"
+        classes[c] = classes.get(c, 0) + 1
+    got = dump(spark_out, "q241_snapshot_diff").set_index("change")
+    errs = []
+    for c, n in classes.items():
+        if c not in got.index or int(got.loc[c, "n_keys"]) != n:
+            errs.append(f"{c}: {got.loc[c, 'n_keys'] if c in got.index else 0}"
+                        f" != {n}")
+    return errs
+
+
+def check_q193_grid(con, sf_dir, spark_out, cells=4):
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    got = dump(spark_out, "q193_resize_grid").set_index(["doc_id", "cell"])
+    errs = []
+    bad = 0
+    for _, r in docs.iterrows():
+        b = r["text"].encode()
+        L = len(b)
+        for i in range(cells):
+            fr, un = i * L // cells, (i + 1) * L // cells
+            row = got.loc[(int(r["doc_id"]), i)]
+            if int(row["n_bytes"]) != un - fr or \
+               int(row["sum_bytes"]) != sum(b[fr:un]):
+                bad += 1
+    if bad:
+        errs.append(f"{bad} grid cells differ")
+    return errs
+
+
+def check_q194_audio(con, sf_dir, spark_out, win=256):
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    got = dump(spark_out, "q194_audio_energy").set_index(["doc_id", "win_idx"])
+    errs = []
+    n = 0
+    bad = 0
+    for _, r in docs.iterrows():
+        b = r["text"].encode()
+        L = len(b)
+        for w in range((L + win - 1) // win):
+            fr, un = w * win, min(w * win + win, L)
+            energy = sum((x - 100) ** 2 for x in b[fr:un])
+            n += 1
+            row = got.loc[(int(r["doc_id"]), w)]
+            if int(row["n_samples"]) != un - fr or \
+               int(row["energy"]) != energy:
+                bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} audio windows differ")
+    if len(got) != n:
+        errs.append(f"window count {len(got)} != {n}")
+    return errs
+
+
 CHECKS = {
+    "q13_token_stats": check_q13_tokens,
+    "q16_lang_stats": check_q16_langstats,
+    "q17_word_freq": check_q17_wordfreq,
+    "q20_unique_users": check_q20_users,
+    "q78_scd2": check_q78_scd2,
+    "q86_sliding_windows": check_q86_sliding,
+    "q87_temporal_join": check_q87_temporal,
+    "q137_share_of_total": check_q137_share,
+    "q181_skew_report": check_q181_skew,
+    "q182_lang_vocab_overlap": check_q182_overlap,
+    "q188_ohlc": check_q188_ohlc,
+    "q193_resize_grid": check_q193_grid,
+    "q194_audio_energy": check_q194_audio,
+    "q211_debounce": check_q211_debounce,
+    "q215_rec_diversity": check_q215_diversity,
+    "q217_freshness": check_q217_freshness,
+    "q226_url_parse": check_q226_urls,
+    "q228_event_pattern": check_q228_cep,
+    "q241_snapshot_diff": check_q241_diff,
     "q80_split_stats": check_q80_splits,
     "q81_pareto": check_q81_pareto,
     "q89_value_buckets": check_q89_buckets,
