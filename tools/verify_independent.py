@@ -4342,7 +4342,373 @@ def check_q194_audio(con, sf_dir, spark_out, win=256):
     return errs
 
 
+def check_q218_weighted(con, sf_dir, spark_out):
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    got = dump(spark_out, "q218_weighted_profiles").set_index(["doc_id", "rn"])
+    errs = []
+    n = 0
+    bad = 0
+    for _, r in docs.iterrows():
+        t = r["text"]
+        tf = {}
+        for text, wgt in ((t[:80], 3.0), (t[80:240], 2.0), (t, 1.0)):
+            for w in tokenize(text):
+                tf[w] = tf.get(w, 0.0) + wgt
+        top = sorted(((w, spark_round(v, 6)) for w, v in tf.items()),
+                     key=lambda kv: (-kv[1], kv[0]))[:5]
+        for rn, (w, v) in enumerate(top, 1):
+            n += 1
+            row = got.loc[(int(r["doc_id"]), rn)]
+            if row["word"] != w or not close(row["tf"], v, 1e-9):
+                bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} weighted-profile rows differ")
+    return errs
+
+
+def check_q245_capped(con, sf_dir, spark_out, cap=64):
+    news_kw, news_date, user_kw, ck = _tfidf_profiles(con, sf_dir)
+    # cap the in-range inverted index per WORD: top-`cap` postings by
+    # (value desc, id asc)
+    in_range = {d for d, dt in news_date.items()
+                if FROM_DATE <= dt <= TO_DATE + pd.Timedelta(days=NUM_DAYS)}
+    inv = {}
+    for d in in_range:
+        for w, v in news_kw[d]:
+            inv.setdefault(w, []).append((v, d))
+    for w in inv:
+        inv[w] = sorted(inv[w], key=lambda t: (-t[0], t[1]))[:cap]
+    ckd = ck.copy()
+    ckd["date"] = pd.to_datetime(ckd["date"])
+    act = ckd[(ckd["date"] >= FROM_DATE) & (ckd["date"] <= TO_DATE)]
+    active_by_day = {pd.Timestamp(day): {int(u) for u in g["userId"]}
+                     for day, g in act.groupby("date")}
+    all_active = set().union(*active_by_day.values())
+    per_day_user = {}
+    for u in all_active:
+        prof = user_kw.get(u)
+        if not prof:
+            continue
+        acc = {}
+        for w, uv in prof:
+            for v, d in inv.get(w, ()):
+                acc[d] = acc.get(d, 0.0) + uv * v
+        for d, sc in acc.items():
+            sc = spark_round(sc, 4)
+            if sc <= 0:
+                continue
+            dt = news_date[d]
+            lo = max(dt - pd.Timedelta(days=NUM_DAYS), FROM_DATE)
+            hi = min(dt, TO_DATE)
+            day = lo
+            while day <= hi:
+                if u in active_by_day.get(day, ()):
+                    per_day_user.setdefault((day, u), []).append((sc, d))
+                day += pd.Timedelta(days=1)
+    got = dump(spark_out, "q245_rec_lists_capped")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index(["userId", "date"])
+    errs = []
+    if len(got) != len(per_day_user):
+        errs.append(f"row count {len(got)} != {len(per_day_user)}")
+    bad = 0
+    for (day, u), lst in per_day_user.items():
+        ids = [d for _, d in sorted(lst, key=lambda t: (-t[0], t[1]))[:5]]
+        exp = ",".join(str(i) for i in ids)
+        if (u, day) not in got.index or got.loc[(u, day), "news"] != exp:
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(per_day_user)} capped rec lists differ")
+    return errs
+
+
+def check_q246_capped_cos(con, sf_dir, spark_out, cap=16):
+    news_kw, news_date, user_kw, ck = _tfidf_profiles(con, sf_dir)
+    today = pd.Timestamp("2024-01-15")
+    active = {int(u) for u in
+              ck.loc[pd.to_datetime(ck["date"]) == today, "userId"]}
+    in_range = {d for d, dt in news_date.items()
+                if today <= dt <= today + pd.Timedelta(days=NUM_DAYS)}
+    inv = {}
+    for d in in_range:
+        for w, v in news_kw[d]:
+            inv.setdefault(w, []).append((v, d))
+    for w in inv:
+        inv[w] = sorted(inv[w], key=lambda t: (-t[0], t[1]))[:cap]
+    # cosine denominator uses the CAPPED per-news posting size
+    rsize = {}
+    for w, lst in inv.items():
+        for _, d in lst:
+            rsize[d] = rsize.get(d, 0) + 1
+    got = dump(spark_out, "q246_rec_cosine_capped").set_index(
+        ["userId", "rn"])
+    errs = []
+    n = 0
+    for u in active:
+        prof = user_kw.get(u)
+        if not prof:
+            continue
+        common = {}
+        for w, _ in prof:
+            for _, d in inv.get(w, ()):
+                common[d] = common.get(d, 0) + 1
+        scored = []
+        for d, c in common.items():
+            sc = spark_round(c / (len(prof) * rsize[d]), 6)
+            if sc > 0:
+                scored.append((sc, d))
+        top = sorted(scored, key=lambda t: (-t[0], t[1]))[:5]
+        for rn, (sc, d) in enumerate(top, 1):
+            n += 1
+            row = got.loc[(u, rn)]
+            if int(row["newsId"]) != d or not close(row["score"], sc, 1e-9):
+                errs.append(f"user {u} rn {rn}: capped cosine mismatch")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q53_asof(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "event_id, user_id, ts")
+    ords = con.execute(
+        f"""SELECT o_custkey % 1500 AS k, CAST(o_orderdate AS DATE) AS t,
+                   max(o_orderkey) AS ok,
+                   max_by(o_totalprice, o_orderkey) AS price
+            FROM read_parquet('{tbl(sf_dir, 'orders')}') GROUP BY 1, 2"""
+    ).df()
+    by_key = {}
+    for _, r in ords.iterrows():
+        t_us = int(np.datetime64(pd.Timestamp(r["t"]), "us").astype("int64"))
+        by_key.setdefault(int(r["k"]), []).append(
+            (t_us, int(r["ok"]), float(r["price"])))
+    for k in by_key:
+        by_key[k].sort()
+    got = dump(spark_out, "q53_asof_join").set_index("event_id")
+    errs = []
+    n = 0
+    bad = 0
+    import bisect
+    for _, r in ev.iterrows():
+        tt = int(np.datetime64(r["ts"], "us").astype("int64"))
+        rows = by_key.get(int(r["user_id"]))
+        if not rows:
+            continue
+        i = bisect.bisect_right(rows, (tt, float("inf"), 0.0)) - 1
+        if i < 0:
+            continue
+        n += 1
+        _, ok, price = rows[i]
+        row = got.loc[int(r["event_id"])]
+        if int(row["o_orderkey"]) != ok or \
+           not close(row["o_totalprice"], spark_round(price, 2), 1e-9):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} as-of matches differ")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q56_range(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders", "o_orderkey",
+             "o_orderkey % 97 = 0")
+    ev = load(con, sf_dir, "events", "CAST(ts AS DATE) AS day, value")
+    ev["day"] = pd.to_datetime(ev["day"])
+    daily = ev.groupby("day").agg(n=("value", "size"), v=("value", "sum"))
+    daily["v"] = daily["v"].map(lambda x: spark_round(x, 2))
+    got = dump(spark_out, "q56_range_join").set_index("o_orderkey")
+    errs = []
+    n = 0
+    for ok in o["o_orderkey"].astype(int):
+        d0 = pd.Timestamp("2024-01-01") + pd.Timedelta(days=ok % 28)
+        d1 = d0 + pd.Timedelta(days=ok % 7 + 1)
+        days = [d for d in pd.date_range(d0, d1) if d in daily.index]
+        if not days:
+            continue
+        n += 1
+        ne = int(daily.loc[days, "n"].sum())
+        tv = spark_round(float(daily.loc[days, "v"].sum()), 2)
+        row = got.loc[ok]
+        if int(row["n_events"]) != ne or \
+           not close(row["total_value"], tv, 1e-9):
+            errs.append(f"order {ok}: range join mismatch")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q73_locf(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "user_id, ts, event_id, value", "event_type = 'click'")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    got = dump(spark_out, "q73_gapfill_locf")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index(["userId", "day"])
+    errs = []
+    n = 0
+    bad = 0
+    for uid, grp in ev.groupby("user_id"):
+        obs = {}
+        for day, g in grp.groupby("day"):
+            last = g.sort_values(["ts", "event_id"]).iloc[-1]
+            obs[day] = float(last["value"])
+        days = sorted(obs)
+        cur = None
+        day = days[0]
+        while day <= days[-1]:
+            n += 1
+            observed = day in obs
+            if observed:
+                cur = obs[day]
+            row = got.loc[(int(uid), day)]
+            if bool(row["observed"]) != observed or \
+               not close(row["filled"], spark_round(cur, 6), 1e-9):
+                bad += 1
+            day += pd.Timedelta(days=1)
+    if bad:
+        errs.append(f"{bad}/{n} LOCF rows differ")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q221_dateloop(con, sf_dir, spark_out, gap=5):
+    ck = clicks(con, sf_dir)
+    ck["date"] = pd.to_datetime(ck["date"])
+    lo = max(pd.Timestamp("2024-01-15") - pd.Timedelta(days=gap),
+             pd.Timestamp("2024-01-08"))
+    hi = min(pd.Timestamp("2024-01-15"), pd.Timestamp("2024-01-20"))
+    win = ck[(ck["date"] >= lo) & (ck["date"] <= hi)]
+    got = dump(spark_out, "q221_date_loop")
+    got["date"] = pd.to_datetime(got["date"])
+    got = got.set_index("date")
+    errs = []
+    if len(got) != win["date"].nunique():
+        errs.append(f"day count {len(got)} != {win['date'].nunique()}")
+    for day, g in win.groupby("date"):
+        row = got.loc[day]
+        if int(row["n_users"]) != g["userId"].nunique() or \
+           int(row["n_clicks"]) != len(g):
+            errs.append(f"{day.date()}: date-loop counts mismatch")
+    return errs
+
+
+def check_q224_lateral(con, sf_dir, spark_out, k=3):
+    o = load(con, sf_dir, "orders", "o_custkey, o_orderkey, o_totalprice")
+    got = dump(spark_out, "q224_lateral_topk")
+    errs = []
+    exp = []
+    for ck in sorted(set(o["o_custkey"].astype(int))):
+        if ck % 100 != 0:
+            continue
+        g = o[o["o_custkey"] == ck]
+        top = g.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(k)
+        for _, r in top.iterrows():
+            exp.append((ck, int(r["o_orderkey"]),
+                        spark_round(r["o_totalprice"], 2)))
+    if len(got) != len(exp):
+        errs.append(f"row count {len(got)} != {len(exp)}")
+    gset = {(int(r["c_custkey"]), int(r["o_orderkey"]), float(r["price"]))
+            for _, r in got.iterrows()}
+    for e in exp:
+        if e not in gset:
+            errs.append(f"row {e} missing")
+    return errs
+
+
+def check_q49_json(con, sf_dir, spark_out):
+    import json as _json
+    ev = load(con, sf_dir, "events", "props, value")
+    agg = {}
+    for _, r in ev.iterrows():
+        try:
+            k = int(_json.loads(r["props"])["k"])
+            bucket = k % 10
+        except (ValueError, KeyError, TypeError):
+            bucket = None
+        n, v = agg.get(bucket, (0, 0.0))
+        agg[bucket] = (n + 1, v + float(r["value"]))
+    got = dump(spark_out, "q49_json_props")
+    got = got.set_index(got["k_bucket"].map(
+        lambda x: None if pd.isna(x) else int(x)), drop=False)
+    errs = []
+    for bucket, (n, v) in agg.items():
+        row = got.loc[bucket]
+        if int(row["n"]) != n or \
+           not close(row["total_value"], spark_round(v, 2), 2e-6):
+            errs.append(f"bucket {bucket}: json props mismatch")
+    return errs
+
+
+def check_q12_running(con, sf_dir, spark_out):
+    li = load(con, sf_dir, "lineitem",
+              "l_suppkey, l_orderkey, l_linenumber, l_quantity, l_shipdate")
+    got = dump(spark_out, "q12_running_sum")
+    errs = []
+    # compare the output MULTISET per supplier (ties are value-identical
+    # rows by the lane's contract, so per-key multisets are deterministic)
+    exp_rows = []
+    for sk, g in li.groupby("l_suppkey"):
+        g = g.sort_values(["l_shipdate", "l_orderkey", "l_linenumber",
+                           "l_quantity"], kind="stable")
+        run = 0.0
+        for _, r in g.iterrows():
+            run += float(r["l_quantity"])
+            exp_rows.append((int(sk), int(r["l_orderkey"]),
+                             int(r["l_linenumber"]), spark_round(run, 2)))
+    from collections import Counter
+    exp_c = Counter(exp_rows)
+    got_c = Counter((int(r["l_suppkey"]), int(r["l_orderkey"]),
+                     int(r["l_linenumber"]), float(r["running_qty"]))
+                    for _, r in got.iterrows())
+    if exp_c != got_c:
+        diff = sum((exp_c - got_c).values())
+        errs.append(f"{diff} running-sum rows differ")
+    return errs
+
+
+def check_q200_dashboard(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "user_id, event_id, CAST(ts AS DATE) AS day, event_type, value")
+    ev["day"] = pd.to_datetime(ev["day"])
+    first = ev.groupby("user_id")["day"].min()
+    got = dump(spark_out, "q200_daily_dashboard")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index("day")
+    errs = []
+    for day, g in ev.groupby("day"):
+        clicks_g = g[g["event_type"] == "click"]
+        rev = g.loc[g["event_type"] == "purchase", "value"].sum()
+        newu = int((first == day).sum())
+        top = clicks_g.groupby(g["event_id"] % 500).size()
+        tn, tc = (None, None)
+        if len(top):
+            tc = int(top.max())
+            tn = int(min(k for k, v in top.items() if v == tc))
+        row = got.loc[day]
+        if int(row["n_events"]) != len(g) or \
+           int(row["n_clicks"]) != len(clicks_g) or \
+           int(row["n_active_users"]) != g["user_id"].nunique() or \
+           int(row["n_new_users"]) != newu or \
+           not close(row["revenue"], spark_round(rev, 2), 2e-6) or \
+           int(row["top_news"]) != tn or int(row["top_news_clicks"]) != tc:
+            errs.append(f"{day.date()}: dashboard mismatch")
+    return errs
+
+
 CHECKS = {
+    "q12_running_sum": check_q12_running,
+    "q49_json_props": check_q49_json,
+    "q53_asof_join": check_q53_asof,
+    "q56_range_join": check_q56_range,
+    "q73_gapfill_locf": check_q73_locf,
+    "q200_daily_dashboard": check_q200_dashboard,
+    "q218_weighted_profiles": check_q218_weighted,
+    "q221_date_loop": check_q221_dateloop,
+    "q224_lateral_topk": check_q224_lateral,
+    "q245_rec_lists_capped": check_q245_capped,
+    "q246_rec_cosine_capped": check_q246_capped_cos,
     "q13_token_stats": check_q13_tokens,
     "q16_lang_stats": check_q16_langstats,
     "q17_word_freq": check_q17_wordfreq,
