@@ -4697,7 +4697,575 @@ def check_q200_dashboard(con, sf_dir, spark_out):
     return errs
 
 
+def _disc_rev_units(p, dc):
+    cents = np.rint(np.asarray(p, dtype=np.float64) * 100).astype(np.int64)
+    dcents = np.rint(np.asarray(dc, dtype=np.float64) * 100).astype(np.int64)
+    return int((cents * (100 - dcents)).sum())
+
+
+def _cents_half_up(u):
+    return ((u + 50) - (u + 50) % 100) / 100 / 100.0
+
+
+def check_q1_agg(con, sf_dir, spark_out):
+    li = load(con, sf_dir, "lineitem",
+              "l_returnflag AS rf, l_linestatus AS ls, l_quantity AS q, "
+              "l_extendedprice AS p, l_discount AS dc")
+    got = dump(spark_out, "q1_agg").set_index(["l_returnflag", "l_linestatus"])
+    errs = []
+    for key, g in li.groupby(["rf", "ls"]):
+        n = len(g)
+        qc = np.rint(g["q"].to_numpy() * 100).astype(np.int64)
+        dcc = np.rint(g["dc"].to_numpy() * 100).astype(np.int64)
+        row = got.loc[key]
+        if int(row["count_order"]) != n or \
+           not close(row["sum_qty"], spark_round(g["q"].sum(), 2), 2e-6) or \
+           not close(row["sum_base_price"],
+                     spark_round(g["p"].sum(), 2), 2e-5) or \
+           not close(row["sum_disc_price"],
+                     _cents_half_up(_disc_rev_units(g["p"], g["dc"])), 1e-9) or \
+           not close(row["avg_qty"],
+                     half_up_ratio(int(qc.sum()) * 100, n, 4), 1e-9) or \
+           not close(row["avg_disc"],
+                     half_up_ratio(int(dcc.sum()) * 100, n, 4), 1e-9):
+            errs.append(f"{key}: q1 aggregate mismatch")
+    return errs
+
+
+def check_q2_topk(con, sf_dir, spark_out, k=5):
+    li = load(con, sf_dir, "lineitem",
+              "l_returnflag, l_orderkey, l_linenumber, l_extendedprice")
+    got = dump(spark_out, "q2_topk_per_group").set_index(
+        ["l_returnflag", "rn"])
+    errs = []
+    for rf, g in li.groupby("l_returnflag"):
+        top = g.sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                            ascending=[False, True, True]).head(k)
+        for rn, (_, r) in enumerate(top.iterrows(), 1):
+            row = got.loc[(rf, rn)]
+            if int(row["l_orderkey"]) != int(r["l_orderkey"]) or \
+               int(row["l_linenumber"]) != int(r["l_linenumber"]):
+                errs.append(f"{rf} rn {rn}: top-k mismatch")
+    return errs
+
+
+def _rev_join(con, sf_dir, group_cols, join_customer=False):
+    cust = ", c_mktsegment" if join_customer else ""
+    jc = f"JOIN read_parquet('{tbl(sf_dir, 'customer')}') c " \
+         "ON o.o_custkey = c.c_custkey" if join_customer else ""
+    return con.execute(
+        f"""SELECT {group_cols}{cust and ''}, l_extendedprice AS p,
+                   l_discount AS dc
+            FROM read_parquet('{tbl(sf_dir, 'lineitem')}') l
+            JOIN read_parquet('{tbl(sf_dir, 'orders')}') o
+              ON l.l_orderkey = o.o_orderkey {jc}"""
+    ).df()
+
+
+def check_q3_joinagg(con, sf_dir, spark_out):
+    df = con.execute(
+        f"""SELECT c_mktsegment AS seg, o_orderpriority AS pr,
+                   l_extendedprice AS p, l_discount AS dc
+            FROM read_parquet('{tbl(sf_dir, 'lineitem')}') l
+            JOIN read_parquet('{tbl(sf_dir, 'orders')}') o
+              ON l.l_orderkey = o.o_orderkey
+            JOIN read_parquet('{tbl(sf_dir, 'customer')}') c
+              ON o.o_custkey = c.c_custkey""").df()
+    got = dump(spark_out, "q3_join_agg").set_index(
+        ["c_mktsegment", "o_orderpriority"])
+    errs = []
+    for key, g in df.groupby(["seg", "pr"]):
+        row = got.loc[key]
+        if int(row["n_lines"]) != len(g) or \
+           not close(row["revenue"],
+                     _cents_half_up(_disc_rev_units(g["p"], g["dc"])), 1e-9):
+            errs.append(f"{key}: join-agg mismatch")
+    return errs
+
+
+def check_q4_semi(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders", "o_custkey", "o_totalprice > 150000")
+    c = load(con, sf_dir, "customer", "c_custkey, c_name")
+    keys = set(o["o_custkey"].astype(int))
+    exp = {int(k) for k in c["c_custkey"] if int(k) in keys}
+    got = dump(spark_out, "q4_semi_join")
+    errs = []
+    if set(got["c_custkey"].astype(int)) != exp or len(got) != len(exp):
+        errs.append("semi-join membership differs")
+    return errs
+
+
+def check_q5_anti(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders", "o_custkey", "o_totalprice > 300000")
+    c = load(con, sf_dir, "customer", "c_custkey")
+    keys = set(o["o_custkey"].astype(int))
+    exp = {int(k) for k in c["c_custkey"] if int(k) not in keys}
+    got = dump(spark_out, "q5_anti_join")
+    errs = []
+    if set(got["c_custkey"].astype(int)) != exp or len(got) != len(exp):
+        errs.append("anti-join membership differs")
+    return errs
+
+
+def check_q6_datewin(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "event_type, CAST(ts AS DATE) AS day, value")
+    ev["day"] = pd.to_datetime(ev["day"])
+    today = pd.Timestamp("2024-01-15")
+    win = ev[(ev["day"] >= today - pd.Timedelta(days=3)) &
+             (ev["day"] <= today)]
+    got = dump(spark_out, "q6_date_window").set_index("event_type")
+    errs = []
+    for et, g in win.groupby("event_type"):
+        row = got.loc[et]
+        if int(row["n"]) != len(g) or \
+           not close(row["total_value"],
+                     spark_round(g["value"].sum(), 2), 2e-6):
+            errs.append(f"{et}: date-window mismatch")
+    return errs
+
+
+def check_q7_hotparts(con, sf_dir, spark_out, k=3):
+    li = load(con, sf_dir, "lineitem",
+              "CAST(l_shipdate AS DATE) AS day, l_partkey")
+    li["day"] = pd.to_datetime(li["day"])
+    counts = li.groupby(["day", "l_partkey"]).size()
+    got = dump(spark_out, "q7_hot_parts")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index(["day", "rn"])
+    errs = []
+    n = 0
+    bad = 0
+    for day, s in counts.groupby(level=0):
+        top = sorted(((int(c), int(p)) for (_, p), c in s.items()),
+                     key=lambda t: (-t[0], t[1]))[:k]
+        for rn, (c, p) in enumerate(top, 1):
+            n += 1
+            row = got.loc[(day, rn)]
+            if int(row["l_partkey"]) != p or int(row["n"]) != c:
+                bad += 1
+    if bad:
+        errs.append(f"{bad}/{n} hot-part rows differ")
+    if len(got) != n:
+        errs.append(f"row count {len(got)} != {n}")
+    return errs
+
+
+def check_q8_distinct(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "user_id, CAST(ts AS DATE) AS day")
+    ev["day"] = pd.to_datetime(ev["day"])
+    got = dump(spark_out, "q8_distinct_per_day")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index("day")
+    errs = []
+    for day, g in ev.groupby("day"):
+        row = got.loc[day]
+        if int(row["n_users"]) != g["user_id"].nunique() or \
+           int(row["n_events"]) != len(g):
+            errs.append(f"{day.date()}: distinct-per-day mismatch")
+    return errs
+
+
+def check_q9_usertopk(con, sf_dir, spark_out, k=5):
+    ev = load(con, sf_dir, "events", "user_id, event_id, value")
+    ev["value"] = ev["value"].map(lambda v: spark_round(v, 2))
+    got = dump(spark_out, "q9_user_topk").set_index(["user_id", "rn"])
+    errs = []
+    bad = 0
+    for uid, g in ev.groupby("user_id"):
+        top = g.sort_values(["value", "event_id"],
+                            ascending=[False, True]).head(k)
+        for rn, (_, r) in enumerate(top.iterrows(), 1):
+            row = got.loc[(int(uid), rn)]
+            if int(row["event_id"]) != int(r["event_id"]) or \
+               not close(row["value"], r["value"], 1e-9):
+                bad += 1
+    if bad:
+        errs.append(f"{bad} user-topk rows differ")
+    return errs
+
+
+def check_q10_global(con, sf_dir, spark_out):
+    li = load(con, sf_dir, "lineitem",
+              "l_quantity AS q, l_extendedprice AS p, l_orderkey")
+    row = dump(spark_out, "q10_global_agg").iloc[0]
+    errs = []
+    if int(row["n"]) != len(li) or \
+       int(row["n_orders"]) != li["l_orderkey"].nunique() or \
+       not close(row["sum_qty"], spark_round(li["q"].sum(), 2), 2e-6) or \
+       not close(row["min_price"], spark_round(li["p"].min(), 2), 1e-9) or \
+       not close(row["max_price"], spark_round(li["p"].max(), 2), 1e-9):
+        errs.append("global aggregate mismatch")
+    return errs
+
+
+def check_q11_star(con, sf_dir, spark_out):
+    df = con.execute(
+        f"""SELECT r_name, n_name, l_extendedprice AS p, l_discount AS dc
+            FROM read_parquet('{tbl(sf_dir, 'lineitem')}') l
+            JOIN read_parquet('{tbl(sf_dir, 'orders')}') o
+              ON l.l_orderkey = o.o_orderkey
+            JOIN read_parquet('{tbl(sf_dir, 'customer')}') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{tbl(sf_dir, 'nation')}') n
+              ON c.c_nationkey = n.n_nationkey
+            JOIN read_parquet('{tbl(sf_dir, 'region')}') r
+              ON n.n_regionkey = r.r_regionkey""").df()
+    got = dump(spark_out, "q11_star_join").set_index(["r_name", "n_name"])
+    errs = []
+    for key, g in df.groupby(["r_name", "n_name"]):
+        row = got.loc[key]
+        if int(row["n_lines"]) != len(g) or \
+           not close(row["revenue"],
+                     _cents_half_up(_disc_rev_units(g["p"], g["dc"])), 1e-9):
+            errs.append(f"{key}: star-join mismatch")
+    return errs
+
+
+def _priority_rev(con, sf_dir, lane, spark_out):
+    df = con.execute(
+        f"""SELECT o_orderpriority AS pr, l_extendedprice AS p,
+                   l_discount AS dc
+            FROM read_parquet('{tbl(sf_dir, 'lineitem')}') l
+            JOIN read_parquet('{tbl(sf_dir, 'orders')}') o
+              ON l.l_orderkey = o.o_orderkey""").df()
+    got = dump(spark_out, lane).set_index("o_orderpriority")
+    errs = []
+    for pr, g in df.groupby("pr"):
+        row = got.loc[pr]
+        if int(row["n_lines"]) != len(g) or \
+           not close(row["revenue"],
+                     _cents_half_up(_disc_rev_units(g["p"], g["dc"])), 1e-9):
+            errs.append(f"{pr}: {lane} mismatch")
+    return errs
+
+
+def check_q48_sql(con, sf_dir, spark_out):
+    return _priority_rev(con, sf_dir, "q48_sql_surface", spark_out)
+
+
+def check_q84_bucketed(con, sf_dir, spark_out):
+    return _priority_rev(con, sf_dir, "q84_bucketed_join", spark_out)
+
+
+def _cube_cells(li, sets):
+    cells = {}
+    for rf_on, ls_on in sets:
+        key_fn = lambda r: (r["rf"] if rf_on else None,
+                            r["ls"] if ls_on else None)
+        grouped = {}
+        for _, r in li.iterrows():
+            k = key_fn(r)
+            sq, n = grouped.get(k, (0.0, 0))
+            grouped[k] = (sq + r["q"], n + 1)
+        cells.update(grouped)
+    return cells
+
+
+def check_q52_rollup(con, sf_dir, spark_out):
+    li = load(con, sf_dir, "lineitem",
+              "l_returnflag AS rf, l_linestatus AS ls, l_quantity AS q")
+    cells = _cube_cells(li, [(True, True), (True, False), (False, False)])
+    got = dump(spark_out, "q52_rollup")
+    errs = []
+    if len(got) != len(cells):
+        errs.append(f"cell count {len(got)} != {len(cells)}")
+    gmap = {(None if pd.isna(r["l_returnflag"]) else r["l_returnflag"],
+             None if pd.isna(r["l_linestatus"]) else r["l_linestatus"]):
+            (r["sum_qty"], int(r["n"])) for _, r in got.iterrows()}
+    for k, (sq, n) in cells.items():
+        if k not in gmap or gmap[k][1] != n or \
+           not close(gmap[k][0], spark_round(sq, 2), 2e-6):
+            errs.append(f"rollup cell {k}: mismatch")
+    return errs
+
+
+def check_q55_cube(con, sf_dir, spark_out):
+    li = load(con, sf_dir, "lineitem",
+              "l_returnflag AS rf, l_linestatus AS ls, l_quantity AS q")
+    cells = _cube_cells(li, [(True, True), (True, False),
+                             (False, True), (False, False)])
+    got = dump(spark_out, "q55_cube")
+    errs = []
+    if len(got) != len(cells):
+        errs.append(f"cell count {len(got)} != {len(cells)}")
+    gmap = {(None if pd.isna(r["l_returnflag"]) else r["l_returnflag"],
+             None if pd.isna(r["l_linestatus"]) else r["l_linestatus"]):
+            (r["sum_qty"], int(r["n"])) for _, r in got.iterrows()}
+    for k, (sq, n) in cells.items():
+        if k not in gmap or gmap[k][1] != n or \
+           not close(gmap[k][0], spark_round(sq, 2), 2e-6):
+            errs.append(f"cube cell {k}: mismatch")
+    return errs
+
+
+def check_q63_fullouter(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "CAST(ts AS DATE) AS day",
+              "event_type = 'click'")
+    ev["day"] = pd.to_datetime(ev["day"])
+    clicks_d = ev.groupby("day").size()
+    o = load(con, sf_dir, "orders",
+             "CAST(o_orderdate AS DATE) AS day", "o_orderkey % 997 = 0")
+    o["day"] = pd.to_datetime(o["day"])
+    orders_d = o.groupby("day").size()
+    days = set(clicks_d.index) | set(orders_d.index)
+    got = dump(spark_out, "q63_full_outer")
+    got["day"] = pd.to_datetime(got["day"])
+    got = got.set_index("day")
+    errs = []
+    if len(got) != len(days):
+        errs.append(f"day count {len(got)} != {len(days)}")
+    for day in days:
+        row = got.loc[day]
+        nc = clicks_d.get(day)
+        no = orders_d.get(day)
+        gc = None if pd.isna(row["n_clicks"]) else int(row["n_clicks"])
+        go = None if pd.isna(row["n_orders"]) else int(row["n_orders"])
+        if gc != (None if nc is None else int(nc)) or \
+           go != (None if no is None else int(no)):
+            errs.append(f"{day.date()}: full-outer mismatch")
+    return errs
+
+
+def check_q71_pivot(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "user_id, event_type")
+    types = ["click", "error", "purchase", "signup", "view"]
+    got = dump(spark_out, "q71_pivot").set_index("userId")
+    errs = []
+    for uid, g in ev.groupby("user_id"):
+        counts = g["event_type"].value_counts()
+        row = got.loc[int(uid)]
+        for t in types:
+            if int(row[f"n_{t}"]) != int(counts.get(t, 0)):
+                errs.append(f"user {uid} {t}: pivot mismatch")
+    return errs
+
+
+def check_q72_unpivot(con, sf_dir, spark_out):
+    li = load(con, sf_dir, "lineitem",
+              "l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+              "l_discount")
+    got = dump(spark_out, "q72_unpivot")
+    errs = []
+    if len(got) != 3 * len(li):
+        errs.append(f"row count {len(got)} != {3 * len(li)}")
+    from collections import Counter
+    exp = Counter()
+    for _, r in li.iterrows():
+        for m in ("l_quantity", "l_extendedprice", "l_discount"):
+            exp[(int(r["l_orderkey"]), int(r["l_linenumber"]), m,
+                 spark_round(r[m], 2))] += 1
+    gc = Counter((int(r["l_orderkey"]), int(r["l_linenumber"]),
+                  r["measure"], float(r["value"]))
+                 for _, r in got.iterrows())
+    if exp != gc:
+        errs.append(f"{sum((exp - gc).values())} unpivot rows differ")
+    return errs
+
+
+def check_q75_setops(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events", "user_id, event_type")
+    ck = set(ev.loc[ev["event_type"] == "click", "user_id"].astype(int))
+    pu = set(ev.loc[ev["event_type"] == "purchase", "user_id"].astype(int))
+    exp = {(u, "click_and_purchase") for u in ck & pu} | \
+          {(u, "click_only") for u in ck - pu}
+    got = dump(spark_out, "q75_setops")
+    gset = {(int(r["user_id"]), r["relation"]) for _, r in got.iterrows()}
+    errs = []
+    if gset != exp or len(got) != len(exp):
+        errs.append("set-op membership differs")
+    return errs
+
+
+def check_q76_gsets(con, sf_dir, spark_out):
+    ev = load(con, sf_dir, "events",
+              "event_type, CAST(ts AS DATE) AS day, value")
+    ev["day"] = pd.to_datetime(ev["day"])
+    cells = {}
+    for et, g in ev.groupby("event_type"):
+        cells[(et, None, 1)] = (len(g), g["value"].sum())
+    for day, g in ev.groupby("day"):
+        cells[(None, day, 2)] = (len(g), g["value"].sum())
+    cells[(None, None, 3)] = (len(ev), ev["value"].sum())
+    got = dump(spark_out, "q76_grouping_sets")
+    got["day"] = pd.to_datetime(got["day"])
+    errs = []
+    if len(got) != len(cells):
+        errs.append(f"cell count {len(got)} != {len(cells)}")
+    for _, r in got.iterrows():
+        key = (None if pd.isna(r["event_type"]) else r["event_type"],
+               None if pd.isna(r["day"]) else r["day"], int(r["gid"]))
+        if key not in cells:
+            errs.append(f"unexpected cell {key}")
+            continue
+        n, sv = cells[key]
+        if int(r["n"]) != n or \
+           not close(r["sum_value"], spark_round(sv, 4), 2e-4):
+            errs.append(f"cell {key}: mismatch")
+    return errs
+
+
+def check_q77_bloom(con, sf_dir, spark_out, hi=450000.0):
+    o = load(con, sf_dir, "orders", "o_orderkey", f"o_totalprice > {hi}")
+    keys = set(o["o_orderkey"].astype(int))
+    li = load(con, sf_dir, "lineitem",
+              "l_orderkey, l_returnflag AS rf, l_quantity AS q")
+    sel = li[li["l_orderkey"].astype(int).isin(keys)]
+    got = dump(spark_out, "q77_bloom_semi").set_index("flag")
+    errs = []
+    for rf, g in sel.groupby("rf"):
+        row = got.loc[rf]
+        if int(row["n_items"]) != len(g) or \
+           not close(row["sum_qty"], spark_round(g["q"].sum(), 2), 2e-6):
+            errs.append(f"{rf}: bloom-semi mismatch")
+    return errs
+
+
+def check_q91_profile(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders",
+             "o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, "
+             "o_totalprice AS p")
+    row = dump(spark_out, "q91_profile_orders").iloc[0]
+    cents = np.rint(o["p"].to_numpy() * 100).astype(np.int64)
+    errs = []
+    if int(row["n_rows"]) != len(o) or \
+       int(row["n_cust"]) != o["o_custkey"].nunique() or \
+       int(row["n_status"]) != o["o_orderstatus"].nunique() or \
+       pd.Timestamp(row["min_date"]) != pd.Timestamp(o["d"].min()) or \
+       pd.Timestamp(row["max_date"]) != pd.Timestamp(o["d"].max()) or \
+       not close(row["min_price"], spark_round(o["p"].min(), 2), 1e-9) or \
+       not close(row["max_price"], spark_round(o["p"].max(), 2), 1e-9) or \
+       not close(row["avg_price"],
+                 half_up_ratio(int(cents.sum()), len(o), 2), 1e-9):
+        errs.append("order profile mismatch")
+    return errs
+
+
+def check_q113_dq(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders",
+             "o_orderkey, o_custkey, o_totalprice, "
+             "CAST(o_orderdate AS DATE) AS d")
+    c = load(con, sf_dir, "customer", "c_custkey")
+    ckeys = set(c["c_custkey"].astype(int))
+    checks = {
+        "null_custkey": int(o["o_custkey"].isna().sum()),
+        "nonpositive_price": int((o["o_totalprice"] <= 0).sum()),
+        "date_out_of_range": int(
+            ((pd.to_datetime(o["d"]) < "2023-01-01") |
+             (pd.to_datetime(o["d"]) > "2025-12-31")).sum()),
+        "dup_orderkey": len(o) - o["o_orderkey"].nunique(),
+        "orphan_custkey": int(
+            (~o["o_custkey"].astype(int).isin(ckeys)).sum()),
+    }
+    got = dump(spark_out, "q113_dq_checks").set_index("check")
+    errs = []
+    for name, n in checks.items():
+        if int(got.loc[name, "n_violations"]) != n:
+            errs.append(f"{name}: {got.loc[name, 'n_violations']} != {n}")
+    return errs
+
+
+def check_q120_multiway(con, sf_dir, spark_out):
+    df = con.execute(
+        f"""SELECT n_name, l_extendedprice AS p, l_discount AS dc
+            FROM read_parquet('{tbl(sf_dir, 'lineitem')}') l
+            JOIN read_parquet('{tbl(sf_dir, 'orders')}') o
+              ON l.l_orderkey = o.o_orderkey
+            JOIN read_parquet('{tbl(sf_dir, 'customer')}') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{tbl(sf_dir, 'nation')}') n
+              ON c.c_nationkey = n.n_nationkey
+            JOIN read_parquet('{tbl(sf_dir, 'region')}') r
+              ON n.n_regionkey = r.r_regionkey
+            JOIN read_parquet('{tbl(sf_dir, 'supplier')}') s
+              ON l.l_suppkey = s.s_suppkey
+             AND s.s_nationkey = c.c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'""").df()
+    got = dump(spark_out, "q120_multiway_join").set_index("n_name")
+    errs = []
+    for nn, g in df.groupby("n_name"):
+        row = got.loc[nn]
+        if int(row["n_lines"]) != len(g) or \
+           not close(row["revenue"],
+                     _cents_half_up(_disc_rev_units(g["p"], g["dc"])), 1e-9):
+            errs.append(f"{nn}: multiway mismatch")
+    return errs
+
+
+def check_q143_nullanti(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders", "o_custkey")
+    c = load(con, sf_dir, "customer", "c_custkey")
+    keys = {None if int(k) % 1000 == 7 else int(k) for k in c["c_custkey"]}
+    has_null = None in keys
+    nn_keys = {k for k in keys if k is not None}
+    # NOT IN with a NULL in the subquery is never TRUE
+    not_in = 0 if has_null else int(
+        (~o["o_custkey"].astype(int).isin(nn_keys)).sum())
+    not_exists = int((~o["o_custkey"].astype(int).isin(nn_keys)).sum())
+    got = dump(spark_out, "q143_null_aware_antijoin").set_index("method")
+    errs = []
+    if int(got.loc["not_in", "n_rows"]) != not_in or \
+       int(got.loc["not_exists", "n_rows"]) != not_exists:
+        errs.append(f"({got.loc['not_in', 'n_rows']},"
+                    f"{got.loc['not_exists', 'n_rows']})"
+                    f" != ({not_in},{not_exists})")
+    return errs
+
+
+def check_q146_aggsurf(con, sf_dir, spark_out):
+    o = load(con, sf_dir, "orders",
+             "o_orderpriority AS pr, o_totalprice AS p, o_custkey")
+    got = dump(spark_out, "q146_agg_surface").set_index("o_orderpriority")
+    errs = []
+
+    def pct_cont(x, q):
+        idx = q * (len(x) - 1)
+        f = int(math.floor(idx))
+        if f + 1 >= len(x):
+            return x[-1]
+        return x[f] + (idx - f) * (x[f + 1] - x[f])
+
+    for pr, g in o.groupby("pr"):
+        x = np.sort(g["p"].to_numpy(dtype=np.float64))
+        top = g.loc[(g["p"] * 100000 + g["o_custkey"]).idxmax(), "o_custkey"]
+        row = got.loc[pr]
+        if int(row["n"]) != len(g) or \
+           not close(row["p50"], pct_cont(x, 0.5), 2e-4) or \
+           not close(row["p90"], pct_cont(x, 0.9), 2e-4) or \
+           int(row["top_cust"]) != int(top):
+            errs.append(f"{pr}: agg-surface mismatch")
+    return errs
+
+
 CHECKS = {
+    "q1_agg": check_q1_agg,
+    "q2_topk_per_group": check_q2_topk,
+    "q3_join_agg": check_q3_joinagg,
+    "q4_semi_join": check_q4_semi,
+    "q5_anti_join": check_q5_anti,
+    "q6_date_window": check_q6_datewin,
+    "q7_hot_parts": check_q7_hotparts,
+    "q8_distinct_per_day": check_q8_distinct,
+    "q9_user_topk": check_q9_usertopk,
+    "q10_global_agg": check_q10_global,
+    "q11_star_join": check_q11_star,
+    "q48_sql_surface": check_q48_sql,
+    "q52_rollup": check_q52_rollup,
+    "q55_cube": check_q55_cube,
+    "q63_full_outer": check_q63_fullouter,
+    "q71_pivot": check_q71_pivot,
+    "q72_unpivot": check_q72_unpivot,
+    "q75_setops": check_q75_setops,
+    "q76_grouping_sets": check_q76_gsets,
+    "q77_bloom_semi": check_q77_bloom,
+    "q84_bucketed_join": check_q84_bucketed,
+    "q91_profile_orders": check_q91_profile,
+    "q113_dq_checks": check_q113_dq,
+    "q120_multiway_join": check_q120_multiway,
+    "q143_null_aware_antijoin": check_q143_nullanti,
+    "q146_agg_surface": check_q146_aggsurf,
     "q12_running_sum": check_q12_running,
     "q49_json_props": check_q49_json,
     "q53_asof_join": check_q53_asof,
