@@ -1,6 +1,6 @@
 package graft
 
-import graft.io.{CsvSources, Writers}
+import graft.io.{CsvSources, Tables, Writers}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -71,5 +71,30 @@ class IoSpec extends AnyFunSuite {
     val kws = back.select(explode(col("keywords"))).select("col.word", "col.value")
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(kws === Set(("a", 1.0), ("b", 2.0)))
+  }
+
+  test("events NTZ normalization: instant-exact under UTC, loud without it") {
+    // NTZ events fixture (the round-6+ driver layout)
+    val dir = tmp()
+    Seq((1L, 42L, "click", "2024-01-05 10:00:00"))
+      .toDF("user_id", "event_id", "event_type", "w")
+      .withColumn("ts", to_timestamp_ntz(col("w"))).drop("w")
+      .write.parquet(s"$dir/events.parquet")
+
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    // UTC session: the wall clock IS the instant
+    assert(got.select(unix_micros(col("ts"))).head().getLong(0) ===
+      1704448800000000L)
+
+    // A consumer that forgot the UTC pin must fail the require, not read
+    // silently shifted timestamps (ADVICE r6).
+    val shifted = spark.newSession()
+    shifted.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalArgumentException] {
+      Tables.events(shifted, dir)
+    }
+    assert(e.getMessage.contains("timeZone=UTC"))
   }
 }

@@ -621,4 +621,31 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(finalRows(2L) === ((3L, 3)),
       s"user 2: 3 events over days {10,11,12}, got $finalRows")
   }
+
+  test("events schema probe: missing-path fallback is not memoized; a real footer is") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    val path = s"$dir/events.parquet"
+    // Path absent: long fallback (a stream over it yields no rows)...
+    val before = graft.streaming.StreamingHotTopics
+      .eventsSchemaFor(spark, path, None)
+    assert(before("ts").dataType === LongType)
+    // ...and must NOT be sticky: once the real NTZ files appear, the next
+    // probe reads the footer (ADVICE r6: memoize only real footers).
+    Seq((1L, 7L, "click", "2024-01-05 10:00:00"))
+      .toDF("user_id", "event_id", "event_type", "w")
+      .withColumn("ts", to_timestamp_ntz(col("w"))).drop("w")
+      .write.parquet(path)
+    val after = graft.streaming.StreamingHotTopics
+      .eventsSchemaFor(spark, path, None)
+    assert(after("ts").dataType === TimestampNTZType)
+    // Memoized now: deleting the files does not flip the cached footer type.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val cached = graft.streaming.StreamingHotTopics
+      .eventsSchemaFor(spark, path, None)
+    assert(cached("ts").dataType === TimestampNTZType)
+  }
 }
