@@ -622,6 +622,66 @@ class PlanAndStreamSpec extends AnyFunSuite {
       s"user 2: 3 events over days {10,11,12}, got $finalRows")
   }
 
+  test("TWS MapState killed mid-stream resumes: post-restart rows carry recovered per-type counts") {
+    import graft.streaming.{StreamConf, StreamingTws}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_map_restart").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    // per-type counts split ACROSS the kill: user 1 clicks twice and views
+    // once pre-kill; user 2 views once
+    Seq((1L, "click"), (1L, "click"), (2L, "view")).toDF("userId", "eventType")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq((1L, "view")).toDF("userId", "eventType")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    // same restartable-sink shape as the ListState test: counts are
+    // monotone per (user, type), so max over all emitted rows is final
+    def start() = StreamingTws.withRocksDb(spark) {
+      StreamConf.withStatePartitions(spark) {
+        import spark.implicits._
+        val evs = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .as[StreamingTws.TypedEv]
+        implicit val outEnc: Encoder[StreamingTws.TypeCount] =
+          Encoders.product[StreamingTws.TypeCount]
+        evs.groupByKey(_.userId)
+          .transformWithState(new StreamingTws.TypeCountProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF().writeStream.outputMode(OutputMode.Update)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+    }
+
+    val q1 = start()
+    val deadline = System.currentTimeMillis + 30000
+    while (q1.recentProgress.length < 1 && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    // post-restart: one more click per user — user 1's click total reaches
+    // 3 only if the pre-kill MapState entry (2) was recovered, and its
+    // emitted map walk must still carry the recovered "view" entry too
+    Seq((1L, "click"), (2L, "click")).toDF("userId", "eventType")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val finalRows = spark.read.parquet(outDir)
+      .groupBy($"user_id", $"event_type").agg(max($"n_events").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(finalRows((1L, "click")) === 3L,
+      s"user 1 clicks must span the restart (2 pre + 1 post), got $finalRows")
+    assert(finalRows((1L, "view")) === 1L,
+      s"user 1's view entry must survive in the recovered map, got $finalRows")
+    assert(finalRows((2L, "view")) === 1L && finalRows((2L, "click")) === 1L,
+      s"user 2 per-type counts must span the restart, got $finalRows")
+  }
+
   test("events schema probe: missing-path fallback is not memoized; a real footer is") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val dir = java.nio.file.Files.createTempDirectory("graft_probe").toString
