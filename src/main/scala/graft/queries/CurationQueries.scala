@@ -177,15 +177,17 @@ object CurationQueries {
       val words = Stage.scopedPersist(
         Ops.fanOut(Tables.documents(s, d))
           .select(explode(Tokenizer.tokens(col("text"))).as("word")))
-      val total = words.count()
-      // ceil(total/500) in integer math — double 0.002·total would round
-      // differently from DuckDB's DECIMAL arithmetic near integers
-      val threshold = (total + 499L) / 500L
       // broadcast, not closure capture: the sketch is ~10⁵ counters and the
       // filter runs in every scan task — a torrent broadcast ships it once
       // per executor instead of once per task closure
       val cms = s.sparkContext.broadcast(
         words.stat.countMinSketch(col("word"), 0.0005, 0.99, 42))
+      // the sketch already counts every added row, so the total rides the
+      // sketch pass instead of a standalone count() job over the corpus
+      val total = cms.value.totalCount
+      // ceil(total/500) in integer math — double 0.002·total would round
+      // differently from DuckDB's DECIMAL arithmetic near integers
+      val threshold = (total + 499L) / 500L
       val mightBeHeavy = udf((w: String) => cms.value.estimateCount(w) >= threshold)
       words.filter(mightBeHeavy(col("word")))
         .groupBy("word").agg(count(lit(1)).as("n"))
