@@ -1007,6 +1007,51 @@ object MiningQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Avro round-trip — the remaining row-major interchange format next to
+    // CSV/JSONL/ORC/parquet. Spark 4 ships the Avro classes inside
+    // spark-sql but reserves the "avro" shortname for the external-module
+    // registration (lookupDataSource special-cases it), so the lane binds
+    // the bundled FileFormat by class name. Unlike the JSONL lane, the
+    // TIMESTAMP travels as Avro's timestamp-micros LOGICAL TYPE, not a
+    // hand-encoded long — the lane proves the logical-type path is
+    // instant-exact alongside doubles and strings. Row-major Avro is the
+    // common landing format of streaming ingestion; a 100 TB pipeline
+    // reads it once and converts to columnar.
+    "q258_avro_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_avro_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite")
+        .format("org.apache.spark.sql.avro.AvroFileFormat").save(path)
+      s.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          min(unix_micros(col("ts"))).as("min_ts_us"))
+    }),
+
+    // XML round-trip (built-in XmlFileFormat, Spark 4) — the markup-text
+    // serialization family next to the delimiter (CSV) and object (JSONL)
+    // text lanes. Explicit read schema (no inference pass), values travel
+    // as exact integers (micros + cents) so text formatting cannot move
+    // them; rowTag is mandatory for the XML source, mirrored on both
+    // sides of the trip.
+    "q259_xml_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_xml_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .write.mode("overwrite").option("rowTag", "event").xml(path)
+      s.read.schema("event_id LONG, ts_us LONG, user_id LONG, " +
+          "event_type STRING, value_cents LONG")
+        .option("rowTag", "event").xml(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"),
+          max(col("ts_us")).as("max_ts_us"),
+          sum(col("event_id")).as("sum_event_id"))
+    }),
+
     // JSON-lines round-trip with explicit schema (NO inference pass — at
     // 100 TB schema inference is a full extra read): doubles survive via
     // exact integer cents, timestamps as micros.
@@ -2973,6 +3018,21 @@ object MiningQueries {
       """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q258_avro_roundtrip" ->
+      """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  min(date_diff('us', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)))
+        |    AS min_ts_us
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q259_xml_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  max(date_diff('us', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)))
+        |    AS max_ts_us,
+        |  sum(event_id) AS sum_event_id
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q171_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS n,
