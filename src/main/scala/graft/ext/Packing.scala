@@ -72,6 +72,16 @@ object Packing {
     * broadcasts; phase 3 is a row_number WINDOW PARTITIONED by bucket —
     * parallel across buckets, never the single-task global window a naive
     * `Window.orderBy(...)` plans.
+    *
+    * DENSITY PRECONDITION: the N/W bound on the bucket table holds only
+    * when each bucket tuple covers ~W rows. For composite buckets like
+    * (value, id div W) the cardinality is the number of distinct
+    * (value, id-block) pairs, which degrades toward N when value groups
+    * are sparse across the id space — at that point the phase-2 prefix-sum
+    * window (single task) and broadcast(offsets) are corpus-sized. Callers
+    * choosing bucket columns must ensure the leading bucket key is
+    * low-cardinality relative to N/W (q256 uses n_tok, whose value range
+    * is bounded by document length) or coarsen the id-block width.
     */
   def globalRank(df: DataFrame, buckets: Seq[Column], order: Seq[Column],
                  rankCol: String): DataFrame = {

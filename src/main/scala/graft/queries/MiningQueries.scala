@@ -953,7 +953,7 @@ object MiningQueries {
         Tables.events(s, d).select(col("event_id"), col("value"),
           expr("try_cast(CASE WHEN value < 2 THEN 'poison' " +
             "ELSE CAST(event_id AS STRING) END AS BIGINT)").as("parsed_id")))
-      val base = s"/tmp/graft_quarantine_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val base = graft.runtime.Scratch.dir("quarantine", d)
       parsed.filter(col("parsed_id").isNotNull)
         .write.mode("overwrite").parquet(s"$base/valid")
       parsed.filter(col("parsed_id").isNull)
@@ -996,7 +996,7 @@ object MiningQueries {
     // timestamps — written day-sorted so ORC's min/max stripe stats stay
     // tight (the ORC-side analogue of the q107/q131 layout discipline).
     "q170_orc_roundtrip" -> ((s, d) => {
-      val path = s"/tmp/graft_orc_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val path = graft.runtime.Scratch.dir("orc_events", d)
       Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
@@ -1018,7 +1018,7 @@ object MiningQueries {
     // common landing format of streaming ingestion; a 100 TB pipeline
     // reads it once and converts to columnar.
     "q258_avro_roundtrip" -> ((s, d) => {
-      val path = s"/tmp/graft_avro_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val path = graft.runtime.Scratch.dir("avro_events", d)
       Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
@@ -1037,7 +1037,7 @@ object MiningQueries {
     // them; rowTag is mandatory for the XML source, mirrored on both
     // sides of the trip.
     "q259_xml_roundtrip" -> ((s, d) => {
-      val path = s"/tmp/graft_xml_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val path = graft.runtime.Scratch.dir("xml_events", d)
       Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"),
@@ -1056,7 +1056,7 @@ object MiningQueries {
     // 100 TB schema inference is a full extra read): doubles survive via
     // exact integer cents, timestamps as micros.
     "q171_jsonl_roundtrip" -> ((s, d) => {
-      val path = s"/tmp/graft_jsonl_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val path = graft.runtime.Scratch.dir("jsonl_events", d)
       Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"),
@@ -1079,7 +1079,7 @@ object MiningQueries {
       s.sql(s"""CREATE TABLE $tbl (
                |  o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
                |USING parquet
-               |LOCATION '/tmp/graft_warehouse_$tbl'""".stripMargin)
+               |LOCATION '${graft.runtime.Scratch.dir("warehouse", tbl)}'""".stripMargin)
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .write.mode("overwrite").insertInto(tbl)
@@ -1378,7 +1378,7 @@ object MiningQueries {
     // silently vanishing — the file-side sibling of the q168 quarantine
     // split. Counts of clean vs corrupt rows are the contract.
     "q189_csv_malformed" -> ((s, d) => {
-      val path = s"/tmp/graft_badcsv_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val path = graft.runtime.Scratch.dir("badcsv", d)
       // render: every 10th row gets a non-numeric id -> fails LONG parse
       Tables.events(s, d)
         .select(concat_ws(",",
@@ -1405,7 +1405,7 @@ object MiningQueries {
     // layout-level decision at 100 TB (scan-speed vs storage); fidelity is
     // oracle-gated like every other format lane.
     "q190_codec_roundtrip" -> ((s, d) => {
-      val path = s"/tmp/graft_zstd_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val path = graft.runtime.Scratch.dir("zstd", d)
       Tables.orders(s, d)
         .write.mode("overwrite").option("compression", "zstd").parquet(path)
       s.read.parquet(path)
@@ -1437,7 +1437,7 @@ object MiningQueries {
     // every long-lived 100 TB table depends on (and the reason readers
     // must never infer: the MERGED schema is the table's schema).
     "q192_schema_evolution" -> ((s, d) => {
-      val base = s"/tmp/graft_schemaevo_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val base = graft.runtime.Scratch.dir("schemaevo", d)
       val ev = Tables.events(s, d)
       ev.filter(to_date(col("ts")) < "2024-01-16")
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -2025,7 +2025,7 @@ object MiningQueries {
     */
   def partitionedEvents(s: SparkSession, d: String): DataFrame =
     graft.runtime.Stage.shared(s, s"partitioned-events:$d") {
-      val path = s"/tmp/graft_part_events_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val path = graft.runtime.Scratch.dir("part_events", d)
       Tables.events(s, d).withColumn("day", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("day").parquet(path)
       s.read.parquet(path)
@@ -3031,7 +3031,7 @@ object MiningQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  max(date_diff('us', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)))
         |    AS max_ts_us,
-        |  sum(event_id) AS sum_event_id
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
         |FROM events GROUP BY 1""".stripMargin,
 
     "q171_jsonl_roundtrip" ->

@@ -166,7 +166,8 @@ object ParityQueries {
          |  SELECT doc_id, word, 1.0 * count(*)
          |  FROM (SELECT doc_id, unnest(${fieldToks("content")}) AS word FROM t)
          |  GROUP BY 1, 2),
-         |m AS (SELECT doc_id, word, round(sum(tf), 6) AS tf FROM wt GROUP BY 1, 2)
+         |m AS (SELECT doc_id, word,
+         |  CAST(round(sum(tf), 6) AS DOUBLE) AS tf FROM wt GROUP BY 1, 2)
          |SELECT doc_id, word, tf, CAST(rn AS INT) AS rn FROM (
          |  SELECT doc_id, word, tf,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, word) AS rn
@@ -187,7 +188,8 @@ object ParityQueries {
       """WITH seed(id, tag, v) AS (VALUES
         |  (1, 'alpha', 10.5), (2, 'beta', 20.25), (3, 'alpha', 5.75),
         |  (4, 'gamma', 7.0), (5, 'beta', 2.5))
-        |SELECT tag, count(*) AS n, round(sum(v), 2) AS sum_v
+        |SELECT tag, count(*) AS n,
+        |  CAST(round(sum(v), 2) AS DOUBLE) AS sum_v
         |FROM seed GROUP BY 1""".stripMargin,
 
     "q221_date_loop" ->

@@ -420,7 +420,7 @@ object ScaleQueries {
     // numeric serialization must survive both directions to hash-match an
     // oracle computed straight from the parquet events.
     "q114_csv_roundtrip" -> ((s, d) => {
-      val path = s"/tmp/graft_csv_clicks_${Integer.toHexString(d.hashCode).replace('-', '_')}"
+      val path = graft.runtime.Scratch.dir("csv_clicks", d)
       Tables.clicks(s, d).write.mode("overwrite").option("header", "true").csv(path)
       graft.io.CsvSources.loadClicks(s, path).toDF()
         .groupBy(col("date"))

@@ -377,8 +377,9 @@ object SemanticQueries {
          |  SELECT ng FROM (SELECT ng, count(*) AS nd FROM gc GROUP BY 1)
          |  WHERE nd >= 2),
          |agg AS (
-         |  SELECT gc.doc_id, sum(gc.k) AS n_ngrams,
-         |    sum(CASE WHEN d.ng IS NOT NULL THEN gc.k ELSE 0 END) AS n_dup
+         |  SELECT gc.doc_id, CAST(sum(gc.k) AS BIGINT) AS n_ngrams,
+         |    CAST(sum(CASE WHEN d.ng IS NOT NULL THEN gc.k ELSE 0 END)
+         |      AS BIGINT) AS n_dup
          |  FROM gc LEFT JOIN dup d ON d.ng = gc.ng
          |  GROUP BY 1)
          |SELECT doc_id, n_ngrams, n_dup,
@@ -402,7 +403,7 @@ object SemanticQueries {
          |tot AS (
          |  SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr
          |  FROM pb)
-         |SELECT dk.doc_id, sum(dk.k) AS n_bigrams,
+         |SELECT dk.doc_id, CAST(sum(dk.k) AS BIGINT) AS n_bigrams,
          |  round(sum(dk.k * ln((CAST(pb.ct + 1 AS DOUBLE) / (tot.nt + $DsirBuckets))
          |    / (CAST(pb.cr + 1 AS DOUBLE) / (tot.nr + $DsirBuckets)))) / sum(dk.k), 6)
          |    AS avg_log_ratio
@@ -436,7 +437,8 @@ object SemanticQueries {
          |    ELSE ${Shards - 1} - (r0 % $Shards) END AS shard
          |  FROM r)
          |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
-         |  sum(n_tok) AS n_tokens, max(n_tok) AS max_tok, min(n_tok) AS min_tok
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  max(n_tok) AS max_tok, min(n_tok) AS min_tok
          |FROM s GROUP BY 1""".stripMargin,
 
     "q257_rule_funnel" ->

@@ -187,7 +187,8 @@ object TextQueries {
          |  FROM words)""".stripMargin
     val rounds = (1 to k).map { r =>
       s"""s$r AS (SELECT freq, string_split(trim(repr,'|'), '||') AS syms FROM r${r - 1}),
-         |p$r AS (SELECT l AS left_sym, r AS right_sym, sum(freq) AS weight FROM (
+         |p$r AS (SELECT l AS left_sym, r AS right_sym,
+         |    CAST(sum(freq) AS BIGINT) AS weight FROM (
          |    SELECT freq, unnest(syms[1:len(syms)-1]) AS l,
          |      unnest(syms[2:len(syms)]) AS r FROM s$r) z GROUP BY 1, 2),
          |b$r AS (SELECT left_sym, right_sym, weight FROM p$r
@@ -267,7 +268,7 @@ object TextQueries {
 
     "q248_bpe_vocab" ->
       s"""WITH ${bpeCtes(BpeRounds)}
-         |SELECT token, sum(freq) AS n FROM (
+         |SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
          |  SELECT freq, unnest(string_split(trim(repr,'|'), '||')) AS token
          |  FROM r$BpeRounds) t
          |GROUP BY token""".stripMargin,
@@ -277,8 +278,8 @@ object TextQueries {
          |langwords AS (SELECT lang, word, count(*) AS lfreq FROM toksrc GROUP BY 1, 2),
          |wlen AS (SELECT word, len(string_split(trim(repr,'|'), '||')) AS n_sub
          |  FROM r$BpeRounds)
-         |SELECT lang, sum(lw.lfreq * wlen.n_sub) AS n_tokens,
-         |  sum(lw.lfreq) AS n_words,
+         |SELECT lang, CAST(sum(lw.lfreq * wlen.n_sub) AS BIGINT) AS n_tokens,
+         |  CAST(sum(lw.lfreq) AS BIGINT) AS n_words,
          |  ${SqlFragments.ratioHalfUpSql(
              "sum(lw.lfreq * wlen.n_sub) * 1000000", "sum(lw.lfreq)", 6)} AS fertility
          |FROM langwords lw JOIN wlen USING (word)

@@ -173,6 +173,29 @@ object Stage {
         // Capture the Hadoop conf now — at onApplicationEnd the context is
         // mid-shutdown and its accessors are not guaranteed.
         val hconf = spark.sparkContext.hadoopConfiguration
+        // The exit listener can't run on SIGKILL/crash, and in the durable
+        // branch the random jvmId means a later run never re-derives a dead
+        // run's path — so leaked cut dirs would accumulate forever. Reclaim
+        // day-old graft-* siblings (other jvmIds) here at first use; 24h is
+        // past any realistic run length, so a live concurrent process's
+        // dirs are never swept.
+        try {
+          val basePath = new org.apache.hadoop.fs.Path(base)
+          val fs = basePath.getFileSystem(hconf)
+          val parent = basePath.getParent
+          val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+          if (parent != null && fs.exists(parent)) {
+            fs.listStatus(parent).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith("graft-") && !n.contains(jvmId)
+                  && st.getModificationTime < cutoff) {
+                try { fs.delete(st.getPath, true); () }
+                catch { case _: java.io.IOException => () }
+              }
+            }
+          }
+        } catch { case ex: java.io.IOException => System.err.println(
+          s"[stage] stale scratch sweep failed under $base: $ex") }
         spark.sparkContext.addSparkListener(new SparkListener {
           override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
             val p = new org.apache.hadoop.fs.Path(base)

@@ -29,8 +29,7 @@ object ForeachBatchSink {
     */
   def sharedPurchaseLedger(spark: SparkSession, dir: String): DataFrame =
     graft.runtime.Stage.shared(spark, s"foreachbatch-ledger:$dir") {
-      val tag = Integer.toHexString(dir.hashCode).replace('-', '_')
-      val out = s"/tmp/graft_ledger/$tag"
+      val out = graft.runtime.Scratch.dir("ledger", dir)
       val p = new org.apache.hadoop.fs.Path(out)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)

@@ -25,7 +25,11 @@ object StreamingAppendAgg {
     */
   def dailyFinalizedClickCounts(spark: SparkSession, dir: String): DataFrame =
       StreamConf.withStatePartitions(spark) {
-    val sentinelDir = s"/tmp/graft_appendagg_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val sentinelDir = graft.runtime.Scratch.dir("appendagg_sentinel", dir)
+    // Harness-only scalar: a single-row parallel max() sizing the bounded-
+    // input sentinel (and the maxRealDay output fence below) — not a data
+    // collect. A production unbounded stream has no sentinel and no such
+    // driver action; watermarks advance on live data.
     val maxUs = graft.io.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val farNs = (maxUs + 36L * 3600L * 1000000L) * 1000L
@@ -72,7 +76,9 @@ object StreamingAppendAgg {
     */
   def dailyHourlyProfile(spark: SparkSession, dir: String): DataFrame =
       StreamConf.withStatePartitions(spark) {
-    val sentinelDir = s"/tmp/graft_chainagg_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val sentinelDir = graft.runtime.Scratch.dir("chainagg_sentinel", dir)
+    // Harness-only scalar (see dailyFinalizedClickCounts): single-row
+    // max() job for sentinel sizing + output fence; absent in production.
     val maxUs = graft.io.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val farNs = (maxUs + 72L * 3600L * 1000000L) * 1000L

@@ -42,7 +42,7 @@ object StreamingOuterJoin {
     */
   def viewFunnel(spark: SparkSession, dir: String): DataFrame =
       StreamConf.withStatePartitions(spark) {
-    val sentinelDir = s"/tmp/graft_outer_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val sentinelDir = graft.runtime.Scratch.dir("outer_sentinel", dir)
     writeSentinel(spark, dir, sentinelDir)
 
     def src(path: String, glob: Option[String]): DataFrame =
@@ -83,7 +83,7 @@ object StreamingOuterJoin {
     */
   def viewFunnelFull(spark: SparkSession, dir: String): DataFrame =
       StreamConf.withStatePartitions(spark) {
-    val sentinelDir = s"/tmp/graft_fouter_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val sentinelDir = graft.runtime.Scratch.dir("fouter_sentinel", dir)
     writeSentinel(spark, dir, sentinelDir)
 
     def src(path: String, glob: Option[String]): DataFrame =
@@ -122,6 +122,8 @@ object StreamingOuterJoin {
     * schema-identical to events.parquet (ts in nanos).
     */
   private def writeSentinel(spark: SparkSession, dir: String, out: String): Unit = {
+    // Harness-only scalar: single-row max() job sizing the bounded-input
+    // sentinel — not a data collect; no production-stream analogue.
     val maxNs = graft.io.Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val farNs = maxNs + 12L * 3600L * 1000L * 1000L * 1000L

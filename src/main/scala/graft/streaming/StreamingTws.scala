@@ -171,7 +171,9 @@ object StreamingTws {
     import spark.implicits._
     withRocksDb(spark) {
       val sink = s"tws_timers_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
-      val sentinelDir = s"/tmp/graft_tws_timer_sentinel_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+      val sentinelDir = graft.runtime.Scratch.dir("tws_timer_sentinel", dir)
+      // Harness-only scalar: single-row max() job sizing the bounded-input
+      // sentinel — not a data collect; no production-stream analogue.
       val maxUs = graft.io.Tables.events(spark, dir)
         .agg(max(unix_micros(col("ts")))).head().getLong(0)
       val farNs = (maxUs + 48L * 3600L * 1000000L) * 1000L

@@ -2405,6 +2405,78 @@ def check_q231_gapfill(con, sf_dir, spark_out):
     return errs
 
 
+def _events_pd(con, sf_dir):
+    """Raw events columns for the round-trip lanes, pandas-native types."""
+    ev = load(con, sf_dir, "events",
+              "event_id, ts, user_id, event_type, value")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    return ev
+
+
+def check_q258_avro(con, sf_dir, spark_out):
+    """Avro round-trip lane: recompute the per-(type, day) aggregates
+    straight from the source parquet — if the Avro write/read perturbed any
+    value (timestamp precision, double bits), the groups drift here."""
+    ev = _events_pd(con, sf_dir)
+    ev["day"] = ev["ts"].dt.date
+    # epoch micros, textbook: (ts - epoch) in microseconds
+    epoch = pd.Timestamp("1970-01-01")
+    ev["ts_us"] = (ev["ts"] - epoch) // pd.Timedelta(microseconds=1)
+    exp = ev.groupby(["event_type", "day"]).agg(
+        n=("event_id", "size"), sum_value=("value", "sum"),
+        min_ts_us=("ts_us", "min"))
+    got = dump(spark_out, "q258_avro_roundtrip")
+    got["day"] = pd.to_datetime(got["day"]).dt.date
+    got = got.set_index(["event_type", "day"])
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"group count {len(got)} != {len(exp)}")
+    for key, e in exp.iterrows():
+        if key not in got.index:
+            errs.append(f"missing group {key}")
+            continue
+        g = got.loc[key]
+        if int(g["n"]) != int(e["n"]):
+            errs.append(f"{key}: n {g['n']} != {e['n']}")
+        # dump is round(sum,2); recompute unrounded → half-grid + float slack
+        if not close(g["sum_value"], e["sum_value"],
+                     0.005 + 1e-9 * abs(e["sum_value"])):
+            errs.append(f"{key}: sum_value {g['sum_value']} != "
+                        f"{e['sum_value']}")
+        if int(g["min_ts_us"]) != int(e["min_ts_us"]):
+            errs.append(f"{key}: min_ts_us {g['min_ts_us']} != "
+                        f"{e['min_ts_us']}")
+    return errs[:5]
+
+
+def check_q259_xml(con, sf_dir, spark_out):
+    """XML round-trip lane: exact-integer recompute (cents, epoch micros,
+    id sums) from the source parquet."""
+    ev = _events_pd(con, sf_dir)
+    epoch = pd.Timestamp("1970-01-01")
+    ev["ts_us"] = (ev["ts"] - epoch) // pd.Timedelta(microseconds=1)
+    # cents via Decimal-repr HALF_UP, matching Spark round() semantics
+    from decimal import Decimal, ROUND_HALF_UP
+    ev["cents"] = [int(Decimal(repr(v * 100)).quantize(
+        Decimal(1), rounding=ROUND_HALF_UP)) for v in ev["value"]]
+    exp = ev.groupby("event_type").agg(
+        n=("event_id", "size"), sum_cents=("cents", "sum"),
+        max_ts_us=("ts_us", "max"), sum_event_id=("event_id", "sum"))
+    got = dump(spark_out, "q259_xml_roundtrip").set_index("event_type")
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"group count {len(got)} != {len(exp)}")
+    for key, e in exp.iterrows():
+        if key not in got.index:
+            errs.append(f"missing group {key}")
+            continue
+        g = got.loc[key]
+        for c in ("n", "sum_cents", "max_ts_us", "sum_event_id"):
+            if int(g[c]) != int(e[c]):
+                errs.append(f"{key}: {c} {g[c]} != {e[c]}")
+    return errs[:5]
+
+
 def check_q253_spans(con, sf_dir, spark_out, n=5):
     toks = _doc_tokens(con, sf_dir)
     per_doc = {}
@@ -5430,6 +5502,8 @@ CHECKS = {
     "q208_theil_sen": check_q208_theil_sen,
     "q254_dsir_weights": check_q254_dsir,
     "q256_shard_manifest": check_q256_shard_manifest,
+    "q258_avro_roundtrip": check_q258_avro,
+    "q259_xml_roundtrip": check_q259_xml,
 }
 
 
