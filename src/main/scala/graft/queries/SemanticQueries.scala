@@ -67,6 +67,14 @@ object SemanticQueries {
   /** q254: hashed feature space size (md5-derived, engine-portable). */
   val DsirBuckets = 256
 
+  /** q261: minimum pair count for a collocation candidate (PMI is
+    * unstable below ~5 observations — the standard floor).
+    */
+  val PmiMinCount = 5
+
+  /** q261: collocations returned (global top-k by rounded PMI). */
+  val PmiTopK = 20
+
   /** q255: upsampling ceiling in weight-micros (3× — the practical bound
     * the q230 weight report caps at; shared with the oracle).
     */
@@ -320,6 +328,94 @@ object SemanticQueries {
         .withColumn("n_surviving",
           col("_tot") - sum(col("n_killed")).over(wCum))
         .select(col("rule"), col("rule_name"), col("n_killed"), col("n_surviving"))
+    }),
+
+    // Bigram-LM quality scoring (the CCNet posture, Wenzek et al. LREC
+    // 2020: score text by an n-gram LM's perplexity and filter the tail):
+    // train an add-1-smoothed bigram model ON the corpus in one pass, then
+    // score every document by its average negative log-likelihood under
+    // that model — high avg_nll = out-of-distribution text. Scale shape:
+    // the "model" is two keyed aggregates of the same per-doc bigram frame
+    // (bigram counts, vocab²-bounded; start counts, vocab-bounded) joined
+    // back by key — no driver-side vocabulary, no fit/transform asymmetry,
+    // both map-side combinable; the smoothing constant |V| rides a one-row
+    // broadcast cross. The count tables are corpus-derived but vocabulary-
+    // bounded, so they do NOT grow with corpus size — at 100 TB the joins
+    // stay hash joins on bounded build sides.
+    "q260_bigram_lm" -> ((s, d) => {
+      val tk = Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val db = graft.runtime.Stage.scopedPersist(
+        tk.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2)))"))
+          .as("b"))
+          .withColumn("w1", substring_index(col("b"), " ", 1))
+          .groupBy(col("doc_id"), col("w1"), col("b"))
+          .agg(count(lit(1)).as("k")))
+      val cb = db.groupBy(col("b")).agg(sum(col("k")).as("cb"))
+      val cw = db.groupBy(col("w1")).agg(sum(col("k")).as("cw"))
+      val v = cw.agg(count(lit(1)).cast("double").as("_v"))
+      db.join(cb, "b").join(cw, "w1")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("k"),
+          (col("k") * -log((col("cb") + 1).cast("double")
+            / (col("cw") + col("_v")))).as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          round(sum(col("nll")) / sum(col("k")), 6).as("avg_nll"))
+    }),
+
+    // Collocation extraction by pointwise mutual information:
+    // PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) over corpus bigram and
+    // unigram counts, floored at PmiMinCount observations, global top-k.
+    // Ranking follows the repo's tie-free convention — ordered on the
+    // ROUNDED pmi with (w1, w2) as the deterministic tie-break. Scale
+    // shape: two keyed aggregates of one tokenized pass, two
+    // vocab-bounded joins, totals on a one-row broadcast cross; the
+    // top-k is a TakeOrdered (per-partition heaps), never a global sort.
+    "q261_pmi_collocations" -> ((s, d) => {
+      val toks = graft.runtime.Stage.scopedPersist(
+        Ops.fanOut(Tables.documents(s, d))
+          .select(graft.text.Tokenizer.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2))
+      val uni = toks.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bi = toks.select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2)))"))
+        .as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= PmiMinCount)
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+        .withColumn("w2", substring_index(col("b"), " ", -1))
+      val totals = toks.agg(
+        sum(size(col("tk"))).cast("double").as("_nt"),
+        sum(size(col("tk")) - 1).cast("double").as("_nb"))
+      bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(log((col("cb") * col("_nt") * col("_nt"))
+          / (col("_nb") * col("c1") * col("c2"))), 6))
+        .select(col("w1"), col("w2"), col("cb").as("n_pair"), col("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(PmiTopK)
+    }),
+
+    // Deterministic stratified split manifest: every document lands in
+    // train/val/test (80/10/10) by an md5 draw on its id — the q255 draw
+    // convention: reproducible across engines, reruns, and partitionings,
+    // never RNG state. One corpus scan; the output is a ≤3·|lang| row
+    // manifest with per-stratum doc and token totals.
+    "q262_split_manifest" -> ((s, d) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 100L).cast("int")
+      Ops.fanOut(Tables.documents(s, d))
+        .select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"),
+          size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("ntk"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntk")).as("n_tokens"))
     })
   )
 
@@ -468,6 +564,49 @@ object SemanticQueries {
          |  CAST(coalesce(c.c, 0) AS BIGINT) AS n_killed,
          |  CAST((SELECT sum(c) FROM c)
          |    - sum(coalesce(c.c, 0)) OVER (ORDER BY r.rule) AS BIGINT) AS n_surviving
-         |FROM rules r LEFT JOIN c ON c.ff = r.rule""".stripMargin
+         |FROM rules r LEFT JOIN c ON c.ff = r.rule""".stripMargin,
+
+    "q260_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+         |db AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS b,
+         |    count(*) AS k
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM f) z
+         |  GROUP BY 1, 2, 3),
+         |cb AS (SELECT b, CAST(sum(k) AS BIGINT) AS cb FROM db GROUP BY 1),
+         |cw AS (SELECT w1, CAST(sum(k) AS BIGINT) AS cw FROM db GROUP BY 1),
+         |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM cw)
+         |SELECT db.doc_id, CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+         |  round(sum(db.k * -ln(CAST(cb.cb + 1 AS DOUBLE) / (cw.cw + v.v)))
+         |    / sum(db.k), 6) AS avg_nll
+         |FROM db JOIN cb USING (b) JOIN cw USING (w1), v
+         |GROUP BY 1""".stripMargin,
+
+    "q261_pmi_collocations" ->
+      s"""WITH t AS (SELECT $toks AS tk FROM documents),
+         |f AS (SELECT tk FROM t WHERE len(tk) >= 2),
+         |uni AS (SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(tk) AS w FROM f) GROUP BY 1),
+         |bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS cb
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM f) z
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(len(tk)) AS DOUBLE) AS nt,
+         |  CAST(sum(len(tk) - 1) AS DOUBLE) AS nb FROM f)
+         |SELECT w1, w2, CAST(cb AS BIGINT) AS n_pair,
+         |  round(ln(cb * nt * nt / (nb * c1.c * c2.c)), 6) AS pmi
+         |FROM bi JOIN uni c1 ON c1.w = bi.w1 JOIN uni c2 ON c2.w = bi.w2, tot
+         |WHERE cb >= $PmiMinCount
+         |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin,
+
+    "q262_split_manifest" ->
+      s"""WITH b AS (SELECT lang,
+         |  (${md5Hex("CAST(doc_id AS VARCHAR)", 6)}) % 100 AS bk,
+         |  len($toks) AS ntk FROM documents)
+         |SELECT lang,
+         |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(ntk) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1, 2""".stripMargin
   )
 }

@@ -253,4 +253,65 @@ class SemanticSpec extends AnyFunSuite {
       4 -> (("uniq_ratio", 1L, 2L)),
       5 -> (("stopword_hit", 1L, 1L))))
   }
+
+  test("q260: add-1 bigram NLL matches the hand-derived model") {
+    val dir = tmpDir()
+    writeDocs(dir, Seq(
+      (1L, "a b a b", "en"),  // bigrams (a b)x2, (b a)x1
+      (2L, "a b c", "en"),    // (a b), (b c)
+      (3L, "x", "en")))       // single token -> excluded
+    // corpus: cb = {(a b):3, (b a):1, (b c):1}; starts cw = {a:3, b:2};
+    // V = 2. p(a b) = 4/5, p(b a) = p(b c) = 2/4.
+    val nAB = -math.log(4.0 / 5)
+    val nBA = -math.log(2.0 / 4)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = run("q260_bigram_lm", dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, r6((2 * nAB + nBA) / 3))),
+      2L -> ((2L, r6((nAB + nBA) / 2)))))
+  }
+
+  test("q261: PMI ranking over min-count-floored pairs") {
+    val dir = tmpDir()
+    writeDocs(dir, Seq(
+      (1L, Seq.fill(5)("a b").mkString(" "), "en"),   // (a b)x5, (b a)x4
+      (2L, Seq.fill(6)("c d").mkString(" "), "en")))  // (c d)x6, (d c)x5
+    // uni: a 5, b 5, c 6, d 6; Ntok 22; Nbig 20. (b a) is floored out.
+    def pmi(cb: Long, c1: Long, c2: Long): Double = {
+      val x = math.log(cb * 22.0 * 22.0 / (20.0 * c1 * c2))
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = run("q261_pmi_collocations", dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("a", "b", 5L, pmi(5, 5, 5)),
+      ("c", "d", 6L, pmi(6, 6, 6)),
+      ("d", "c", 5L, pmi(5, 6, 6))))
+  }
+
+  test("q262: split assignment matches an independent md5 recompute") {
+    val dir = tmpDir()
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill((i % 3).toInt + 1)("tok").mkString(" "), if (i % 2 == 0) "en" else "fr"))
+    writeDocs(dir, docs)
+    // independent bucket derivation: first 6 hex chars of md5(idString)
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(6), 16) % 100).toInt
+    }
+    def split(b: Int): String =
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    val exp = docs.groupBy { case (id, _, lang) => (lang, split(bucket(id))) }
+      .map { case (k, rows) =>
+        k -> ((rows.size.toLong, rows.map(_._1 % 3 + 1).sum)) }
+    val got = run("q262_split_manifest", dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === exp)
+  }
 }

@@ -2477,6 +2477,108 @@ def check_q259_xml(con, sf_dir, spark_out):
     return errs[:5]
 
 
+def check_q260_bigram_lm(con, sf_dir, spark_out):
+    """Textbook add-1 bigram LM: counts via Counter, NLL via math.log."""
+    from collections import Counter
+    toks = _doc_tokens(con, sf_dir)
+    cb, cw = Counter(), Counter()
+    per_doc = {}
+    for d, tk in toks.items():
+        if len(tk) < 2:
+            continue
+        bigs = Counter(zip(tk[:-1], tk[1:]))
+        per_doc[d] = bigs
+        for b, k in bigs.items():
+            cb[b] += k
+            cw[b[0]] += k
+    v = float(len(cw))
+    got = dump(spark_out, "q260_bigram_lm").set_index("doc_id")
+    errs = []
+    if len(got) != len(per_doc):
+        errs.append(f"row count {len(got)} != {len(per_doc)}")
+    for d, bigs in per_doc.items():
+        if d not in got.index:
+            errs.append(f"missing doc {d}")
+            continue
+        n = sum(bigs.values())
+        nll = sum(k * -math.log((cb[b] + 1) / (cw[b[0]] + v))
+                  for b, k in bigs.items())
+        g = got.loc[d]
+        if int(g["n_bigrams"]) != n:
+            errs.append(f"doc {d}: n_bigrams {g['n_bigrams']} != {n}")
+        if not close(g["avg_nll"], nll / n, 5.1e-7):
+            errs.append(f"doc {d}: avg_nll {g['avg_nll']} != {nll / n}")
+    return errs[:5]
+
+
+def check_q261_pmi(con, sf_dir, spark_out, min_count=5, topk=20):
+    """Textbook PMI over corpus uni/bigram counts, ranked on the rounded
+    value with (w1, w2) tie-break — the engine's display-rounded ranking
+    contract, replicated with Decimal HALF_UP."""
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+    toks = _doc_tokens(con, sf_dir)
+    uni, bi = Counter(), Counter()
+    nt = nb = 0
+    for d, tk in toks.items():
+        if len(tk) < 2:
+            continue
+        uni.update(tk)
+        nt += len(tk)
+        bi.update(zip(tk[:-1], tk[1:]))
+        nb += len(tk) - 1
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"),
+                                               rounding=ROUND_HALF_UP))
+    rows = []
+    for (w1, w2), c in bi.items():
+        if c < min_count:
+            continue
+        pmi = r6(math.log(c * float(nt) * float(nt)
+                          / (nb * float(uni[w1]) * float(uni[w2]))))
+        rows.append((w1, w2, c, pmi))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = rows[:topk]
+    got = dump(spark_out, "q261_pmi_collocations")
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"row count {len(got)} != {len(exp)}")
+    gs = [(r["w1"], r["w2"], int(r["n_pair"]), float(r["pmi"]))
+          for _, r in got.iterrows()]
+    gs.sort(key=lambda r: (-r[3], r[0], r[1]))
+    for (ew), (gw) in zip(exp, gs):
+        if ew[:3] != gw[:3] or not close(ew[3], gw[3], 2e-6):
+            errs.append(f"{gw} != expected {ew}")
+    return errs[:5]
+
+
+def check_q262_split(con, sf_dir, spark_out):
+    """Independent md5 bucket derivation via hashlib (not the SQL digit
+    arithmetic), exact-integer stratum totals."""
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, lang, text")
+    agg = {}
+    for _, r in docs.iterrows():
+        b = int(hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()[:6],
+                16) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        k = (r["lang"], split)
+        n, t = agg.get(k, (0, 0))
+        agg[k] = (n + 1, t + len(tokenize(r["text"])))
+    got = dump(spark_out, "q262_split_manifest").set_index(["lang", "split"])
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"group count {len(got)} != {len(agg)}")
+    for k, (n, t) in agg.items():
+        if k not in got.index:
+            errs.append(f"missing group {k}")
+            continue
+        g = got.loc[k]
+        if int(g["n_docs"]) != n or int(g["n_tokens"]) != t:
+            errs.append(f"{k}: ({g['n_docs']}, {g['n_tokens']}) != ({n}, {t})")
+    return errs[:5]
+
+
 def check_q253_spans(con, sf_dir, spark_out, n=5):
     toks = _doc_tokens(con, sf_dir)
     per_doc = {}
@@ -5504,6 +5606,9 @@ CHECKS = {
     "q256_shard_manifest": check_q256_shard_manifest,
     "q258_avro_roundtrip": check_q258_avro,
     "q259_xml_roundtrip": check_q259_xml,
+    "q260_bigram_lm": check_q260_bigram_lm,
+    "q261_pmi_collocations": check_q261_pmi,
+    "q262_split_manifest": check_q262_split,
 }
 
 
