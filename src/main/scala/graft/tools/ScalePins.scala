@@ -33,9 +33,19 @@ object ScalePins {
   /** q23 is the exact all-days contract lane (output ∝ users × days ×
     * in-range news); the capped lanes are its documented scale posture.
     * All five must hold the broadcast + parallel-scoring shape.
+    *
+    * Each lane pins its EXPECTED SortMergeJoin count rather than an
+    * absolute zero: q246's two SMJs are the `invertedCosineX` size-table
+    * joins over the CAPPED pair frame — small-frame sorts (the lane runs
+    * ~3.4 s at sf1, 4× faster than uncapped q22), and hint-forcing them to
+    * broadcast would pin a choice that is only correct at small scale (the
+    * size tables grow with user/news count; the q70/q98 reasoning in
+    * [[PlanDigest]]). What must diff loudly is a CHANGE in the count —
+    * the round-7 regression was 0→N on the profile join.
     */
-  private val Lanes = Seq("q21_rec_dot", "q22_rec_cosine", "q23_rec_lists",
-    "q245_rec_lists_capped", "q246_rec_cosine_capped")
+  private val Lanes = Seq(
+    "q21_rec_dot" -> 0, "q22_rec_cosine" -> 0, "q23_rec_lists" -> 0,
+    "q245_rec_lists_capped" -> 0, "q246_rec_cosine_capped" -> 2)
 
   /** The serial-collapse bug ran the scoring stage with 1 task; a healthy
     * sf1 scoring stage runs ≥ cores (pinned repartition in Stage
@@ -85,7 +95,7 @@ object ScalePins {
     } + "\""
 
     var violations = 0
-    val entries = Lanes.map { name =>
+    val entries = Lanes.map { case (name, expectedSmj) =>
       val fn = graft.SparkEntry.queries(name)
       tally.reset()
       val t0 = System.nanoTime()
@@ -99,14 +109,19 @@ object ScalePins {
       val plan = df.queryExecution.executedPlan.toString()
       val canon = PlanDigest.normalize(plan, sfDir)
       val digest = PlanDigest.sha(canon)
+      // Counts run over the WHOLE plan text (final + initial sections +
+      // nested cached-stage plans) — splitting out the final section is
+      // fragile with nested AdaptiveSparkPlan blocks. The counts are
+      // therefore consistent-but-inflated; the per-lane baseline encodes
+      // today's value and any drift (either section) diffs loudly.
       val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
       val smj = "SortMergeJoin".r.findAllIn(plan).length
       val maxTasks = if (tally.counts.isEmpty) 0 else tally.counts.max
-      val bad = bhj < 1 || smj > 0 || maxTasks < MinMaxStageTasks
+      val bad = bhj < 1 || smj != expectedSmj || maxTasks < MinMaxStageTasks
       if (bad) {
         violations += 1
         System.err.println(s"[scalepins] VIOLATION $name: bhj=$bhj smj=$smj " +
-          s"maxStageTasks=$maxTasks (need bhj>=1, smj=0, " +
+          s"maxStageTasks=$maxTasks (need bhj>=1, smj=$expectedSmj, " +
           s"maxTasks>=$MinMaxStageTasks)")
       } else {
         println(f"[scalepins] OK $name: bhj=$bhj smj=$smj " +
