@@ -82,18 +82,42 @@ object Dedup {
     * This is the scale path: a self-equi-join on (band, key), never O(N²).
     */
   def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
-    val numBands = numHashes / bandSize
-    val bands = sigs.select(col(idCol),
-      explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          concat((b * bandSize until (b + 1) * bandSize).map(i => col(s"sig$i")): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = bandRows(sigs, idCol, numHashes, bandSize)
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("key"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Asymmetric LSH candidates — the incremental-ingestion cut: INCOMING
+    * docs probe the EXISTING base corpus's bands, never each other. Returns
+    * (doc_a = incoming id, doc_b = base id), distinct; no `<` constraint
+    * because the two id sets are disjoint by contract. Same banding as
+    * [[lshCandidates]]; per-batch cost is O(|batch| · bands) probe rows
+    * against the base band table, not a corpus self-join.
+    */
+  def lshCandidatesAgainst(incoming: DataFrame, base: DataFrame, idCol: String,
+                           numHashes: Int, bandSize: Int): DataFrame = {
+    val a = bandRows(incoming, idCol, numHashes, bandSize)
+      .select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val b = bandRows(base, idCol, numHashes, bandSize)
+      .select(col(idCol).as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).select("doc_a", "doc_b").distinct()
+  }
+
+  /** One row per (doc, band) with the band's concatenated signature key —
+    * the shared explode behind both candidate joins.
+    */
+  private def bandRows(sigs: DataFrame, idCol: String,
+                       numHashes: Int, bandSize: Int): DataFrame = {
+    val numBands = numHashes / bandSize
+    sigs.select(col(idCol),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          concat((b * bandSize until (b + 1) * bandSize).map(i => col(s"sig$i")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Exploded DISTINCT shingle rows (_id, _s) per document — the input both

@@ -96,6 +96,34 @@ object ExtQueries {
           (count(lit(1)) - sum(kept)).as("n_dropped"))
     }),
 
+    // Incremental ingestion dedup — the production posture of near-dup
+    // detection: a NEW batch (docs with doc_id % 10 = 9, the synthetic
+    // stand-in for today's crawl) is checked against the EXISTING corpus
+    // (the other 90%) without ever re-clustering the base. Incoming bands
+    // probe base bands (asymmetric equi-join — per-batch cost is
+    // O(|batch|·bands), not a corpus self-join); band collisions get exact
+    // shingle Jaccard; an incoming doc is admitted (is_new) iff no base
+    // doc matches at ≥ 0.5. Intra-batch duplicates are deliberately out of
+    // scope (q70's self-dedup handles those) — an incoming pair of mutual
+    // near-dups is admitted whole. Signatures and shingles ride the SAME
+    // shared stages as q25/q26, so the incremental lane adds only the
+    // asymmetric probe to a session that already deduped.
+    "q263_incremental_dedup" -> ((s, d) => {
+      val sigs = sharedSigs(s, d)
+      val inc = sigs.filter(col("doc_id") % 10 === 9)
+      val base = sigs.filter(col("doc_id") % 10 =!= 9)
+      val cands = Dedup.lshCandidatesAgainst(inc, base, "doc_id", NH, BAND)
+      val best = Dedup.jaccardOnShingles(cands, sharedShingles(s, d))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_cands"), max(col("jaccard")).as("best_jaccard"))
+      inc.select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_cands"))
+        .withColumn("is_new",
+          col("best_jaccard").isNull || col("best_jaccard") < 0.5)
+        .select(col("doc_id"), col("n_cands"), col("best_jaccard"), col("is_new"))
+    }),
+
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
     // exercises the exact-similarity operator on guaranteed-nonempty input.
     "q27_ngram_jaccard" -> ((s, d) => {
@@ -425,6 +453,26 @@ object ExtQueries {
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
          |  WHERE x.doc_id < y.doc_id),
          |${jaccardTail("pairs")}""".stripMargin,
+
+    "q263_incremental_dedup" ->
+      s"""WITH $shCte,
+         |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+         |bands AS (
+         |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+         |  FROM sigs, range(${NH / BAND}) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+         |  WHERE x.doc_id % 10 = 9 AND y.doc_id % 10 <> 9),
+         |scored AS (${jaccardCte("pairs")}),
+         |agg AS (
+         |  SELECT doc_a AS doc_id, count(*) AS n_cands,
+         |    max(jaccard) AS best_jaccard
+         |  FROM scored GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_cands, 0) AS n_cands, a.best_jaccard,
+         |  (a.best_jaccard IS NULL OR a.best_jaccard < 0.5) AS is_new
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q27_ngram_jaccard" ->
       s"""WITH $shCte,

@@ -50,6 +50,23 @@ class ExtSpec extends AnyFunSuite {
     assert(j === 1.0)
   }
 
+  test("incremental LSH: incoming probes base only — no intra-batch pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // base
+      (9L, "the quick brown fox jumps over the lazy dog"),  // incoming, dup of 1
+      (19L, "the quick brown fox jumps over the lazy dog"), // incoming, dup of 1 AND 9
+      (3L, "completely unrelated content words entirely elsewhere")) // base
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"), 3, 8)
+    val inc = sigs.filter($"doc_id" % 10 === 9)
+    val base = sigs.filter($"doc_id" % 10 =!= 9)
+    val cands = Dedup.lshCandidatesAgainst(inc, base, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both incoming dups hit base doc 1 (19 > 1 also emits — no `<` cut);
+    // the 9↔19 intra-batch pair and any base↔base pair never appear
+    assert(cands === Set((9L, 1L), (19L, 1L)))
+  }
+
   test("ngram jaccard: disjoint shingle sets give 0") {
     val docs = Seq(
       (1L, "a b c d"),
