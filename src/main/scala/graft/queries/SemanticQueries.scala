@@ -83,6 +83,27 @@ object SemanticQueries {
   /** q256: number of output shards in the training-export manifest. */
   val Shards = 16
 
+  /** q264: UniMax per-language epoch ceiling (Chung et al., ICLR 2023 use
+    * small integer caps; 3 keeps upsampling bounded).
+    */
+  val UnimaxMaxEpochs = 3L
+
+  /** q264: token budget as a multiple of the corpus total (2× — enough
+    * headroom that small languages hit the epoch cap while the head
+    * language stays under one pass, exercising both allocator branches).
+    */
+  val UnimaxBudgetX = 2L
+
+  /** q265: coverage targets in basis points (50% / 75% / 90% / 99%). */
+  val CoverageTargetsBp: Seq[Int] = Seq(5000, 7500, 9000, 9900)
+
+  /** q266: pair-packing context window in tokens. Chosen just above twice
+    * the corpus median document length, so complement pairing mostly fits
+    * but the longest-doc pairs overflow — both packer branches are live at
+    * every SF.
+    */
+  val PackPairCap = 110L
+
   /** q256: doc_id sub-bucket width of the order-aligned rank buckets
     * (docs sharing one n_tok value split into ≤-width window partitions).
     */
@@ -416,6 +437,143 @@ object SemanticQueries {
           size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("ntk"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ntk")).as("n_tokens"))
+    }),
+
+    // UniMax language-budget allocation (Chung et al., ICLR 2023: "UniMax:
+    // Fairer and More Effective Language Sampling for Large-Scale
+    // Multilingual Pretraining"): distribute a total token budget across
+    // languages by uniform water-filling with a per-language epoch cap —
+    // each language gets min(E·c_l, fair share), smallest first, leftovers
+    // redistributed. The greedy is a closed form on the ascending-c order:
+    // cappedness is monotone (if a language's cap exceeds its fair share,
+    // so does every larger language's), so one cumulative-AND window finds
+    // the capped prefix and the remainder splits evenly. Scale shape: the
+    // windows run on the PER-LANGUAGE aggregate — a frame bounded by
+    // |languages| (~10²), never corpus rows; the per-lang token totals are
+    // one map-side-combinable aggregate of one corpus scan. All allocator
+    // arithmetic is exact integers (cross-multiplied cap test, ratioHalfUp
+    // divisions) so both engines agree bit-for-bit.
+    "q264_unimax_epochs" -> ((s, d) => {
+      val E = lit(UnimaxMaxEpochs)
+      val perLang = Ops.fanOut(Tables.documents(s, d))
+        .select(col("lang"),
+          size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("ntk"))
+        .groupBy(col("lang")).agg(sum(col("ntk")).as("n_tokens"))
+      val wOrd = Window.orderBy(col("n_tokens").asc, col("lang").asc)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      perLang
+        .withColumn("_i", row_number().over(wOrd))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .withColumn("_B", sum(col("n_tokens")).over(wAll) * UnimaxBudgetX)
+        .withColumn("_P", coalesce(sum(col("n_tokens")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_flag",
+          (E * col("n_tokens") * (col("_n") - col("_i") + 1) <=
+            col("_B") - E * col("_P")).cast("int"))
+        .withColumn("capped", min(col("_flag")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)) === 1)
+        .withColumn("_k", sum(col("capped").cast("int")).over(wAll))
+        .withColumn("_R",
+          col("_B") - E * sum(when(col("capped"), col("n_tokens"))
+            .otherwise(lit(0L))).over(wAll))
+        .select(col("lang"), col("n_tokens"), col("capped"),
+          when(col("capped"), E * col("n_tokens"))
+            .otherwise(Ops.ratioHalfUp(col("_R"), col("_n") - col("_k"), 0)
+              .cast("long")).as("alloc_tokens"),
+          when(col("capped"), lit(UnimaxMaxEpochs.toDouble))
+            .otherwise(Ops.ratioHalfUp(col("_R") * 10000L,
+              (col("_n") - col("_k")) * col("n_tokens"), 4)).as("epochs"))
+    }),
+
+    // Vocabulary coverage curve (the Zipf-coverage statistic behind
+    // tokenizer-size decisions — Gowda & May, Findings of EMNLP 2020,
+    // "Finding the Optimal Vocabulary Size for Neural Machine
+    // Translation"): for each coverage target p, the minimum k such that
+    // the k most frequent word types cover ≥ p of all corpus tokens. Scale
+    // shape: the repo's corpus-parallel histogram trick (q57/q118) — never
+    // a global rank over VOCABULARY rows; word counts collapse to a
+    // (count-value → type count) histogram whose cardinality is the number
+    // of DISTINCT frequency values (O(√total) under Zipf), the cumulative
+    // window runs on that tiny frame, and the boundary row per target is a
+    // 4-row broadcast range join. Within a frequency tie the minimal k is
+    // order-free: every type at the boundary count adds the same c tokens,
+    // so k = types_above + ceil(residual/c) — exact integers end to end
+    // (coverage at 4 decimals keeps the ×10⁴ numerator < 2⁶³ even at
+    // 100 TB token totals).
+    "q265_topk_coverage" -> ((s, d) => {
+      val hist = Ops.fanOut(Tables.documents(s, d))
+        .select(explode(graft.text.Tokenizer.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("nw"))
+        .withColumn("tok", col("c") * col("nw"))
+      val wDesc = Window.orderBy(col("c").desc)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = hist
+        .withColumn("_ta", coalesce(sum(col("tok")).over(
+          wDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_wa", coalesce(sum(col("nw")).over(
+          wDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_tt", sum(col("tok")).over(wAll))
+      val targets = s.range(CoverageTargetsBp.size)
+        .select(element_at(array(CoverageTargetsBp.map(lit): _*),
+          col("id").cast("int") + 1).as("p_bp"))
+      cum.join(broadcast(targets),
+          col("_ta") * 10000L < col("p_bp") * col("_tt") &&
+            col("p_bp") * col("_tt") <= (col("_ta") + col("tok")) * 10000L)
+        .withColumn("_m",
+          (col("p_bp") * col("_tt") - lit(10000L) * col("_ta") - 1)
+            .divide(lit(10000L) * col("c")).cast("long") + 1L)
+        .select(col("p_bp"),
+          (col("_wa") + col("_m")).as("k_min"),
+          Ops.ratioHalfUp((col("_ta") + col("_m") * col("c")) * 10000L,
+            col("_tt"), 4).as("coverage"))
+    }),
+
+    // Boundary-preserving sequence packing by complement pairing (the
+    // simplest deterministic member of the family in Krell et al. 2021,
+    // "Efficient Sequence Packing without Cross-Contamination": SFT-style
+    // packing that never splits a document, unlike q250's concat-then-
+    // chunk): rank documents by token count descending and pair rank i
+    // with rank N+1−i — longest with shortest — into a PackPairCap-token
+    // context; pairs that overflow ship as two singleton bins. Output is
+    // the one-row packing report (bins, fits, splits, mean fill of the
+    // fitting pairs). Scale shape: the global rank is Packing.globalRank's
+    // two-phase distributed scan (order-aligned composite buckets, never a
+    // single-task Window.orderBy); N rides a one-row broadcast; the pair
+    // reduction is a groupBy on bin = min(rank−1, N−rank), an equi-shuffle
+    // of 16-byte rows. Mean fill is tie-free ratioHalfUp, guarded
+    // identically in both engines when no pair fits.
+    "q266_pair_pack" -> ((s, d) => {
+      val docs = graft.runtime.Stage.scopedPersist(
+        Ops.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"),
+            size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("n_tok")))
+      val ranked = graft.ext.Packing.globalRank(docs,
+        buckets = Seq(-col("n_tok"), expr(s"doc_id div $RankBucketWidth")),
+        order = Seq(col("n_tok").desc, col("doc_id").asc),
+        rankCol = "_rank")
+      val n = docs.agg(count(lit(1)).as("_N"))
+      val bins = ranked.crossJoin(broadcast(n))
+        .withColumn("_bin", least(col("_rank") - 1, col("_N") - col("_rank")))
+        .groupBy(col("_bin"))
+        .agg(count(lit(1)).as("_m"), sum(col("n_tok")).as("_tok"))
+        .withColumn("_fits", col("_m") === 2 && col("_tok") <= PackPairCap)
+      bins.agg(
+          sum(col("_m")).as("n_docs"),
+          sum(when(col("_fits"), 1L).otherwise(0L)).as("n_pairs_fit"),
+          sum(when(col("_m") === 2 && !col("_fits"), 1L).otherwise(0L))
+            .as("n_pairs_split"),
+          sum(when(col("_m") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          sum(when(col("_fits"), col("_tok")).otherwise(0L)).as("_ft"))
+        .select(col("n_docs"), col("n_pairs_fit"), col("n_pairs_split"),
+          col("n_singletons"),
+          (col("n_pairs_fit") + lit(2L) * col("n_pairs_split")
+            + col("n_singletons")).as("n_bins"),
+          when(col("n_pairs_fit") === 0, lit(0.0))
+            .otherwise(Ops.ratioHalfUp(col("_ft") * 10000L,
+              col("n_pairs_fit") * PackPairCap, 4)).as("avg_fill"))
     })
   )
 
@@ -607,6 +765,86 @@ object SemanticQueries {
          |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
          |    ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(ntk) AS BIGINT) AS n_tokens
-         |FROM b GROUP BY 1, 2""".stripMargin
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q264_unimax_epochs" ->
+      s"""WITH t AS (SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1),
+         |a AS (
+         |  SELECT lang, c,
+         |    row_number() OVER (ORDER BY c, lang) AS i,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n,
+         |    (SELECT $UnimaxBudgetX * sum(c) FROM t) AS b,
+         |    coalesce(sum(c) OVER (ORDER BY c, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+         |  FROM t),
+         |f AS (
+         |  SELECT *, CASE WHEN $UnimaxMaxEpochs*c*(n - i + 1)
+         |      <= b - $UnimaxMaxEpochs*p THEN 1 ELSE 0 END AS flag
+         |  FROM a),
+         |g AS (
+         |  SELECT *, min(flag) OVER (ORDER BY c, lang
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+         |  FROM f),
+         |h AS (
+         |  SELECT *, sum(cp) OVER () AS kk,
+         |    b - $UnimaxMaxEpochs * sum(cp * c) OVER () AS r
+         |  FROM g)
+         |SELECT lang, c AS n_tokens, cp = 1 AS capped,
+         |  CAST(CASE WHEN cp = 1 THEN $UnimaxMaxEpochs*c
+         |    ELSE (2*r + (n - kk)) // (2*(n - kk)) END AS BIGINT) AS alloc_tokens,
+         |  CASE WHEN cp = 1 THEN CAST($UnimaxMaxEpochs AS DOUBLE)
+         |    ELSE ${SqlFragments.ratioHalfUpSql("r * 10000", "(n - kk) * c", 4)}
+         |  END AS epochs
+         |FROM h""".stripMargin,
+
+    "q265_topk_coverage" ->
+      s"""WITH w AS (SELECT w, count(*) AS c
+         |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
+         |h AS (SELECT CAST(c AS BIGINT) AS c, CAST(nw AS BIGINT) AS nw,
+         |  CAST(c * nw AS BIGINT) AS tok
+         |  FROM (SELECT c, count(*) AS nw FROM w GROUP BY 1)),
+         |cum AS (SELECT c, nw, tok,
+         |  coalesce(sum(tok) OVER (ORDER BY c DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ta,
+         |  coalesce(sum(nw) OVER (ORDER BY c DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wa,
+         |  sum(tok) OVER () AS tt FROM h),
+         |tg AS (SELECT unnest([${CoverageTargetsBp.mkString(", ")}]) AS p_bp),
+         |m AS (
+         |  SELECT p_bp, c, wa, ta, tt,
+         |    (p_bp * tt - 10000 * ta - 1) // (10000 * c) + 1 AS mm
+         |  FROM cum JOIN tg
+         |    ON ta * 10000 < p_bp * tt AND p_bp * tt <= (ta + tok) * 10000)
+         |SELECT CAST(p_bp AS INT) AS p_bp, CAST(wa + mm AS BIGINT) AS k_min,
+         |  ${SqlFragments.ratioHalfUpSql("(ta + mm * c) * 10000", "tt", 4)}
+         |    AS coverage
+         |FROM m""".stripMargin,
+
+    "q266_pair_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (SELECT n_tok,
+         |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t) AS n
+         |  FROM t),
+         |b AS (SELECT least(rk - 1, n - rk) AS bin, count(*) AS m,
+         |    CAST(sum(n_tok) AS BIGINT) AS tok
+         |  FROM r GROUP BY 1),
+         |f AS (SELECT m, tok, (m = 2 AND tok <= $PackPairCap) AS fits FROM b),
+         |g AS (
+         |  SELECT CAST(sum(m) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN fits THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_fit,
+         |    CAST(sum(CASE WHEN m = 2 AND NOT fits THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pairs_split,
+         |    CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+         |    CAST(sum(CASE WHEN fits THEN tok ELSE 0 END) AS BIGINT) AS ft
+         |  FROM f)
+         |SELECT n_docs, n_pairs_fit, n_pairs_split, n_singletons,
+         |  n_pairs_fit + 2 * n_pairs_split + n_singletons AS n_bins,
+         |  CASE WHEN n_pairs_fit = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE ${SqlFragments.ratioHalfUpSql("ft * 10000", s"n_pairs_fit * $PackPairCap", 4)}
+         |  END AS avg_fill
+         |FROM g""".stripMargin
   )
 }

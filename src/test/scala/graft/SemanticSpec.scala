@@ -314,4 +314,49 @@ class SemanticSpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3)))).toMap
     assert(got === exp)
   }
+
+  test("q264: water-filling matches the hand-run greedy, both branches") {
+    val dir = tmpDir()
+    // Token totals per lang: aa 2, bb 4, cc 10. B = 2*16 = 32, E = 3.
+    // Greedy ascending: aa capped (3*2*3=18 <= 32), bb capped
+    // (24 <= 32-6=26), cc uncapped (30 > 26-12=14) -> gets R=14 alone:
+    // alloc 14, epochs 14/10 = 1.4.
+    writeDocs(dir, Seq(
+      (1L, "w w", "aa"),
+      (2L, "w w w w", "bb"),
+      (3L, Seq.fill(10)("w").mkString(" "), "cc")))
+    val got = run("q264_unimax_epochs", dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "aa" -> ((2L, true, 6L, 3.0)),
+      "bb" -> ((4L, true, 12L, 3.0)),
+      "cc" -> ((10L, false, 14L, 1.4))))
+  }
+
+  test("q265: minimal-k per target matches the hand-derived curve") {
+    val dir = tmpDir()
+    // Counts: a=6, b=3, c=1 (T=10). 50% -> top-1 (0.6); 75%/90% -> top-2
+    // (0.9); 99% -> top-3 (1.0).
+    writeDocs(dir, Seq((1L, "a a a a a a b b b c", "en")))
+    val got = run("q265_topk_coverage", dir)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      5000 -> ((1L, 0.6)), 7500 -> ((2L, 0.9)),
+      9000 -> ((2L, 0.9)), 9900 -> ((3L, 1.0))))
+  }
+
+  test("q266: complement pairing fits, splits, and singles as derived") {
+    val dir = tmpDir()
+    // n_tok desc: 100, 90, 60, 30, 8. Pairs (100,8)=108 fits (cap 110),
+    // (90,30)=120 splits, 60 is the odd singleton. Bins = 1 + 2 + 1.
+    // avg_fill = half_up(108*10^4 / 110)/10^4 = 0.9818.
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    writeDocs(dir, Seq(
+      (1L, doc(100), "en"), (2L, doc(90), "en"), (3L, doc(60), "en"),
+      (4L, doc(30), "en"), (5L, doc(8), "en")))
+    val got = run("q266_pair_pack", dir).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getDouble(5)) === ((5L, 1L, 1L, 1L, 4L, 0.9818)))
+  }
 }

@@ -2579,6 +2579,101 @@ def check_q262_split(con, sf_dir, spark_out):
     return errs[:5]
 
 
+def check_q264_unimax(con, sf_dir, spark_out, e=3, budget_x=2):
+    """Textbook UniMax greedy: literal sequential water-filling loop over
+    languages ascending by token count (not the engine's closed-form
+    cumulative-AND window)."""
+    docs = load(con, sf_dir, "documents", "lang, text")
+    docs["ntk"] = docs["text"].map(lambda t: len(tokenize(t)))
+    per = docs.groupby("lang")["ntk"].sum().sort_values().reset_index()
+    per = per.sort_values(["ntk", "lang"]).reset_index(drop=True)
+    budget = budget_x * int(per["ntk"].sum())
+    remaining = budget
+    exp = {}
+    langs = list(per.itertuples(index=False))
+    cut = len(langs)                         # first uncapped position
+    for j, row in enumerate(langs):
+        rem_langs = len(langs) - j
+        c = int(row.ntk)
+        if e * c * rem_langs <= remaining:   # capped: takes E full epochs
+            exp[row.lang] = (c, True, e * c, float(e))
+            remaining -= e * c
+        else:                                # water level reached: everyone
+            cut = j                          # past here splits R evenly
+            break
+    for row in langs[cut:]:
+        c, rem_langs = int(row.ntk), len(langs) - cut
+        alloc = half_up_ratio(remaining, rem_langs, 0)
+        epochs = half_up_ratio(remaining * 10000, rem_langs * c, 4)
+        exp[row.lang] = (c, False, int(alloc), epochs)
+    got = dump(spark_out, "q264_unimax_epochs").set_index("lang")
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"lang count {len(got)} != {len(exp)}")
+    for lang, (c, capped, alloc, epochs) in exp.items():
+        g = got.loc[lang]
+        if (int(g["n_tokens"]), bool(g["capped"]), int(g["alloc_tokens"]),
+                float(g["epochs"])) != (c, capped, alloc, epochs):
+            errs.append(f"{lang}: {tuple(g)} != {(c, capped, alloc, epochs)}")
+    return errs[:5]
+
+
+def check_q265_coverage(con, sf_dir, spark_out,
+                        targets=(5000, 7500, 9000, 9900)):
+    """Brute-force curve: full descending sort of WORD counts and a literal
+    cumulative scan (not the engine's count-histogram shortcut)."""
+    from collections import Counter
+    docs = load(con, sf_dir, "documents", "text")
+    cnt = Counter()
+    for t in docs["text"]:
+        cnt.update(tokenize(t))
+    counts = sorted(cnt.values(), reverse=True)
+    total = sum(counts)
+    exp = {}
+    for p in targets:
+        cum = 0
+        for k, c in enumerate(counts, start=1):
+            cum += c
+            if 10000 * cum >= p * total:
+                exp[p] = (k, half_up_ratio(cum * 10000, total, 4))
+                break
+    got = dump(spark_out, "q265_topk_coverage").set_index("p_bp")
+    errs = []
+    for p, (k, cov) in exp.items():
+        g = got.loc[p]
+        if int(g["k_min"]) != k or float(g["coverage"]) != cov:
+            errs.append(f"p={p}: ({g['k_min']}, {g['coverage']}) != ({k}, {cov})")
+    return errs[:5]
+
+
+def check_q266_pair_pack(con, sf_dir, spark_out, cap=110):
+    """Literal complement pairing over a full sort (two-pointer loop, not
+    the engine's distributed rank + bin groupBy)."""
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    docs["n_tok"] = docs["text"].map(lambda t: len(tokenize(t)))
+    toks = list(docs.sort_values(["n_tok", "doc_id"],
+                                 ascending=[False, True])["n_tok"])
+    lo, hi = 0, len(toks) - 1
+    fit = split = single = 0
+    fit_tok = 0
+    while lo <= hi:
+        if lo == hi:
+            single += 1
+        elif toks[lo] + toks[hi] <= cap:
+            fit += 1
+            fit_tok += toks[lo] + toks[hi]
+        else:
+            split += 1
+        lo += 1
+        hi -= 1
+    avg_fill = half_up_ratio(fit_tok * 10000, fit * cap, 4) if fit else 0.0
+    got = dump(spark_out, "q266_pair_pack").iloc[0]
+    exp = (len(toks), fit, split, single, fit + 2 * split + single, avg_fill)
+    g = (int(got["n_docs"]), int(got["n_pairs_fit"]), int(got["n_pairs_split"]),
+         int(got["n_singletons"]), int(got["n_bins"]), float(got["avg_fill"]))
+    return [] if g == exp else [f"{g} != {exp}"]
+
+
 def check_q253_spans(con, sf_dir, spark_out, n=5):
     toks = _doc_tokens(con, sf_dir)
     per_doc = {}
@@ -5609,6 +5704,9 @@ CHECKS = {
     "q260_bigram_lm": check_q260_bigram_lm,
     "q261_pmi_collocations": check_q261_pmi,
     "q262_split_manifest": check_q262_split,
+    "q264_unimax_epochs": check_q264_unimax,
+    "q265_topk_coverage": check_q265_coverage,
+    "q266_pair_pack": check_q266_pair_pack,
 }
 
 
