@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions._
   *    applied in fixed order, reporting per-rule first-failure kills and
   *    running survivors (where does the corpus go?).
   *
+  * Round 8 adds the corpus-statistics and training-prep lanes: q260
+  * bigram-LM quality scoring (Wenzek et al. 2020), q261 PMI
+  * collocations, q262 deterministic stratified split manifest, q264
+  * UniMax language-budget allocation (Chung et al., ICLR 2023), q265
+  * the vocabulary coverage curve (Gowda & May 2020), and q266
+  * boundary-preserving pair packing (Krell et al. 2021 posture).
+  *
   * All lanes are oracle-paired; arithmetic follows the standing
   * conventions (double-cast ordered folds, round-6 floats, tie-free
   * ratios via [[Ops.ratioHalfUp]], integer cross-multiplied thresholds
