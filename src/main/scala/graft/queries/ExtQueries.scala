@@ -124,6 +124,42 @@ object ExtQueries {
         .select(col("doc_id"), col("n_cands"), col("best_jaccard"), col("is_new"))
     }),
 
+    // Split-leakage audit — the train/benchmark contamination check every
+    // corpus release runs (Brown et al. 2020 §4 measure benchmark overlap
+    // with the training set; Dodge et al. 2021 audit C4 the same way):
+    // near-dup pairs at the q70 threshold (jaccard ≥ 0.5) whose two sides
+    // land in DIFFERENT q262 splits (the md5-draw train/val/test rule).
+    // Reports, per ordered split pair, how many near-dup pairs straddle
+    // the boundary and how many distinct docs on the MORE-eval side
+    // (train < val < test) are contaminated. Rides the SAME shared
+    // scored-pair stage as q26/q70 — the audit adds one doc_id-keyed join
+    // to the split rule and a ≤3-row aggregate; at 100 TB its marginal
+    // cost over a session that already deduped is the split join only.
+    "q268_split_leakage" -> ((s, d) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 100L).cast("int")
+      val splits = Tables.documents(s, d).select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("sp"),
+        when(bucket < 80, 0).when(bucket < 90, 1).otherwise(2).as("spr"))
+      sharedScoredPairs(s, d).filter(col("jaccard") >= 0.5)
+        .join(splits.select(col("doc_id").as("doc_a"),
+          col("sp").as("sp_a"), col("spr").as("r_a")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"),
+          col("sp").as("sp_b"), col("spr").as("r_b")), "doc_b")
+        .filter(col("sp_a") =!= col("sp_b"))
+        .select(
+          when(col("r_a") <= col("r_b"), col("sp_a")).otherwise(col("sp_b"))
+            .as("split_lo"),
+          when(col("r_a") <= col("r_b"), col("sp_b")).otherwise(col("sp_a"))
+            .as("split_hi"),
+          when(col("r_a") <= col("r_b"), col("doc_b")).otherwise(col("doc_a"))
+            .as("_leaked"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("_leaked")).as("n_leaked_docs"))
+    }),
+
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
     // exercises the exact-similarity operator on guaranteed-nonempty input.
     "q27_ngram_jaccard" -> ((s, d) => {
@@ -432,6 +468,15 @@ object ExtQueries {
   private def normList(c: String): String =
     s"sqrt(list_sum(list_transform($c, nx -> CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))))"
 
+  /** q262's split draw in DuckDB terms: first 6 hex digits of
+    * md5(doc_id::VARCHAR) as BIGINT (the q153/q262 hex-digit idiom) —
+    * q268 reuses the split rule verbatim so its leakage audit and the
+    * split manifest agree on every document.
+    */
+  private val splitHex6: String = (1 to 6).map { i =>
+    s"(CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 6 - i).toLong})"
+  }.mkString(" + ")
+
   private val markerScores = TextAnalysis.markers.keys.toSeq.sorted.map { l =>
     val lst = TextAnalysis.markers(l).map(w => s"'$w'").mkString("(", ",", ")")
     s"len(list_filter($toks, mw -> mw IN $lst)) AS n_$l"
@@ -473,6 +518,35 @@ object ExtQueries {
          |  (a.best_jaccard IS NULL OR a.best_jaccard < 0.5) AS is_new
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
          |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q268_split_leakage" ->
+      s"""WITH $shCte,
+         |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+         |bands AS (
+         |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+         |  FROM sigs, range(${NH / BAND}) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+         |  WHERE x.doc_id < y.doc_id),
+         |scored AS (${jaccardCte("pairs")}),
+         |dup AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |      ELSE 'test' END AS sp,
+         |    CASE WHEN bk < 80 THEN 0 WHEN bk < 90 THEN 1 ELSE 2 END AS r
+         |  FROM (SELECT doc_id, ($splitHex6) % 100 AS bk FROM documents)),
+         |x AS (
+         |  SELECT CASE WHEN a.r <= b.r THEN a.sp ELSE b.sp END AS split_lo,
+         |    CASE WHEN a.r <= b.r THEN b.sp ELSE a.sp END AS split_hi,
+         |    CASE WHEN a.r <= b.r THEN p.doc_b ELSE p.doc_a END AS leaked
+         |  FROM dup p JOIN sp a ON a.doc_id = p.doc_a
+         |    JOIN sp b ON b.doc_id = p.doc_b
+         |  WHERE a.sp <> b.sp)
+         |SELECT split_lo, split_hi, count(*) AS n_pairs,
+         |  CAST(count(DISTINCT leaked) AS BIGINT) AS n_leaked_docs
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q27_ngram_jaccard" ->
       s"""WITH $shCte,

@@ -370,29 +370,7 @@ object SemanticQueries {
     // broadcast cross. The count tables are corpus-derived but vocabulary-
     // bounded, so they do NOT grow with corpus size — at 100 TB the joins
     // stay hash joins on bounded build sides.
-    "q260_bigram_lm" -> ((s, d) => {
-      val tk = Ops.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 2)
-      val db = graft.runtime.Stage.scopedPersist(
-        tk.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2)))"))
-          .as("b"))
-          .withColumn("w1", substring_index(col("b"), " ", 1))
-          .groupBy(col("doc_id"), col("w1"), col("b"))
-          .agg(count(lit(1)).as("k")))
-      val cb = db.groupBy(col("b")).agg(sum(col("k")).as("cb"))
-      val cw = db.groupBy(col("w1")).agg(sum(col("k")).as("cw"))
-      val v = cw.agg(count(lit(1)).cast("double").as("_v"))
-      db.join(cb, "b").join(cw, "w1")
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"), col("k"),
-          (col("k") * -log((col("cb") + 1).cast("double")
-            / (col("cw") + col("_v")))).as("nll"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("k")).as("n_bigrams"),
-          round(sum(col("nll")) / sum(col("k")), 6).as("avg_nll"))
-    }),
+    "q260_bigram_lm" -> ((s, d) => bigramNllScores(s, d)),
 
     // Collocation extraction by pointwise mutual information:
     // PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) over corpus bigram and
@@ -581,8 +559,72 @@ object SemanticQueries {
           when(col("n_pairs_fit") === 0, lit(0.0))
             .otherwise(Ops.ratioHalfUp(col("_ft") * 10000L,
               col("n_pairs_fit") * PackPairCap, 4)).as("avg_fill"))
+    }),
+
+    // CCNet head/middle/tail split (Wenzek et al., LREC 2020: partition
+    // each language's corpus into perplexity terciles under the corpus
+    // LM; head = most in-distribution, tail = candidates for dropping).
+    // Buckets cut at the nearest-rank tercile VALUES of the q260 avg_nll
+    // score — value-based thresholds, so ties never straddle a boundary
+    // and no per-document rank is materialized. Scale shape: the tercile
+    // boundaries come from Ops.cumHistogram on the (lang, rounded-score)
+    // frame — the q57 corpus-parallel selection, windows over DISTINCT
+    // score values per language, never a per-language rank window over
+    // document rows; the two boundary tables are ≤|lang| rows and ride
+    // broadcasts back onto the scored frame. Documents under 2 tokens
+    // have no bigram score and are out of scope (q260's own domain).
+    "q267_ccnet_buckets" -> ((s, d) => {
+      val docs = Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("ntk"))
+      val sc = graft.runtime.Stage.scopedPersist(
+        docs.join(bigramNllScores(s, d).select(col("doc_id"), col("avg_nll")),
+          "doc_id"))
+      val hist = Ops.cumHistogram(sc, Seq("lang"), "avg_nll")
+      val b1 = hist.filter(Ops.containsRank(expr("(_n + 2) div 3")))
+        .select(col("lang"), col("avg_nll").as("_c1"))
+      val b2 = hist.filter(Ops.containsRank(expr("(2 * _n + 2) div 3")))
+        .select(col("lang"), col("avg_nll").as("_c2"))
+      sc.join(broadcast(b1), "lang").join(broadcast(b2), "lang")
+        .withColumn("bucket",
+          when(col("avg_nll") <= col("_c1"), "head")
+            .when(col("avg_nll") <= col("_c2"), "middle").otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntk")).as("n_tokens"))
     })
   )
+
+  /** q260/q267 shared scorer: per-document add-1 bigram-LM negative
+    * log-likelihood — (doc_id, n_bigrams, avg_nll round-6). The "model"
+    * is two keyed aggregates of one per-doc bigram frame (bigram counts,
+    * vocab²-bounded; start counts, vocab-bounded) joined back by key; |V|
+    * rides a one-row broadcast cross. Count tables are corpus-derived but
+    * VOCABULARY-bounded, so the joins keep bounded build sides at 100 TB.
+    * Documents with fewer than 2 tokens have no bigrams and emit no row.
+    */
+  private def bigramNllScores(s: SparkSession, d: String): DataFrame = {
+    val tk = Ops.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val db = graft.runtime.Stage.scopedPersist(
+      tk.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2)))"))
+        .as("b"))
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+        .groupBy(col("doc_id"), col("w1"), col("b"))
+        .agg(count(lit(1)).as("k")))
+    val cb = db.groupBy(col("b")).agg(sum(col("k")).as("cb"))
+    val cw = db.groupBy(col("w1")).agg(sum(col("k")).as("cw"))
+    val v = cw.agg(count(lit(1)).cast("double").as("_v"))
+    db.join(cb, "b").join(cw, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("k"),
+        (col("k") * -log((col("cb") + 1).cast("double")
+          / (col("cw") + col("_v")))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(sum(col("nll")) / sum(col("k")), 6).as("avg_nll"))
+  }
 
   // ---- DuckDB oracles ----
 
@@ -601,6 +643,28 @@ object SemanticQueries {
   }.mkString(" + ")
 
   private def md5Hex3(x: String): String = md5Hex(x, 3)
+
+  /** q260/q267 shared oracle fragments — the DuckDB twin of
+    * [[bigramNllScores]], split so q267 can extend the CTE chain.
+    */
+  private val bigramCtes: String =
+    s"""t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+       |db AS (
+       |  SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS b,
+       |    count(*) AS k
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM f) z
+       |  GROUP BY 1, 2, 3),
+       |cb AS (SELECT b, CAST(sum(k) AS BIGINT) AS cb FROM db GROUP BY 1),
+       |cw AS (SELECT w1, CAST(sum(k) AS BIGINT) AS cw FROM db GROUP BY 1),
+       |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM cw)""".stripMargin
+
+  private val bigramSelect: String =
+    """SELECT db.doc_id, CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+      |  round(sum(db.k * -ln(CAST(cb.cb + 1 AS DOUBLE) / (cw.cw + v.v)))
+      |    / sum(db.k), 6) AS avg_nll
+      |FROM db JOIN cb USING (b) JOIN cw USING (w1), v
+      |GROUP BY 1""".stripMargin
 
   def oracle: Map[String, String] = Map(
 
@@ -732,21 +796,27 @@ object SemanticQueries {
          |FROM rules r LEFT JOIN c ON c.ff = r.rule""".stripMargin,
 
     "q260_bigram_lm" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-         |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
-         |db AS (
-         |  SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS b,
-         |    count(*) AS k
-         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM f) z
-         |  GROUP BY 1, 2, 3),
-         |cb AS (SELECT b, CAST(sum(k) AS BIGINT) AS cb FROM db GROUP BY 1),
-         |cw AS (SELECT w1, CAST(sum(k) AS BIGINT) AS cw FROM db GROUP BY 1),
-         |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM cw)
-         |SELECT db.doc_id, CAST(sum(db.k) AS BIGINT) AS n_bigrams,
-         |  round(sum(db.k * -ln(CAST(cb.cb + 1 AS DOUBLE) / (cw.cw + v.v)))
-         |    / sum(db.k), 6) AS avg_nll
-         |FROM db JOIN cb USING (b) JOIN cw USING (w1), v
-         |GROUP BY 1""".stripMargin,
+      s"WITH $bigramCtes\n$bigramSelect",
+
+    "q267_ccnet_buckets" ->
+      s"""WITH $bigramCtes,
+         |sc0 AS ($bigramSelect),
+         |d0 AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS ntk
+         |  FROM documents),
+         |sc AS (SELECT d0.doc_id, d0.lang, d0.ntk, sc0.avg_nll
+         |  FROM d0 JOIN sc0 USING (doc_id)),
+         |rk AS (SELECT lang, avg_nll,
+         |    row_number() OVER (PARTITION BY lang ORDER BY avg_nll) AS r,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM sc),
+         |b1 AS (SELECT lang, avg_nll AS c1 FROM rk WHERE r = (n + 2) // 3),
+         |b2 AS (SELECT lang, avg_nll AS c2 FROM rk WHERE r = (2*n + 2) // 3)
+         |SELECT sc.lang,
+         |  CASE WHEN avg_nll <= c1 THEN 'head'
+         |    WHEN avg_nll <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, CAST(sum(ntk) AS BIGINT) AS n_tokens
+         |FROM sc JOIN b1 USING (lang) JOIN b2 USING (lang)
+         |GROUP BY 1, 2""".stripMargin,
 
     "q261_pmi_collocations" ->
       s"""WITH t AS (SELECT $toks AS tk FROM documents),

@@ -227,4 +227,39 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.map(_.frame_digest).distinct.length === 3) // idx feeds digest
     assert(frames.forall(_.frame_digest.length === 16))
   }
+
+  test("q268: only cross-split near-dup pairs count; leaked doc is the eval side") {
+    // ids assigned to splits by the q262 md5 rule, derived independently
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(6), 16) % 100).toInt
+    }
+    def split(id: Long): String = {
+      val b = bucket(id)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val ids = (0L until 200L).toSeq
+    val train = ids.filter(split(_) == "train").take(3)
+    val va = ids.filter(split(_) == "val").head
+    val te = ids.filter(split(_) == "test").head
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "completely different words appear within this other sentence"
+    val docs = Seq(
+      train(0) -> a, va -> a,            // train↔val exact dup
+      train(1) -> b, te -> b,            // train↔test exact dup
+      train(2) -> "a lone unpaired document sits here alone quietly")
+    val dir = java.nio.file.Files.createTempDirectory("extq268").toString
+    docs.map { case (id, t) => (id, t, "en", "srcT", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q268_split_leakage")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("train", "val") -> ((1L, 1L)),
+      ("train", "test") -> ((1L, 1L))))
+  }
 }

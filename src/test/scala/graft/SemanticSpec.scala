@@ -359,4 +359,26 @@ class SemanticSpec extends AnyFunSuite {
     assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
       got.getLong(4), got.getDouble(5)) === ((5L, 1L, 1L, 1L, 4L, 0.9818)))
   }
+
+  test("q267: tercile cuts at nearest-rank values, hand-derived buckets") {
+    val dir = tmpDir()
+    // Doc i repeats one unique word L_i times: its only bigram type is
+    // (w_i w_i) with count L_i - 1, so under the corpus add-1 model
+    // avg_nll = -ln(L_i / (L_i + 5)) (V = 6 start words) — strictly
+    // decreasing in L_i. Lengths 11..6 => head {11,10}, middle {9,8},
+    // tail {7,6}; token sums 21 / 17 / 13.
+    val lens = Seq(11, 10, 9, 8, 7, 6)
+    writeDocs(dir, lens.zipWithIndex.map { case (l, i) =>
+      // letter-only words: the tokenizer splits on non-letters, so "w0"
+      // would collapse every doc onto the same token
+      (i.toLong, Seq.fill(l)(s"w${('a' + i).toChar}").mkString(" "), "en")
+    })
+    val got = run("q267_ccnet_buckets", dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("en", "head") -> ((2L, 21L)),
+      ("en", "middle") -> ((2L, 17L)),
+      ("en", "tail") -> ((2L, 13L))))
+  }
 }

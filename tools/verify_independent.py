@@ -2674,6 +2674,97 @@ def check_q266_pair_pack(con, sf_dir, spark_out, cap=110):
     return [] if g == exp else [f"{g} != {exp}"]
 
 
+def check_q267_ccnet(con, sf_dir, spark_out):
+    """Tercile bucketing recomputed with a literal sort over the engine's
+    own q260 score dump (those scores are independently verified by
+    check_q260); the boundary selection, bucket labeling, and aggregation
+    algebra here are all fresh."""
+    sc = dump(spark_out, "q260_bigram_lm")
+    docs = load(con, sf_dir, "documents", "doc_id, lang, text")
+    docs["ntk"] = docs["text"].map(lambda t: len(tokenize(t)))
+    m = docs.merge(sc[["doc_id", "avg_nll"]], on="doc_id")
+    exp = {}
+    for lang, g in m.groupby("lang"):
+        vals = sorted(g["avg_nll"])
+        n = len(vals)
+        c1 = vals[(n + 2) // 3 - 1]
+        c2 = vals[(2 * n + 2) // 3 - 1]
+        for _, r in g.iterrows():
+            b = ("head" if r["avg_nll"] <= c1
+                 else ("middle" if r["avg_nll"] <= c2 else "tail"))
+            nd, nt = exp.get((lang, b), (0, 0))
+            exp[(lang, b)] = (nd + 1, nt + int(r["ntk"]))
+    got = dump(spark_out, "q267_ccnet_buckets").set_index(["lang", "bucket"])
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"group count {len(got)} != {len(exp)}")
+    for k, (nd, nt) in exp.items():
+        if k not in got.index:
+            errs.append(f"missing group {k}")
+            continue
+        g = got.loc[k]
+        if int(g["n_docs"]) != nd or int(g["n_tokens"]) != nt:
+            errs.append(f"{k}: ({g['n_docs']}, {g['n_tokens']}) != ({nd}, {nt})")
+    return errs[:5]
+
+
+def check_q268_leakage(con, sf_dir, spark_out, band=2):
+    """LSH bands, exact Jaccard, and the md5 split rule all recomputed
+    from hashlib/Counter primitives; leakage canonicalization by split
+    rank in a literal loop."""
+    import hashlib
+    sigs, toks = _minhash_sigs(con, sf_dir)
+    buckets = {}
+    for d, mins in sigs.items():
+        if mins[0] is None:
+            continue
+        for b in range(len(mins) // band):
+            key = (b, "".join(mins[b * band:(b + 1) * band]))
+            buckets.setdefault(key, []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    sets = {d: {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+            for d, tk in toks.items() if len(tk) >= 3}
+
+    def split(d):
+        bk = int(hashlib.md5(str(int(d)).encode()).hexdigest()[:6], 16) % 100
+        return ("train", 0) if bk < 80 else \
+            (("val", 1) if bk < 90 else ("test", 2))
+
+    exp = {}
+    for a, b in pairs:
+        if a not in sets or b not in sets:
+            continue
+        inter = len(sets[a] & sets[b])
+        if inter / (len(sets[a]) + len(sets[b]) - inter) < 0.5:
+            continue
+        (sa, ra), (sb, rb) = split(a), split(b)
+        if sa == sb:
+            continue
+        lo, hi, leaked = (sa, sb, b) if ra <= rb else (sb, sa, a)
+        np_, docs_ = exp.setdefault((lo, hi), [0, set()])
+        exp[(lo, hi)][0] += 1
+        exp[(lo, hi)][1].add(leaked)
+    got = dump(spark_out, "q268_split_leakage").set_index(
+        ["split_lo", "split_hi"])
+    errs = []
+    if len(got) != len(exp):
+        errs.append(f"group count {len(got)} != {len(exp)}")
+    for k, (np_, docs_) in exp.items():
+        if k not in got.index:
+            errs.append(f"missing group {k}")
+            continue
+        g = got.loc[k]
+        if int(g["n_pairs"]) != np_ or int(g["n_leaked_docs"]) != len(docs_):
+            errs.append(f"{k}: ({g['n_pairs']}, {g['n_leaked_docs']})"
+                        f" != ({np_}, {len(docs_)})")
+    return errs[:5]
+
+
 def check_q253_spans(con, sf_dir, spark_out, n=5):
     toks = _doc_tokens(con, sf_dir)
     per_doc = {}
@@ -5705,6 +5796,8 @@ CHECKS = {
     "q261_pmi_collocations": check_q261_pmi,
     "q262_split_manifest": check_q262_split,
     "q264_unimax_epochs": check_q264_unimax,
+    "q267_ccnet_buckets": check_q267_ccnet,
+    "q268_split_leakage": check_q268_leakage,
     "q265_topk_coverage": check_q265_coverage,
     "q266_pair_pack": check_q266_pair_pack,
 }
