@@ -17,6 +17,12 @@ object ExtQueries {
   private val SH = 3   // shingle size
   private val NH = 8   // minhash count
   private val BAND = 2 // signatures per LSH band
+
+  /** q269: audit-sample percentage (md5 draw < SamplePct of 100). The
+    * ground-truth pair work is quadratic IN THE SAMPLE only; a production
+    * deployment shrinks the fraction to a fixed absolute sample size.
+    */
+  private val SamplePct = 5
   private val PLANES = 8
   private val DIM = 64
 
@@ -158,6 +164,80 @@ object ExtQueries {
         .groupBy(col("split_lo"), col("split_hi"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("_leaked")).as("n_leaked_docs"))
+    }),
+
+    // LSH recall audit — the measurement behind choosing (bands, rows):
+    // ground-truth near-dup pairs (exact jaccard ≥ 0.5) are computed
+    // EXACTLY on a deterministic md5-draw sample of the corpus, then
+    // compared against what the production LSH path (q26's shared scored
+    // pairs) found inside that same sample. recall = |LSH ∩ truth|/|truth|
+    // — and because the LSH path scores candidates with the same exact
+    // jaccard, LSH∩truth is just the LSH pairs restricted to the sample.
+    // Scale shape: the quadratic ground-truth work is confined to the
+    // sample (pairs generated by shared-shingle co-occurrence WITHIN the
+    // sample — docs sharing no shingle have jaccard 0 and are never
+    // enumerated); at production scale the sample fraction shrinks to a
+    // fixed absolute size, which is the knob that keeps the audit bounded.
+    // The three one-row counts ride broadcast crosses.
+    "q269_lsh_recall_audit" -> ((s, d) => {
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 100L
+      val sample = Tables.documents(s, d).select(col("doc_id"))
+        .filter(draw < SamplePct)
+      val shs = sharedShingles(s, d)
+        .join(sample.select(col("doc_id").as("_id")), "_id")
+        .select(col("_id"), col("_s")).distinct()
+      val tp = shs.select(col("_s"), col("_id").as("doc_a"))
+        .join(shs.select(col("_s"), col("_id").as("doc_b")), "_s")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val nTrue = Dedup.jaccardOnShingles(tp, sharedShingles(s, d))
+        .filter(col("jaccard") >= 0.5)
+        .agg(count(lit(1)).as("n_true_pairs"))
+      val nLsh = sharedScoredPairs(s, d).filter(col("jaccard") >= 0.5)
+        .join(sample.select(col("doc_id").as("doc_a")), "doc_a")
+        .join(sample.select(col("doc_id").as("doc_b")), "doc_b")
+        .agg(count(lit(1)).as("n_lsh_pairs"))
+      sample.agg(count(lit(1)).as("n_sample_docs"))
+        .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nLsh))
+        .select(col("n_sample_docs"), col("n_true_pairs"), col("n_lsh_pairs"),
+          when(col("n_true_pairs") === 0, lit(1.0))
+            .otherwise(graft.ops.Ops.ratioHalfUp(
+              col("n_lsh_pairs") * 10000L, col("n_true_pairs"), 4))
+            .as("recall"))
+    }),
+
+    // Per-source data card (the quantitative half of a dataset datasheet —
+    // Gebru et al., CACM 2021; Pushkarna et al. 2022): doc/token volume,
+    // language spread (count + Shannon entropy over the within-source lang
+    // distribution, the q95 entropy algebra), and the near-dup rate from
+    // the q70 cluster resolution. One corpus scan for the per-(source,
+    // lang) aggregate; the dedup labels ride the shared cluster stage; the
+    // final frame is |source| rows with windows over at most |lang| terms.
+    "q270_data_card" -> ((s, d) => {
+      val docs = graft.ops.Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("ntk"))
+      val lc = docs
+        .join(dedupClusters(s, d).select(col("doc_id"), col("is_canonical")),
+          "doc_id")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"), sum(col("ntk")).as("tk"),
+          sum(when(col("is_canonical"), 0L).otherwise(1L)).as("dup"))
+      lc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"), sum(col("tk")).as("n_tokens"),
+          count(lit(1)).as("n_langs"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("_clc"),
+          sum(col("dup")).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          round(log(col("n_docs").cast("double"))
+            - col("_clc") / col("n_docs"), 6).as("lang_entropy"),
+          col("n_dup_docs"),
+          graft.ops.Ops.ratioHalfUp(col("n_dup_docs") * 10000L,
+            col("n_docs"), 4).as("dup_rate"),
+          graft.ops.Ops.ratioHalfUp(col("n_tokens") * 10000L,
+            col("n_docs"), 4).as("avg_tokens"))
     }),
 
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
@@ -547,6 +627,58 @@ object ExtQueries {
          |SELECT split_lo, split_hi, count(*) AS n_pairs,
          |  CAST(count(DISTINCT leaked) AS BIGINT) AS n_leaked_docs
          |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q269_lsh_recall_audit" ->
+      s"""WITH $shCte,
+         |sample AS (SELECT doc_id FROM documents
+         |  WHERE ($splitHex6) % 100 < $SamplePct),
+         |shsam AS (SELECT e.doc_id, e.s FROM shex e JOIN sample USING (doc_id)),
+         |tpairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM shsam x JOIN shsam y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |tscore AS (${jaccardCte("tpairs")}),
+         |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+         |bands AS (
+         |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+         |  FROM sigs, range(${NH / BAND}) t(b)),
+         |lpairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+         |  WHERE x.doc_id < y.doc_id
+         |    AND x.doc_id IN (SELECT doc_id FROM sample)
+         |    AND y.doc_id IN (SELECT doc_id FROM sample)),
+         |lscore AS (${jaccardCte("lpairs")}),
+         |agg AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM sample) AS n_sample_docs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM tscore WHERE jaccard >= 0.5)
+         |      AS n_true_pairs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM lscore WHERE jaccard >= 0.5)
+         |      AS n_lsh_pairs)
+         |SELECT n_sample_docs, n_true_pairs, n_lsh_pairs,
+         |  CASE WHEN n_true_pairs = 0 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE ${SqlFragments.ratioHalfUpSql("n_lsh_pairs * 10000", "n_true_pairs", 4)}
+         |  END AS recall
+         |FROM agg""".stripMargin,
+
+    "q270_data_card" ->
+      s"""WITH RECURSIVE $clusterChain,
+         |res AS (
+         |  SELECT d.doc_id, d.source, d.lang, len($toks) AS ntk,
+         |    coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_can
+         |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+         |lc AS (
+         |  SELECT source, lang, count(*) AS c, CAST(sum(ntk) AS BIGINT) AS tk,
+         |    sum(CASE WHEN is_can THEN 0 ELSE 1 END) AS dup
+         |  FROM res GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS n_tokens, count(*) AS n_langs,
+         |  round(ln(CAST(sum(c) AS DOUBLE))
+         |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+         |    AS lang_entropy,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+         |  ${SqlFragments.ratioHalfUpSql("sum(dup) * 10000", "sum(c)", 4)} AS dup_rate,
+         |  ${SqlFragments.ratioHalfUpSql("sum(tk) * 10000", "sum(c)", 4)} AS avg_tokens
+         |FROM lc GROUP BY 1""".stripMargin,
 
     "q27_ngram_jaccard" ->
       s"""WITH $shCte,

@@ -262,4 +262,55 @@ class ExtSpec extends AnyFunSuite {
       ("train", "val") -> ((1L, 1L)),
       ("train", "test") -> ((1L, 1L))))
   }
+
+  private def md5Bucket(id: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(6), 16) % 100).toInt
+  }
+
+  private def writeDocsFull(docs: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("extlane").toString
+    docs.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q269: in-sample dup pair counted once; out-of-sample dup invisible") {
+    val ids = (0L until 1000L)
+    val inS = ids.filter(md5Bucket(_) < 5).take(3)   // sampled ids
+    val outS = ids.filter(md5Bucket(_) >= 5).head    // unsampled id
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val dir = writeDocsFull(Seq(
+      (inS(0), dup, "en", "srcT"),
+      (inS(1), dup, "en", "srcT"),                   // in-sample true pair
+      (outS, dup, "en", "srcT"),                     // dup, but not sampled
+      (inS(2), "a lone unpaired document sits here alone quietly", "en", "srcT")))
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q269_lsh_recall_audit")(spark, dir)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3))
+      === ((3L, 1L, 1L, 1.0)))
+  }
+
+  test("q270: per-source card matches the hand-derived entropy and dup ledger") {
+    // src0: en x3 (two exact dups -> 1 non-canonical) + fr x1;
+    // entropy = ln4 - (3 ln3)/4 = 0.562335; tokens 4+4+3+5 = 16.
+    val dir = writeDocsFull(Seq(
+      (1L, "aa bb cc dd", "en", "src0"),
+      (2L, "aa bb cc dd", "en", "src0"),
+      (3L, "ee ff gg", "en", "src0"),
+      (4L, "hh ii jj kk ll", "fr", "src0"),
+      (5L, "mm nn oo", "en", "src1")))
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q270_data_card")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7)))).toMap
+    assert(got === Map(
+      "src0" -> ((4L, 16L, 2L, 0.562335, 1L, 0.25, 4.0)),
+      "src1" -> ((1L, 3L, 1L, 0.0, 0L, 0.0, 3.0))))
+  }
 }

@@ -2765,6 +2765,92 @@ def check_q268_leakage(con, sf_dir, spark_out, band=2):
     return errs[:5]
 
 
+def check_q269_recall(con, sf_dir, spark_out, pct=5, band=2):
+    """Ground truth by a literal O(sample²) double loop with set Jaccard
+    (no shingle-join shortcut); LSH side from the md5 minhash mirror.
+    Restricting bucket construction to the sample is equivalent to the
+    engine's corpus-wide LSH filtered to sample-sample pairs."""
+    import hashlib
+    sigs, toks = _minhash_sigs(con, sf_dir)
+
+    def drw(d):
+        return int(hashlib.md5(str(int(d)).encode()).hexdigest()[:6],
+                   16) % 100
+
+    sample = sorted(d for d in toks if drw(d) < pct)
+    sets = {d: {" ".join(toks[d][i:i + 3]) for i in range(len(toks[d]) - 2)}
+            for d in sample if len(toks[d]) >= 3}
+    ids = sorted(sets)
+    true_pairs = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            inter = len(sets[a] & sets[b])
+            if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.5:
+                true_pairs.add((a, b))
+    buckets = {}
+    for d in sample:
+        mins = sigs[d]
+        if mins[0] is None:
+            continue
+        for b in range(len(mins) // band):
+            buckets.setdefault(
+                (b, "".join(mins[b * band:(b + 1) * band])), []).append(d)
+    lsh = set()
+    for ds in buckets.values():
+        ds = sorted(set(ds))
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                a, b = ds[i], ds[j]
+                if a in sets and b in sets:
+                    inter = len(sets[a] & sets[b])
+                    if inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.5:
+                        lsh.add((a, b))
+    recall = (half_up_ratio(len(lsh) * 10000, len(true_pairs), 4)
+              if true_pairs else 1.0)
+    g = dump(spark_out, "q269_lsh_recall_audit").iloc[0]
+    got = (int(g["n_sample_docs"]), int(g["n_true_pairs"]),
+           int(g["n_lsh_pairs"]), float(g["recall"]))
+    exp = (len(sample), len(true_pairs), len(lsh), recall)
+    return [] if got == exp else [f"{got} != {exp}"]
+
+
+def check_q270_data_card(con, sf_dir, spark_out):
+    """Per-source card recomputed from the union-find cluster labels
+    (shared _lsh_dup_edges/_cc_labels primitives) and a literal dict
+    aggregation; entropy via math.log."""
+    edges, all_ids = _lsh_dup_edges(con, sf_dir)
+    labels = _cc_labels(all_ids, edges)
+    docs = load(con, sf_dir, "documents", "doc_id, source, lang, text")
+    agg = {}
+    for _, r in docs.iterrows():
+        d = int(r["doc_id"])
+        cell = agg.setdefault(r["source"], {}).setdefault(r["lang"], [0, 0, 0])
+        cell[0] += 1
+        cell[1] += len(tokenize(r["text"]))
+        cell[2] += 0 if labels[d] == d else 1
+    got = dump(spark_out, "q270_data_card").set_index("source")
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"source count {len(got)} != {len(agg)}")
+    for src, langs in agg.items():
+        n = sum(v[0] for v in langs.values())
+        tk = sum(v[1] for v in langs.values())
+        dup = sum(v[2] for v in langs.values())
+        ent = math.log(n) - sum(v[0] * math.log(v[0])
+                                for v in langs.values()) / n
+        g = got.loc[src]
+        if (int(g["n_docs"]), int(g["n_tokens"]), int(g["n_langs"]),
+                int(g["n_dup_docs"])) != (n, tk, len(langs), dup):
+            errs.append(f"{src}: counts differ")
+        if float(g["dup_rate"]) != half_up_ratio(dup * 10000, n, 4) or \
+           float(g["avg_tokens"]) != half_up_ratio(tk * 10000, n, 4):
+            errs.append(f"{src}: ratios differ")
+        if not close(g["lang_entropy"], ent, 5.1e-7):
+            errs.append(f"{src}: entropy {g['lang_entropy']} != {ent}")
+    return errs[:5]
+
+
 def check_q253_spans(con, sf_dir, spark_out, n=5):
     toks = _doc_tokens(con, sf_dir)
     per_doc = {}
@@ -5798,6 +5884,8 @@ CHECKS = {
     "q264_unimax_epochs": check_q264_unimax,
     "q267_ccnet_buckets": check_q267_ccnet,
     "q268_split_leakage": check_q268_leakage,
+    "q269_lsh_recall_audit": check_q269_recall,
+    "q270_data_card": check_q270_data_card,
     "q265_topk_coverage": check_q265_coverage,
     "q266_pair_pack": check_q266_pair_pack,
 }
