@@ -224,11 +224,18 @@ object ExtQueries {
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("c"), sum(col("ntk")).as("tk"),
           sum(when(col("is_canonical"), 0L).otherwise(1L)).as("dup"))
+      // Σ c·ln(c) as a deterministic left fold in lang order (the repo's
+      // aggregate ↔ list_sum convention): an unordered double sum is
+      // partition-order-dependent and can flip the 6th rounded decimal
+      // against the oracle. |langs| per source is domain-bounded, so the
+      // collected array never grows with the corpus.
       lc.groupBy(col("source"))
         .agg(sum(col("c")).as("n_docs"), sum(col("tk")).as("n_tokens"),
           count(lit(1)).as("n_langs"),
-          sum(col("c").cast("double") * log(col("c").cast("double")))
-            .as("_clc"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("lang"), col("c")))),
+              x => x.getField("c").cast("double")),
+            lit(0.0), (acc, cv) => acc + cv * log(cv)).as("_clc"),
           sum(col("dup")).as("n_dup_docs"))
         .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
           round(log(col("n_docs").cast("double"))
@@ -673,7 +680,8 @@ object ExtQueries {
          |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
          |  CAST(sum(tk) AS BIGINT) AS n_tokens, count(*) AS n_langs,
          |  round(ln(CAST(sum(c) AS DOUBLE))
-         |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+         |    - list_sum(list_transform(list(CAST(c AS DOUBLE) ORDER BY lang),
+         |        cv -> cv * ln(cv))) / sum(c), 6)
          |    AS lang_entropy,
          |  CAST(sum(dup) AS BIGINT) AS n_dup_docs,
          |  ${SqlFragments.ratioHalfUpSql("sum(dup) * 10000", "sum(c)", 4)} AS dup_rate,

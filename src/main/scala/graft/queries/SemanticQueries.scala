@@ -507,9 +507,11 @@ object SemanticQueries {
       cum.join(broadcast(targets),
           col("_ta") * 10000L < col("p_bp") * col("_tt") &&
             col("p_bp") * col("_tt") <= (col("_ta") + col("tok")) * 10000L)
+        // `div` (long integer division, all operands positive here) keeps
+        // the ceil exact past 2^53 where divide+cast("long") would round
+        // through a double; mirrors the oracle's `//`.
         .withColumn("_m",
-          (col("p_bp") * col("_tt") - lit(10000L) * col("_ta") - 1)
-            .divide(lit(10000L) * col("c")).cast("long") + 1L)
+          expr("((p_bp * _tt - 10000L * _ta - 1L) div (10000L * c)) + 1L"))
         .select(col("p_bp"),
           (col("_wa") + col("_m")).as("k_min"),
           Ops.ratioHalfUp((col("_ta") + col("_m") * col("c")) * 10000L,
