@@ -32,6 +32,19 @@ object Packing {
   /** Default order-aligned bucket width (docs per scan bucket). */
   val BucketWidth = 4096L
 
+  /** [[globalRank]] density guard: row count below which the guard is
+    * inert (a phase-2 window over <64k tiny rows is never a scale killer,
+    * and unit-test/sf0.001 inputs legitimately have near-unique buckets).
+    */
+  val GuardMinRows = 1L << 16
+
+  /** [[globalRank]] density guard: maximum allowed |bucket table| / N.
+    * The production callers sit around 1/40 (n_tok has ~10² distinct
+    * values × N/4096 id-blocks); 1/8 leaves wide margin while catching a
+    * sparse leading key (near-unique values ⇒ ratio → 1) loudly.
+    */
+  val MaxBucketFraction = 0.125
+
   /** Per-doc packing coordinates for a (doc_id, n_tok) frame: adds
     * `tok_start` (0-based position in the concatenated stream),
     * `first_chunk` and `last_chunk` (capacity-`cap` windows touched).
@@ -73,22 +86,46 @@ object Packing {
     * parallel across buckets, never the single-task global window a naive
     * `Window.orderBy(...)` plans.
     *
-    * DENSITY PRECONDITION: the N/W bound on the bucket table holds only
-    * when each bucket tuple covers ~W rows. For composite buckets like
-    * (value, id div W) the cardinality is the number of distinct
-    * (value, id-block) pairs, which degrades toward N when value groups
-    * are sparse across the id space — at that point the phase-2 prefix-sum
-    * window (single task) and broadcast(offsets) are corpus-sized. Callers
-    * choosing bucket columns must ensure the leading bucket key is
-    * low-cardinality relative to N/W (q256 uses n_tok, whose value range
-    * is bounded by document length) or coarsen the id-block width.
+    * DENSITY PRECONDITION (runtime-enforced): the N/W bound on the bucket
+    * table holds only when each bucket tuple covers many rows. For
+    * composite buckets like (value, id div W) the cardinality is the
+    * number of distinct (value, id-block) pairs, which degrades toward N
+    * when value groups are sparse across the id space — at that point the
+    * phase-2 prefix-sum window (single task) and broadcast(offsets) are
+    * corpus-sized, silently reviving exactly the plan this function exists
+    * to avoid. Callers choosing bucket columns must ensure the leading
+    * bucket key is low-cardinality relative to N/W (q256/q266 use n_tok,
+    * whose distinct-value count is bounded by document length) or coarsen
+    * the id-block width.
+    *
+    * The guard is a one-row probe job over the phase-1 counts frame at
+    * plan-construction time (both production callers feed a
+    * `Stage.scopedPersist`-cached 16-byte/row frame, so the extra pass
+    * reads cache, and the returned plan — hence its digest — is
+    * unchanged). It fails loudly when the bucket table exceeds
+    * `maxBucketFraction`·N; frames under `guardMinRows` rows are exempt —
+    * a window that small is never a scale killer, and tiny inputs (unit
+    * tests, sf0.001) legitimately have near-unique buckets.
     */
   def globalRank(df: DataFrame, buckets: Seq[Column], order: Seq[Column],
-                 rankCol: String): DataFrame = {
+                 rankCol: String,
+                 guardMinRows: Long = GuardMinRows,
+                 maxBucketFraction: Double = MaxBucketFraction): DataFrame = {
     require(buckets.nonEmpty && order.nonEmpty)
     val bCols = buckets.indices.map(i => s"_gb$i")
     val b = buckets.zip(bCols).foldLeft(df) { case (acc, (c, n)) => acc.withColumn(n, c) }
     val counts = b.groupBy(bCols.map(col): _*).agg(count(lit(1)).as("_bn"))
+    val probe = counts
+      .agg(coalesce(sum("_bn"), lit(0L)).as("_n"), count(lit(1)).as("_nb"))
+      .head()
+    val (n, nb) = (probe.getLong(0), probe.getLong(1))
+    if (n >= guardMinRows && nb.toDouble > n.toDouble * maxBucketFraction)
+      throw new IllegalStateException(
+        s"Packing.globalRank density precondition violated: $nb distinct " +
+          s"bucket tuples over $n rows (> ${maxBucketFraction * 100}%% of N) " +
+          "— the phase-2 prefix-sum window and broadcast(offsets) would be " +
+          "corpus-sized. Use a lower-cardinality leading bucket key or a " +
+          "coarser id-block width (doc_id div W with larger W).")
     val wB = Window.orderBy(bCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = counts

@@ -93,4 +93,27 @@ class PackingSpec extends AnyFunSuite {
       assert(got === expected, s"bucket width $w")
     }
   }
+
+  test("globalRank density guard fires on a sparse leading bucket key") {
+    import org.apache.spark.sql.functions._
+    // Adversarial shape from VERDICT r8: near-unique leading values make
+    // the bucket table ~N rows — the degenerate case that silently revives
+    // the single-task prefix-sum window. guardMinRows lowered so the
+    // fixture stays test-sized.
+    val df = spark.range(1000L).select(col("id").as("doc_id"),
+      (col("id") * 7919L % 997L).as("score"))
+    val ex = intercept[IllegalStateException] {
+      Packing.globalRank(df,
+        buckets = Seq(col("score"), expr("doc_id div 100")),
+        order = Seq(col("score").asc, col("doc_id").asc), rankCol = "rank",
+        guardMinRows = 100L)
+    }
+    assert(ex.getMessage.contains("density precondition"))
+    // the same frame under a dense leading key passes the same thresholds
+    val ranked = Packing.globalRank(df,
+      buckets = Seq(expr("doc_id div 100")),
+      order = Seq(col("doc_id").asc), rankCol = "rank",
+      guardMinRows = 100L)
+    assert(ranked.count() === 1000L)
+  }
 }
