@@ -176,28 +176,23 @@ object Stage {
         // The exit listener can't run on SIGKILL/crash, and in the durable
         // branch the random jvmId means a later run never re-derives a dead
         // run's path — so leaked cut dirs would accumulate forever. Reclaim
-        // day-old graft-* siblings (other jvmIds) here at first use; 24h is
-        // past any realistic run length, so a live concurrent process's
-        // dirs are never swept.
+        // day-old graft-* siblings (other jvmIds) here at first use — but
+        // only those with NO live `_heartbeat` marker: base-dir mtime stops
+        // advancing once a run is only reading its cuts, so a >24 h
+        // concurrent run would otherwise look stale to a newly started JVM
+        // (VERDICT r8). Our own base gets a heartbeat touched every
+        // Heartbeat.TouchMs by a daemon timer.
         try {
           val basePath = new org.apache.hadoop.fs.Path(base)
           val fs = basePath.getFileSystem(hconf)
-          val parent = basePath.getParent
-          val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-          if (parent != null && fs.exists(parent)) {
-            fs.listStatus(parent).foreach { st =>
-              val n = st.getPath.getName
-              if (n.startsWith("graft-") && !n.contains(jvmId)
-                  && st.getModificationTime < cutoff) {
-                try { fs.delete(st.getPath, true); () }
-                catch { case _: java.io.IOException => () }
-              }
-            }
-          }
+          Heartbeat.ensureKeyed(base)(touchHeartbeat(fs, basePath))
+          sweepStaleCuts(fs, basePath.getParent, jvmId,
+            System.currentTimeMillis())
         } catch { case ex: java.io.IOException => System.err.println(
           s"[stage] stale scratch sweep failed under $base: $ex") }
         spark.sparkContext.addSparkListener(new SparkListener {
           override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+            Heartbeat.cancel(base)
             val p = new org.apache.hadoop.fs.Path(base)
             try { p.getFileSystem(hconf).delete(p, true); () }
             catch { case ex: java.io.IOException => System.err.println(
@@ -214,6 +209,52 @@ object Stage {
   private val cutCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private val scratchHooked = mutable.Set[String]()
   private val jvmId = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Liveness marker name inside a cut base dir. */
+  private[runtime] val HeartbeatName = "_heartbeat"
+
+  /** Create-or-touch `base/_heartbeat`. Creating the marker also creates
+    * the base dir, which is harmless (cut writers mkdirs anyway) and gives
+    * the base a live veto from the first second of the run. The application-end
+    * listener cancels the timer BEFORE deleting the base, so the touch
+    * never recreates a cleaned-up dir.
+    */
+  private def touchHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+                             base: org.apache.hadoop.fs.Path): Unit = {
+    val hb = new org.apache.hadoop.fs.Path(base, HeartbeatName)
+    try {
+      if (!fs.exists(hb)) fs.create(hb, true).close()
+      else fs.setTimes(hb, System.currentTimeMillis(), -1)
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Delete `graft-*` siblings of `parent` that are BOTH older than 24 h
+    * by mtime AND carry no heartbeat fresher than [[Heartbeat.FreshMs]].
+    * Factored out of [[sharedCut]] so IoSpec can drive it against a local
+    * Hadoop FileSystem without a SparkSession.
+    */
+  private[graft] def sweepStaleCuts(fs: org.apache.hadoop.fs.FileSystem,
+                                    parent: org.apache.hadoop.fs.Path,
+                                    liveId: String, now: Long): Unit = {
+    val cutoff = now - 24L * 3600 * 1000
+    if (parent != null && fs.exists(parent)) {
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("graft-") && !n.contains(liveId)
+            && st.getModificationTime < cutoff) {
+          val hb = new org.apache.hadoop.fs.Path(st.getPath, HeartbeatName)
+          val live =
+            try fs.exists(hb) &&
+              Heartbeat.isLive(fs.getFileStatus(hb).getModificationTime, now)
+            catch { case _: java.io.IOException => true } // can't read ⇒ don't delete
+          if (!live) {
+            try { fs.delete(st.getPath, true); () }
+            catch { case _: java.io.IOException => () }
+          }
+        }
+      }
+    }
+  }
 
   /** [[sharedCut]] + pinned parallelism + session-lifetime cache — the
     * variant for shared stages that feed HIGH-FANOUT joins (the TF-IDF

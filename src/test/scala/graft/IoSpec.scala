@@ -97,4 +97,56 @@ class IoSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("timeZone=UTC"))
   }
+
+  test("scratch sweep honors heartbeat liveness (VERDICT r8)") {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val dayOld = System.currentTimeMillis() - 25L * 3600 * 1000
+    // two foreign-token scratch dirs, both mtime-stale; only one owner has
+    // a fresh heartbeat
+    val liveDir = new java.io.File(root, "graft_lane_aaaa1111_cafe")
+    val deadDir = new java.io.File(root, "graft_lane_bbbb2222_cafe")
+    val liveHb = new java.io.File(root, "graft_hb_aaaa1111")
+    val deadHb = new java.io.File(root, "graft_hb_bbbb2222")
+    try {
+      Seq(liveDir, deadDir).foreach { d =>
+        d.mkdirs(); assert(d.setLastModified(dayOld))
+      }
+      Seq(liveHb, deadHb).foreach(f => Files.write(f.toPath, "1".getBytes))
+      assert(deadHb.setLastModified(dayOld)) // dead: marker 25h stale
+      graft.runtime.Scratch.sweepForTest()
+      assert(liveDir.exists(), "fresh heartbeat must veto the sweep")
+      assert(!deadDir.exists(), "stale heartbeat must not")
+      assert(!deadHb.exists(), "stale heartbeat markers are reclaimed too")
+    } finally Seq(liveDir, deadDir, liveHb, deadHb).foreach { f =>
+      if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete()
+    }
+  }
+
+  test("sharedCut sweep honors heartbeat liveness (VERDICT r8)") {
+    import org.apache.hadoop.fs.Path
+    val tmp = Files.createTempDirectory("graft-cutsweep").toFile
+    val fs = new Path(tmp.getAbsolutePath)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val dayOld = System.currentTimeMillis() - 25L * 3600 * 1000
+    val liveBase = new java.io.File(tmp, "graft-aaaa1111")
+    val deadBase = new java.io.File(tmp, "graft-bbbb2222")
+    try {
+      Seq(liveBase, deadBase).foreach { d =>
+        new java.io.File(d, "cut-1").mkdirs()
+        Files.write(new java.io.File(d, "_heartbeat").toPath, "1".getBytes)
+        assert(d.setLastModified(dayOld))
+      }
+      // dead owner: heartbeat itself is 25h stale
+      assert(new java.io.File(deadBase, "_heartbeat").setLastModified(dayOld))
+      graft.runtime.Stage.sweepStaleCuts(fs,
+        new Path(tmp.getAbsolutePath), "cccc3333", System.currentTimeMillis())
+      assert(liveBase.exists(), "fresh heartbeat must veto the sweep")
+      assert(!deadBase.exists(), "stale heartbeat must not")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }
