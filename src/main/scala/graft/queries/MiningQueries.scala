@@ -801,12 +801,18 @@ object MiningQueries {
     // cell; the haversine residual then filters exactly. The quadratic
     // term is bounded by points-per-cell, never the table. Coordinates
     // are synthesized deterministically from keys (same arithmetic in the
-    // oracle).
+    // oracle): each id PAIR (2k, 2k+1) shares a base point 0.1° apart
+    // (~15 km — structurally inside the 40 km radius), so the lane emits
+    // ≥ N/2 rows at EVERY gate scale — sf0.001's 150 sparse points
+    // previously produced zero pairs and a vacuous PASS (VERDICT r8
+    // finding 3) — while output stays linear in N, never quadratic.
     "q162_geo_bucket_join" -> ((s, d) => {
+      val half = expr("c_custkey div 2")
+      val twin = (col("c_custkey") % 2) * 0.1
       val pts = graft.runtime.Stage.scopedPersist(
         Tables.customer(s, d).select(col("c_custkey").as("id"),
-          (((col("c_custkey") * 37) % 300) / 10.0 - 15.0).as("lat"),
-          (((col("c_custkey") * 73) % 600) / 10.0).as("lon")))
+          (((half * 37) % 300) / 10.0 - 15.0 + twin).as("lat"),
+          (((half * 73) % 600) / 10.0 + twin).as("lon")))
       val aCells = pts.select(col("id").as("ida"), col("lat").as("lata"),
           col("lon").as("lona"),
           explode(expr(
@@ -3131,8 +3137,10 @@ object MiningQueries {
     "q162_geo_bucket_join" ->
       """WITH pts AS (
         |  SELECT c_custkey AS id,
-        |    ((c_custkey * 37) % 300) / 10.0 - 15.0 AS lat,
-        |    ((c_custkey * 73) % 600) / 10.0 AS lon
+        |    (((c_custkey // 2) * 37) % 300) / 10.0 - 15.0
+        |      + (c_custkey % 2) * 0.1 AS lat,
+        |    (((c_custkey // 2) * 73) % 600) / 10.0
+        |      + (c_custkey % 2) * 0.1 AS lon
         |  FROM customer),
         |cand AS (
         |  SELECT a.id AS ida, a.lat AS lata, a.lon AS lona,

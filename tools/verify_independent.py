@@ -4116,8 +4116,10 @@ def check_q154_loo(con, sf_dir, spark_out):
 def check_q162_geo(con, sf_dir, spark_out):
     cust = load(con, sf_dir, "customer", "c_custkey AS id")
     ids = cust["id"].astype(int).to_numpy()
-    lat = ((ids * 37) % 300) / 10.0 - 15.0
-    lon = ((ids * 73) % 600) / 10.0
+    # r9 synthesis: id pairs (2k, 2k+1) share a base point 0.1 deg apart so
+    # the lane emits rows at every gate scale (VERDICT r8 finding 3)
+    lat = (((ids // 2) * 37) % 300) / 10.0 - 15.0 + (ids % 2) * 0.1
+    lon = (((ids // 2) * 73) % 600) / 10.0 + (ids % 2) * 0.1
     got = dump(spark_out, "q162_geo_bucket_join").set_index(["ida", "idb"])
     # grid-accelerated haversine: same 3x3 cell neighborhood as the lane
     cells = {}
