@@ -395,15 +395,49 @@ object RelationalQueries {
     // Sketch aggregates — the sublinear-memory path for 100 TB profiling:
     // HLL++ distinct counts and GK quantiles are one streaming pass with
     // mergeable fixed-size state (no exact distinct shuffle, no sort).
-    // Approximate ⇒ no cross-engine oracle (rows-only check); the error
-    // bounds vs exact are pinned by a spec instead.
-    "q74_sketches" -> ((s, d) =>
-      Tables.events(s, d)
+    // The raw estimates are engine-specific (no cross-engine oracle), but
+    // their PUBLISHED ERROR CONTRACTS are checkable in-engine (VERDICT r8
+    // task 6): the lane emits the exact distinct count (oracle-matched
+    // exactly) plus bound-verdict booleans the oracle checks as literals —
+    //  - users_ok: |HLL++ − exact| ≤ 8%·exact + 16 (4σ at rsd 0.02, plus
+    //    small-count slack; a broken sketch is orders of magnitude off);
+    //  - p50/p95_ok: percentile_approx returns an actual data value, so
+    //    the check is on its RANK — the strictly-below .. at-or-below
+    //    count interval must contain q·n within 2/accuracy·n + 1 slack
+    //    (2× the documented 1/accuracy rank error, +1 for the rank-origin
+    //    convention).
+    // Shape: one extra pass over events (the rank counts) joined to the
+    // broadcast |event_type|-row sketch frame — two scans, no sort, state
+    // still sketch-sized. Raw estimates stay available via
+    // graft.tools.DumpAux for tools/verify_sketches.py.
+    "q74_sketches" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("value"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("_au"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("_p50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("_p95"),
+          countDistinct(col("user_id")).as("exact_users"))
+      ev.join(broadcast(sk), "event_type")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))),
+          max(col("exact_users")).as("exact_users"),
+          max(col("_au")).as("_au"),
+          count(lit(1)).as("_n"),
+          sum((col("value") < col("_p50")).cast("long")).as("_lt50"),
+          sum((col("value") <= col("_p50")).cast("long")).as("_le50"),
+          sum((col("value") < col("_p95")).cast("long")).as("_lt95"),
+          sum((col("value") <= col("_p95")).cast("long")).as("_le95"))
+        .withColumn("_slack", col("_n") * 2.0 / 10000.0 + 1.0)
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("_au") - col("exact_users")) <=
+            col("exact_users") * 0.08 + 16).as("users_ok"),
+          (col("_lt50") <= col("_n") * 0.5 + col("_slack") &&
+            col("_le50") >= col("_n") * 0.5 - col("_slack")).as("p50_ok"),
+          (col("_lt95") <= col("_n") * 0.95 + col("_slack") &&
+            col("_le95") >= col("_n") * 0.95 - col("_slack")).as("p95_ok"))
+    }),
 
     // Running window aggregate (rows-frame) with a total order → deterministic.
     "q12_running_sum" -> ((s, d) => {
@@ -427,6 +461,13 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q74: exact distinct counts matched exactly; the sketch error-contract
+    // verdicts are literals — see the lane comment.
+    "q74_sketches" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS users_ok, true AS p50_ok, true AS p95_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

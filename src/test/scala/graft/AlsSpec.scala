@@ -43,4 +43,23 @@ class AlsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(again.sortBy(r => (r._1, r._4)).toSeq === recs.sortBy(r => (r._1, r._4)).toSeq)
   }
+
+  test("ALS audit: bound verdicts hold on the fixture and cover every user") {
+    val clicks = Seq(
+      (100L, 1L, Date.valueOf("2024-01-01"), 3),
+      (100L, 2L, Date.valueOf("2024-01-01"), 1),
+      (200L, 2L, Date.valueOf("2024-01-02"), 4),
+      (200L, 3L, Date.valueOf("2024-01-02"), 2),
+      (300L, 1L, Date.valueOf("2024-01-02"), 1),
+      (300L, 3L, Date.valueOf("2024-01-03"), 5),
+      (400L, 4L, Date.valueOf("2024-01-03"), 2)
+    ).toDF("userId", "newsId", "date", "count")
+    val audit = AlsRecommender.audit(clicks, k = 2, maxIter = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(audit.map(_._1).toSet === Set(100L, 200L, 300L, 400L))
+    audit.foreach { case (u, kOk, monoOk, sepOk) =>
+      assert(kOk && monoOk && sepOk, s"user $u verdicts: $kOk $monoOk $sepOk")
+    }
+  }
 }

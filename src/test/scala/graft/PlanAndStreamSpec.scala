@@ -250,18 +250,35 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(readAll() === first)
   }
 
-  test("sketch aggregates land within their error bounds of the exact answers") {
+  test("sketch audit lane: exact counts match and error-contract verdicts hold") {
     val ev = graft.io.Tables.events(spark, sf)
-    val approx = RelationalQueries.queries("q74_sketches")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // r9 schema: (event_type, exact_users, users_ok, p50_ok, p95_ok)
+    val got = RelationalQueries.queries("q74_sketches")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
     val exact = ev.groupBy($"event_type")
       .agg(countDistinct($"user_id").as("n"),
         expr("percentile(value, 0.5)").as("p50"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (t, (n, _)) =>
+      val (en, uok, p50ok, p95ok) = got(t)
+      assert(en === n, s"$t: exact_users $en vs recomputed $n")
+      assert(uok && p50ok && p95ok, s"$t: a sketch verdict is false")
+    }
+    // the verdicts are not vacuous: the raw sketches themselves land near
+    // the exact answers (same legs DumpAux exports for verify_sketches.py)
+    val raw = ev.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("an"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("ap50"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     exact.foreach { case (t, (n, p50)) =>
-      val (an, ap50) = approx(t)
+      val (an, ap50) = raw(t)
       assert(math.abs(an - n).toDouble / n <= 0.10, s"$t: HLL $an vs exact $n")
-      // percentile_approx with accuracy 10000 is rank-exact on these sizes
       assert(math.abs(ap50 - p50) <= math.max(0.05 * math.abs(p50), 1e-6),
         s"$t: p50 $ap50 vs exact $p50")
     }

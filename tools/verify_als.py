@@ -36,9 +36,11 @@ exactly what "same mathematical contract, different init" predicts.
 — BOTH above the respective ceilings 0.263 / 0.702: Spark's output is
 indistinguishable from another seed of the same algorithm. PASS.)
 
-Usage:
+Usage (since r9 the DECLARED q50 lane emits bound-verdict booleans, so
+the raw rec lists come from graft.tools.DumpAux, not a Verify dump):
+  sbt "runMain graft.tools.DumpAux /root/testdata/sf0.01 /tmp/aux"
   python3 tools/verify_als.py --sf-dir /root/testdata/sf0.01 \
-      --spark-out /root/repo/.tmp/verify_out/q50_als_recommend.parquet
+      --spark-out /tmp/aux/als_lists
 """
 import argparse, sys
 import numpy as np

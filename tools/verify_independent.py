@@ -5687,7 +5687,49 @@ def check_q146_aggsurf(con, sf_dir, spark_out):
     return errs
 
 
+def check_q50_als_audit(con, sf_dir, spark_out):
+    # r9 schema: per trained user, bound-verdict booleans (the factors are
+    # audited out-of-band by tools/verify_als.py over a DumpAux dump).
+    got = dump(spark_out, "q50_als_recommend")
+    exp = {int(r[0]) for r in con.execute(
+        f"""SELECT DISTINCT user_id
+            FROM read_parquet('{tbl(sf_dir, 'events')}')
+            WHERE event_type = 'click'""").fetchall()}
+    errs = []
+    if set(got["userId"].astype(int)) != exp:
+        errs.append(f"trained-user set mismatch: {len(got)} vs {len(exp)}")
+    for c in ("has_k_recs", "mono_ok", "separation_ok"):
+        bad = int((~got[c]).sum())
+        if bad:
+            errs.append(f"{bad}/{len(got)} false {c}")
+    return errs
+
+
+def check_q74_sketch_audit(con, sf_dir, spark_out):
+    # r9 schema: exact distinct users (recomputed here) + error-contract
+    # verdict booleans (raw estimates audited via DumpAux +
+    # tools/verify_sketches.py).
+    got = dump(spark_out, "q74_sketches").set_index("event_type")
+    exp = dict(con.execute(
+        f"""SELECT event_type, count(DISTINCT user_id)
+            FROM read_parquet('{tbl(sf_dir, 'events')}')
+            GROUP BY 1""").fetchall())
+    errs = []
+    if set(got.index) != set(exp):
+        errs.append("event_type set mismatch")
+    for et, n in exp.items():
+        if int(got.loc[et, "exact_users"]) != int(n):
+            errs.append(f"{et}: exact_users {got.loc[et, 'exact_users']} != {n}")
+    for c in ("users_ok", "p50_ok", "p95_ok"):
+        bad = int((~got[c]).sum())
+        if bad:
+            errs.append(f"{bad}/{len(got)} false {c}")
+    return errs
+
+
 CHECKS = {
+    "q50_als_recommend": check_q50_als_audit,
+    "q74_sketches": check_q74_sketch_audit,
     "q1_agg": check_q1_agg,
     "q2_topk_per_group": check_q2_topk,
     "q3_join_agg": check_q3_joinagg,

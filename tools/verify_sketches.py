@@ -21,9 +21,12 @@ Both checks run per event_type group, mirroring the query exactly
 (same Tables.events normalization: the events table is read raw here
 because q74 aggregates user_id/value only — no timestamp involvement).
 
-Usage:
+Usage (since r9 the DECLARED q74 lane emits the exact counts plus
+bound-verdict booleans — the raw estimates this tool audits come from
+graft.tools.DumpAux, not a Verify dump):
+  sbt "runMain graft.tools.DumpAux /root/testdata/sf0.01 /tmp/aux"
   python3 tools/verify_sketches.py --sf-dir /root/testdata/sf0.01 \
-      --spark-out .tmp/v7full/q74_sketches
+      --spark-out /tmp/aux/sketches_raw
 Exit 0 = all gates pass.
 """
 import argparse
