@@ -42,10 +42,32 @@ object ScalePins {
     * size tables grow with user/news count; the q70/q98 reasoning in
     * [[PlanDigest]]). What must diff loudly is a CHANGE in the count —
     * the round-7 regression was 0→N on the profile join.
+    *
+    * r9 (VERDICT r8 task 2) extends the pin set beyond the rec family to
+    * the other high-fanout shared-stage consumers — LSH bands → scored
+    * pairs (q26/q70/q263/q268), cluster-bounded SemDeDup (q252), the
+    * bigram model joins (q260/q267), and the rare-item candidate join
+    * (q119). Tuple = (lane, minBhj, expectedSmj); expectedSmj = -1 means
+    * record-only (first measurement round for a lane — baked to a hard pin
+    * once adjudicated). The serial-collapse task floor applies to every
+    * lane regardless.
+    *
+    * r9 sf1 baselines (measured this round, violations=0): the SMJ counts
+    * on the dedup family (q26=12, q268=12, q263=7, q252=3, q119=1) are the
+    * LSH band / scored-pair self-joins and candidate joins whose BOTH
+    * sides grow with the corpus — sort-merge is the correct shape there at
+    * scale (the q246 reasoning); what must diff loudly is a CHANGE: a lost
+    * broadcast on a small side (the bhj floor, set to half the measured
+    * count to leave AQE headroom) or a new corpus-sized sort where none
+    * was (the exact smj pin).
     */
-  private val Lanes = Seq(
-    "q21_rec_dot" -> 0, "q22_rec_cosine" -> 0, "q23_rec_lists" -> 0,
-    "q245_rec_lists_capped" -> 0, "q246_rec_cosine_capped" -> 2)
+  private val Lanes: Seq[(String, Int, Int)] = Seq(
+    ("q21_rec_dot", 1, 0), ("q22_rec_cosine", 1, 0), ("q23_rec_lists", 1, 0),
+    ("q245_rec_lists_capped", 1, 0), ("q246_rec_cosine_capped", 1, 2),
+    ("q26_lsh_pairs", 12, 12), ("q70_dedup_clusters", 1, 0),
+    ("q263_incremental_dedup", 4, 7), ("q268_split_leakage", 14, 12),
+    ("q252_semantic_dedup", 1, 3), ("q260_bigram_lm", 2, 0),
+    ("q267_ccnet_buckets", 20, 0), ("q119_user_set_sim", 5, 1))
 
   /** The serial-collapse bug ran the scoring stage with 1 task; a healthy
     * sf1 scoring stage runs ≥ cores (pinned repartition in Stage
@@ -94,8 +116,15 @@ object ScalePins {
       case c => c.toString
     } + "\""
 
+    // Lane exclusion for the stress tiers (e.g. q23's exact all-days lane
+    // at sf10 is an ~80-minute single run whose join SHAPE is already
+    // pinned at sf1 and whose serving posture — the capped lanes — stays
+    // pinned at every tier): SPARK_GRAFT_PIN_EXCLUDE=q23_rec_lists.
+    val excluded = sys.env.get("SPARK_GRAFT_PIN_EXCLUDE")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     var violations = 0
-    val entries = Lanes.map { case (name, expectedSmj) =>
+    val entries = Lanes.filter(l => !excluded(l._1)).map {
+      case (name, minBhj, expectedSmj) =>
       val fn = graft.SparkEntry.queries(name)
       tally.reset()
       val t0 = System.nanoTime()
@@ -117,15 +146,18 @@ object ScalePins {
       val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
       val smj = "SortMergeJoin".r.findAllIn(plan).length
       val maxTasks = if (tally.counts.isEmpty) 0 else tally.counts.max
-      val bad = bhj < 1 || smj != expectedSmj || maxTasks < MinMaxStageTasks
+      val bad = bhj < minBhj ||
+        (expectedSmj >= 0 && smj != expectedSmj) ||
+        maxTasks < MinMaxStageTasks
       if (bad) {
         violations += 1
         System.err.println(s"[scalepins] VIOLATION $name: bhj=$bhj smj=$smj " +
-          s"maxStageTasks=$maxTasks (need bhj>=1, smj=$expectedSmj, " +
+          s"maxStageTasks=$maxTasks (need bhj>=$minBhj, smj=$expectedSmj, " +
           s"maxTasks>=$MinMaxStageTasks)")
       } else {
         println(f"[scalepins] OK $name: bhj=$bhj smj=$smj " +
-          f"maxStageTasks=$maxTasks ${sec}%.1f s")
+          f"maxStageTasks=$maxTasks ${sec}%.1f s" +
+          (if (expectedSmj < 0) "  [smj record-only]" else ""))
       }
       name -> (digest, canon, bhj, smj, maxTasks, sec)
     }

@@ -1,0 +1,35 @@
+#!/bin/bash
+# Solo-mode bench artifact (VERDICT r8 task 4): run each cache-sensitive
+# lane in its OWN JVM with k=3 medians, so suite ordering and block-manager
+# churn cannot move the number — every round since r6 spent prose
+# adjudicating exactly those false regressions (q220 4.65x, q121 1.68x were
+# all suite artifacts that reproduced the previous round's time solo).
+# Merge into one committed artifact comparable round-over-round.
+#
+# Usage: tools/solo_bench.sh <sfDir> <outJson> [lanes-csv]
+set -eu
+SF=${1:?sfDir}; OUT=${2:?outJson}
+LANES=${3:-q220_rec_unbounded,q121_item_cf,q268_split_leakage,q21_rec_dot,q22_rec_cosine,q23_rec_lists,q245_rec_lists_capped,q246_rec_cosine_capped}
+TMP=$(mktemp -d)
+IFS=',' read -ra L <<< "$LANES"
+for q in "${L[@]}"; do
+  echo "[solo] $q ..." >&2
+  SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+    SPARK_GRAFT_QUERIES=$q SPARK_GRAFT_BENCH_OUT=$TMP/$q.json \
+    sbt -batch 'runMain graft.Bench' >/dev/null 2>&1 \
+    || echo "[solo] $q FAILED" >&2
+done
+python3 - "$OUT" "$TMP" <<'EOF'
+import json, sys, glob
+out, tmp = sys.argv[1], sys.argv[2]
+merged = {"stat": "solo-median", "queries": {}, "samples": {}}
+for f in sorted(glob.glob(tmp + "/*.json")):
+    d = json.load(open(f))
+    merged["queries"].update(d["queries"])
+    merged["samples"].update(d["samples"])
+    merged["sf"] = d.get("sf")
+    merged["k"] = d.get("k")
+json.dump(merged, open(out, "w"), indent=1)
+print("[solo] wrote", out, "lanes:", len(merged["queries"]))
+EOF
+rm -rf "$TMP"
