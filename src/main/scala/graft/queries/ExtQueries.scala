@@ -18,11 +18,22 @@ object ExtQueries {
   private val NH = 8   // minhash count
   private val BAND = 2 // signatures per LSH band
 
-  /** q269: audit-sample percentage (md5 draw < SamplePct of 100). The
-    * ground-truth pair work is quadratic IN THE SAMPLE only; a production
-    * deployment shrinks the fraction to a fixed absolute sample size.
+  /** q269: audit-sample knobs. The ground-truth pair work is quadratic IN
+    * THE SAMPLE only, so the sample must stop growing with the corpus: the
+    * draw threshold is min(SamplePct%, ceil(SampleTarget·10⁹/N)) parts per
+    * BILLION of a 12-hex md5 draw — a fixed-percent floor at gate scales
+    * (N ≤ 5000 docs, where 5% is at most 250 docs anyway) that becomes a
+    * fixed ABSOLUTE ~SampleTarget docs the moment 5% would exceed it.
+    * The sf10 stress tier caught the previous fixed-percent form red-
+    * handed: 25k sampled docs (5% of 500k) put the audit at 852 s, #2 in
+    * the whole tier, growing quadratically with the corpus. With the cap
+    * the audit is ≤ max(SampleTarget, N/10⁹) docs at ANY scale — at 10¹¹
+    * docs (≈100 TB) that is still only ~300. ppb granularity (not the old
+    * percent buckets) is what keeps "absolute" honest: a 1-ppm floor
+    * would already re-grow to 100k docs at 10¹¹.
     */
   private val SamplePct = 5
+  private val SampleTarget = 250L
   private val PLANES = 8
   private val DIM = 64
 
@@ -176,14 +187,22 @@ object ExtQueries {
     // Scale shape: the quadratic ground-truth work is confined to the
     // sample (pairs generated by shared-shingle co-occurrence WITHIN the
     // sample — docs sharing no shingle have jaccard 0 and are never
-    // enumerated); at production scale the sample fraction shrinks to a
-    // fixed absolute size, which is the knob that keeps the audit bounded.
+    // enumerated), and the sample itself is CAPPED at ~SampleTarget docs
+    // by the ppb threshold (see the knob scaladoc) — the threshold rides
+    // a one-row broadcast cross so the plan stays fully declarative.
     // The three one-row counts ride broadcast crosses.
     "q269_lsh_recall_audit" -> ((s, d) => {
-      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-        16, 10).cast("long") % 100L
-      val sample = Tables.documents(s, d).select(col("doc_id"))
-        .filter(draw < SamplePct)
+      val docs0 = Tables.documents(s, d).select(col("doc_id"))
+      val thr = docs0.agg(least(
+        lit(SamplePct * 10000000L),
+        // exact integer ceil(SampleTarget·10⁹ / N) — no double division
+        expr(s"(cast($SampleTarget as bigint) * 1000000000 + count(1) - 1) " +
+          "div count(1)")).as("_thr_ppb"))
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+        16, 10).cast("long") % 1000000000L
+      val sample = graft.runtime.Stage.scopedPersist(
+        docs0.crossJoin(broadcast(thr))
+          .filter(draw < col("_thr_ppb")).select(col("doc_id")))
       val shs = sharedShingles(s, d)
         .join(sample.select(col("doc_id").as("_id")), "_id")
         .select(col("_id"), col("_s")).distinct()
@@ -194,9 +213,19 @@ object ExtQueries {
       val nTrue = Dedup.jaccardOnShingles(tp, sharedShingles(s, d))
         .filter(col("jaccard") >= 0.5)
         .agg(count(lit(1)).as("n_true_pairs"))
-      val nLsh = sharedScoredPairs(s, d).filter(col("jaccard") >= 0.5)
-        .join(sample.select(col("doc_id").as("doc_a")), "doc_a")
-        .join(sample.select(col("doc_id").as("doc_b")), "doc_b")
+      // Sample restriction is pushed BEFORE the jaccard scoring: scoring
+      // the full corpus's candidates only to keep the sample's (the old
+      // form) made a solo audit pay the whole 2.5 G-row intersection join
+      // (1080 s at sf10); restricting the shared CANDIDATE stage first
+      // scores ~|sample-pair| rows instead. Result-identical — membership
+      // comes from the band join either way and the per-pair jaccard is
+      // the same function (the oracle has always used this shape).
+      val nLsh = Dedup.jaccardOnShingles(
+        sharedCands(s, d)
+          .join(sample.select(col("doc_id").as("doc_a")), "doc_a")
+          .join(sample.select(col("doc_id").as("doc_b")), "doc_b"),
+        sharedShingles(s, d))
+        .filter(col("jaccard") >= 0.5)
         .agg(count(lit(1)).as("n_lsh_pairs"))
       sample.agg(count(lit(1)).as("n_sample_docs"))
         .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nLsh))
@@ -564,6 +593,16 @@ object ExtQueries {
     s"(CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 6 - i).toLong})"
   }.mkString(" + ")
 
+  /** q269's audit-sample draw: first 12 hex digits of md5(doc_id) as
+    * BIGINT (16¹² ≈ 2.8·10¹⁴ — comfortably inside int64), same digit-sum
+    * idiom as [[splitHex6]]. 12 digits give the ppb granularity the
+    * fixed-ABSOLUTE sample cap needs (a percent- or ppm-grained draw
+    * re-grows with the corpus; see the SampleTarget scaladoc).
+    */
+  private val sampleHex12: String = (1 to 12).map { i =>
+    s"(CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1 AS BIGINT) * ${(1L to (12 - i).toLong).foldLeft(1L)((a, _) => a * 16L)})"
+  }.mkString(" + ")
+
   private val markerScores = TextAnalysis.markers.keys.toSeq.sorted.map { l =>
     val lst = TextAnalysis.markers(l).map(w => s"'$w'").mkString("(", ",", ")")
     s"len(list_filter($toks, mw -> mw IN $lst)) AS n_$l"
@@ -637,8 +676,11 @@ object ExtQueries {
 
     "q269_lsh_recall_audit" ->
       s"""WITH $shCte,
+         |thr AS (SELECT least($SamplePct * 10000000,
+         |  (CAST($SampleTarget AS BIGINT) * 1000000000 + count(*) - 1)
+         |    // count(*)) AS t FROM documents),
          |sample AS (SELECT doc_id FROM documents
-         |  WHERE ($splitHex6) % 100 < $SamplePct),
+         |  WHERE ($sampleHex12) % 1000000000 < (SELECT t FROM thr)),
          |shsam AS (SELECT e.doc_id, e.s FROM shex e JOIN sample USING (doc_id)),
          |tpairs AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -52,12 +52,19 @@ import org.apache.spark.sql.functions._
 object SemanticQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** q252: number of seed centroids (vectors vec_id < K). At scale K grows
-    * with N (SemDeDup uses K ≈ N/10k) so cluster sizes — and with them the
-    * within-cluster pair count — stay bounded; the knob is part of the
-    * query contract and mirrored in the oracle.
+  /** q252: seed-centroid floor (vectors vec_id < K). K must GROW with N
+    * (SemDeDup's own posture — Abbas et al. 2023 use K ≈ N/10k) or the
+    * within-cluster pair count goes quadratic: the sf10 stress tier caught
+    * the old fixed K=8 at 162× cost for 10× data (648 s — 25k-vector
+    * clusters → 2.5 G pairs). The effective K is
+    * max(SemDedupK, ceil(N / SemDedupPerCluster)), computed in-plan from
+    * one count and mirrored exactly in the oracle: average cluster size is
+    * then ≤ SemDedupPerCluster, so pair work is ≤ N·PerCluster/2 — LINEAR
+    * in the corpus. PerCluster = 2500 reproduces K=8 bit-identically at
+    * every gate scale and at sf1 (N ≤ 20k), so nothing pinned moves.
     */
   val SemDedupK = 8
+  val SemDedupPerCluster = 2500L
 
   /** q252: cosine threshold above which the higher-id vector of a
     * within-cluster pair is pruned (compared on the round-6 value, both
@@ -134,8 +141,10 @@ object SemanticQueries {
     // per-vector BEFORE the pair join (the Ann.bruteForceTopK rule — the
     // naive form re-derives each norm cluster-size times inside the pair
     // loop). The quadratic term is |cluster|², bounded by construction
-    // because K scales with N — the whole point of cluster-then-prune over
-    // all-pairs embedding dedup. The pair-loop arithmetic is the native
+    // because K = max(SemDedupK, ceil(N/SemDedupPerCluster)) scales with N
+    // (the K row rides a one-row broadcast cross into the seed filter) —
+    // the whole point of cluster-then-prune over all-pairs embedding
+    // dedup. The pair-loop arithmetic is the native
     // codegen float dot (VectorExpressions — (double)a·(double)b in array
     // order, bit-identical to the lambda fold over pre-cast doubles but a
     // tight primitive loop): at sf1 the lambda form spent 33.5 s in the
@@ -144,7 +153,11 @@ object SemanticQueries {
       import graft.functions.VectorExpressions.{floatVecDot, floatVecNormSq}
       val e = graft.runtime.Stage.scopedPersist(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-      val seeds = e.filter(col("vec_id") < SemDedupK)
+      val kRow = e.agg(greatest(lit(SemDedupK.toLong),
+        expr(s"(count(1) + ${SemDedupPerCluster - 1}) div $SemDedupPerCluster"))
+        .as("_k"))
+      val seeds = e.crossJoin(broadcast(kRow))
+        .filter(col("vec_id") < col("_k"))
         .select(col("vec_id").cast("int").as("cl"),
           expr("transform(embedding, a -> CAST(a AS DOUBLE))").as("cx"))
       val d2 = expr(
@@ -672,7 +685,11 @@ object SemanticQueries {
 
     "q252_semantic_dedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cl, x AS cx FROM e WHERE vec_id < $SemDedupK),
+         |kk AS (SELECT greatest($SemDedupK,
+         |  (count(*) + ${SemDedupPerCluster - 1}) // $SemDedupPerCluster) AS k
+         |  FROM e),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cl, x AS cx FROM e
+         |  WHERE vec_id < (SELECT k FROM kk)),
          |a AS (
          |  SELECT vec_id, x, cl,
          |    round(list_sum(list_transform(range(1, 65),

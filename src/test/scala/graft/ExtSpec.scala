@@ -263,11 +263,14 @@ class ExtSpec extends AnyFunSuite {
       ("train", "test") -> ((1L, 1L))))
   }
 
-  private def md5Bucket(id: Long): Int = {
+  /** q269's audit draw: 12-hex md5 prefix mod 10⁹ (ppb). At the fixture's
+    * N=4 docs the threshold is the 5% floor = 5·10⁷ ppb.
+    */
+  private def md5DrawPpb(id: Long): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(id.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.take(6), 16) % 100).toInt
+    java.lang.Long.parseLong(hex.take(12), 16) % 1000000000L
   }
 
   private def writeDocsFull(docs: Seq[(Long, String, String, String)]): String = {
@@ -280,8 +283,8 @@ class ExtSpec extends AnyFunSuite {
 
   test("q269: in-sample dup pair counted once; out-of-sample dup invisible") {
     val ids = (0L until 1000L)
-    val inS = ids.filter(md5Bucket(_) < 5).take(3)   // sampled ids
-    val outS = ids.filter(md5Bucket(_) >= 5).head    // unsampled id
+    val inS = ids.filter(md5DrawPpb(_) < 50000000L).take(3)   // sampled ids
+    val outS = ids.filter(md5DrawPpb(_) >= 50000000L).head    // unsampled id
     val dup = "the quick brown fox jumps over the lazy dog"
     val dir = writeDocsFull(Seq(
       (inS(0), dup, "en", "srcT"),
@@ -293,6 +296,24 @@ class ExtSpec extends AnyFunSuite {
       .collect().head
     assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3))
       === ((3L, 1L, 1L, 1.0)))
+  }
+
+  test("q269: the sample stops growing once 5% of the corpus exceeds the " +
+    "absolute target (the sf10 852-s lesson)") {
+    // 6000 docs: the percent floor would sample ~300 (5%), but the ppb cap
+    // ceil(250e9/6000) = 41,666,667 < 5e7 engages, so expected draw-hits
+    // are ~250 regardless of further corpus growth. The binomial spread is
+    // narrow: P(|X-250| > 100) is negligible, so the bound below is a
+    // structural assertion (cap engaged), not a flaky statistical one.
+    // per-doc-unique tokens => zero shared shingles => no pair work at all
+    val dir = writeDocsFull((0L until 6000L).map(i =>
+      (i, s"a$i b$i c$i d$i e$i", "en", "s")))
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q269_lsh_recall_audit")(spark, dir)
+      .collect().head
+    val nSample = got.getLong(0)
+    assert(nSample > 150L && nSample < 350L,
+      s"expected ~250 sampled docs under the absolute cap, got $nSample")
   }
 
   test("q270: per-source card matches the hand-derived entropy and dup ledger") {

@@ -101,6 +101,25 @@ class SemanticSpec extends AnyFunSuite {
     }
   }
 
+  test("q252: K grows past the 8-seed floor once N exceeds 8·PerCluster " +
+    "(the sf10 162x lesson)") {
+    // 20,001 vectors => K = ceil(20001/2500) = 9: the 9th seed (vec_id 8,
+    // the only vector pointing at angle 8/9·π/2) must anchor its own
+    // cluster — under the old fixed K=8 it would fold into a neighbor and
+    // the cluster histogram would top out at 8 ids.
+    val dir = tmpDir()
+    def dir2(i: Int): Seq[Float] = {
+      val a = i * math.Pi / 2 / 9
+      Seq(math.cos(a).toFloat, math.sin(a).toFloat)
+    }
+    val seeds = (0 until 9).map(i => i.toLong -> dir2(i))
+    val crowd = (9L until 20001L).map(id => id -> dir2(0))
+    writeEmb(dir, seeds ++ crowd)
+    val got = run("q252_semantic_dedup", dir)
+      .select("cluster").distinct().collect().map(_.getInt(0)).sorted
+    assert(got.toSeq === (0 to 8), s"expected 9 seed clusters, got ${got.toSeq}")
+  }
+
   test("q253: duplicating the corpus makes every span a cross-doc dup (frac 1)") {
     val dir = tmpDir()
     val base = Seq(

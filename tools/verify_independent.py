@@ -535,10 +535,13 @@ def check_q151_kmeans(con, sf_dir, spark_out):
     return errs
 
 
-def check_q252_semantic_dedup(con, sf_dir, spark_out, k=8, tau=0.30):
+def check_q252_semantic_dedup(con, sf_dir, spark_out, tau=0.30):
     emb = load(con, sf_dir, "embeddings", "vec_id, embedding")
     X = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
          for _, r in emb.iterrows()}
+    # K = max(8, ceil(N/2500)) — the scale-adaptive seed count (engine's
+    # SemDedupK/SemDedupPerCluster contract); K==8 at every gate tier.
+    k = max(8, -(-len(X) // 2500))
     seeds = [(cl, X[cl]) for cl in range(k)]
     assign = _kmeans_assign(X, seeds)
     nrm = {v: math.sqrt(float((x * x).sum())) for v, x in X.items()}
@@ -2765,19 +2768,23 @@ def check_q268_leakage(con, sf_dir, spark_out, band=2):
     return errs[:5]
 
 
-def check_q269_recall(con, sf_dir, spark_out, pct=5, band=2):
+def check_q269_recall(con, sf_dir, spark_out, pct=5, target=250, band=2):
     """Ground truth by a literal O(sample²) double loop with set Jaccard
     (no shingle-join shortcut); LSH side from the md5 minhash mirror.
     Restricting bucket construction to the sample is equivalent to the
-    engine's corpus-wide LSH filtered to sample-sample pairs."""
+    engine's corpus-wide LSH filtered to sample-sample pairs. The draw
+    threshold is min(pct%, ceil(target*1e9/N)) ppb of a 12-hex md5 draw —
+    the engine's fixed-absolute sample cap, recomputed independently."""
     import hashlib
     sigs, toks = _minhash_sigs(con, sf_dir)
+    n_docs = len(toks)
+    thr = min(pct * 10**7, -(-target * 10**9 // n_docs)) if n_docs else 0
 
     def drw(d):
-        return int(hashlib.md5(str(int(d)).encode()).hexdigest()[:6],
-                   16) % 100
+        return int(hashlib.md5(str(int(d)).encode()).hexdigest()[:12],
+                   16) % 10**9
 
-    sample = sorted(d for d in toks if drw(d) < pct)
+    sample = sorted(d for d in toks if drw(d) < thr)
     sets = {d: {" ".join(toks[d][i:i + 3]) for i in range(len(toks[d]) - 2)}
             for d in sample if len(toks[d]) >= 3}
     ids = sorted(sets)
