@@ -52,22 +52,43 @@ object ScalePins {
     * once adjudicated). The serial-collapse task floor applies to every
     * lane regardless.
     *
-    * r9 sf1 baselines (measured this round, violations=0): the SMJ counts
-    * on the dedup family (q26=12, q268=12, q263=7, q252=3, q119=1) are the
-    * LSH band / scored-pair self-joins and candidate joins whose BOTH
-    * sides grow with the corpus — sort-merge is the correct shape there at
-    * scale (the q246 reasoning); what must diff loudly is a CHANGE: a lost
-    * broadcast on a small side (the bhj floor, set to half the measured
-    * count to leave AQE headroom) or a new corpus-sized sort where none
-    * was (the exact smj pin).
+    * r9 LESSON (the sf10 tier's first run): raw whole-plan-text join
+    * counts conflate the AQE-FINAL sections with the == Initial Plan ==
+    * sections. The initial sections hold the STATIC planner's estimates,
+    * which legitimately cross the broadcast threshold as data grows — at
+    * sf10 every lane's initial sections showed SMJs that the FINAL
+    * (executed) plan re-converted to broadcasts (q260's vocabulary-bounded
+    * model joins being the clearest case: initial SMJ at sf10, executed
+    * BHJ at every tier, because the post-aggregate runtime size is
+    * corpus-independent). The counts that carry the r7 bug signal are the
+    * FINAL-plan-only ones, so the pin is now on those (bhjF/smjF below);
+    * whole-plan counts still ship in the artifact for continuity.
+    *
+    * r9 sf1 FINAL-plan baselines (measured this round): the residual SMJs
+    * (q246=2, q26=2, q268=2, q252=1) are joins whose BOTH sides grow with
+    * the corpus — sort-merge is the correct shape there at scale (the
+    * q246 reasoning); what must diff loudly is a CHANGE: a lost broadcast
+    * on a small side (the bhj floor, half the measured count for AQE
+    * headroom) or a new corpus-sized sort where none was (the exact smj
+    * pin).
+    *
+    * Baselines are PER-TIER facts: at sf10 several build sides (profile
+    * tables, band tables) legitimately outgrow the broadcast threshold,
+    * so enforcing sf1 constants against an sf10 run flags correct planner
+    * adaptations (adjudicated lane by lane in SCALE.md round 9). Set
+    * SPARK_GRAFT_PIN_RECORD=1 for a cross-tier run: join-shape deltas are
+    * REPORTED but only the scale-invariant serial-collapse task floor
+    * counts as a violation; same-tier reruns then diff the artifact
+    * (plans_diff.py) against that tier's recorded baseline.
     */
   private val Lanes: Seq[(String, Int, Int)] = Seq(
-    ("q21_rec_dot", 1, 0), ("q22_rec_cosine", 1, 0), ("q23_rec_lists", 1, 0),
-    ("q245_rec_lists_capped", 1, 0), ("q246_rec_cosine_capped", 1, 2),
-    ("q26_lsh_pairs", 12, 12), ("q70_dedup_clusters", 1, 0),
-    ("q263_incremental_dedup", 4, 7), ("q268_split_leakage", 14, 12),
-    ("q252_semantic_dedup", 1, 3), ("q260_bigram_lm", 2, 0),
-    ("q267_ccnet_buckets", 20, 0), ("q119_user_set_sim", 5, 1))
+    ("q21_rec_dot", 2, 0), ("q22_rec_cosine", 3, 0), ("q23_rec_lists", 4, 0),
+    ("q245_rec_lists_capped", 2, 0), ("q246_rec_cosine_capped", 2, 2),
+    ("q26_lsh_pairs", 6, 2), ("q70_dedup_clusters", 1, 0),
+    ("q263_incremental_dedup", 1, 0), ("q268_split_leakage", 7, 2),
+    ("q252_semantic_dedup", 0, 1), ("q260_bigram_lm", 1, 0),
+    ("q267_ccnet_buckets", 10, 0), ("q119_user_set_sim", 0, 0),
+    ("q269_lsh_recall_audit", 2, 0))
 
   /** The serial-collapse bug ran the scoring stage with 1 task; a healthy
     * sf1 scoring stage runs ≥ cores (pinned repartition in Stage
@@ -122,6 +143,10 @@ object ScalePins {
     // pinned at every tier): SPARK_GRAFT_PIN_EXCLUDE=q23_rec_lists.
     val excluded = sys.env.get("SPARK_GRAFT_PIN_EXCLUDE")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Cross-tier mode (see the Lanes scaladoc): join-shape deltas against
+    // the sf1 baselines are reported but not violations — only the
+    // scale-invariant serial-collapse floor fails the run.
+    val recordOnly = sys.env.get("SPARK_GRAFT_PIN_RECORD").contains("1")
     var violations = 0
     val entries = Lanes.filter(l => !excluded(l._1)).map {
       case (name, minBhj, expectedSmj) =>
@@ -138,32 +163,48 @@ object ScalePins {
       val plan = df.queryExecution.executedPlan.toString()
       val canon = PlanDigest.normalize(plan, sfDir)
       val digest = PlanDigest.sha(canon)
-      // Counts run over the WHOLE plan text (final + initial sections +
-      // nested cached-stage plans) — splitting out the final section is
-      // fragile with nested AdaptiveSparkPlan blocks. The counts are
-      // therefore consistent-but-inflated; the per-lane baseline encodes
-      // today's value and any drift (either section) diffs loudly.
+      // The PIN counts only the AQE-FINAL sections — the == Initial Plan ==
+      // sections hold static estimates whose broadcast decisions
+      // legitimately drift with data size and are re-made at runtime (the
+      // r9 sf10 lesson). Nested AdaptiveSparkPlan blocks (cached stages)
+      // print their own Final/Initial pairs, so a line-level mode toggle
+      // keeps exactly the executed sections. Whole-plan counts still ship
+      // in the artifact for continuity with r8.
+      val finalPlan = {
+        var keep = true
+        plan.linesIterator.filter { ln =>
+          if (ln.contains("== Initial Plan ==")) { keep = false; false }
+          else if (ln.contains("== Final Plan ==")) { keep = true; false }
+          else keep
+        }.mkString("\n")
+      }
       val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
       val smj = "SortMergeJoin".r.findAllIn(plan).length
+      val bhjF = "BroadcastHashJoin".r.findAllIn(finalPlan).length
+      val smjF = "SortMergeJoin".r.findAllIn(finalPlan).length
       val maxTasks = if (tally.counts.isEmpty) 0 else tally.counts.max
-      val bad = bhj < minBhj ||
-        (expectedSmj >= 0 && smj != expectedSmj) ||
-        maxTasks < MinMaxStageTasks
-      if (bad) {
+      val shapeBad = bhjF < minBhj || (expectedSmj >= 0 && smjF != expectedSmj)
+      val floorBad = maxTasks < MinMaxStageTasks
+      if (floorBad || (shapeBad && !recordOnly)) {
         violations += 1
-        System.err.println(s"[scalepins] VIOLATION $name: bhj=$bhj smj=$smj " +
-          s"maxStageTasks=$maxTasks (need bhj>=$minBhj, smj=$expectedSmj, " +
-          s"maxTasks>=$MinMaxStageTasks)")
+        System.err.println(s"[scalepins] VIOLATION $name: bhjF=$bhjF " +
+          s"smjF=$smjF maxStageTasks=$maxTasks (need bhjF>=$minBhj, " +
+          s"smjF=$expectedSmj, maxTasks>=$MinMaxStageTasks)")
+      } else if (shapeBad && recordOnly) {
+        println(f"[scalepins] RECORDED $name: bhjF=$bhjF smjF=$smjF " +
+          f"(sf1 baseline bhjF>=$minBhj smjF=$expectedSmj) " +
+          f"maxStageTasks=$maxTasks ${sec}%.1f s")
       } else {
-        println(f"[scalepins] OK $name: bhj=$bhj smj=$smj " +
+        println(f"[scalepins] OK $name: bhjF=$bhjF smjF=$smjF " +
           f"maxStageTasks=$maxTasks ${sec}%.1f s" +
           (if (expectedSmj < 0) "  [smj record-only]" else ""))
       }
-      name -> (digest, canon, bhj, smj, maxTasks, sec)
+      name -> (digest, canon, (bhj, smj, bhjF, smjF), maxTasks, sec)
     }
-    val json = entries.map { case (n, (d, canon, bhj, smj, mt, sec)) =>
+    val json = entries.map { case (n, (d, canon, (bhj, smj, bhjF, smjF), mt, sec)) =>
       s"${jq(n)}: {${jq("digest")}: ${jq(d)}, ${jq("bhj")}: $bhj, " +
-        s"${jq("smj")}: $smj, ${jq("maxStageTasks")}: $mt, " +
+        s"${jq("smj")}: $smj, ${jq("bhjF")}: $bhjF, ${jq("smjF")}: $smjF, " +
+        s"${jq("maxStageTasks")}: $mt, " +
         f"${jq("sec")}: $sec%.2f, ${jq("plan")}: ${jq(canon)}}"
     }.mkString("{\n", ",\n", "\n}")
     Option(Paths.get(outPath).getParent).foreach(p => Files.createDirectories(p))
