@@ -24,7 +24,7 @@ object SparkEntry {
     val raw = RelationalQueries.queries ++ TextQueries.queries ++ RecQueries.queries ++
       ExtQueries.queries ++ TextRankQueries.queries ++ ScaleQueries.queries ++
       CurationQueries.queries ++ MiningQueries.queries ++ ParityQueries.queries ++
-      SurfaceQueries.queries ++ SemanticQueries.queries
+      SurfaceQueries.queries ++ SemanticQueries.queries ++ ReleaseQueries.queries
     // Scope boundary: entering a query releases the previous query's
     // scoped caches (graft.runtime.Stage) — queries run sequentially under
     // the driver contract.
@@ -40,5 +40,5 @@ object SparkEntry {
     RelationalQueries.oracle ++ TextQueries.oracle ++ RecQueries.oracle ++
       ExtQueries.oracle ++ TextRankQueries.oracle ++ ScaleQueries.oracle ++
       CurationQueries.oracle ++ MiningQueries.oracle ++ ParityQueries.oracle ++
-      SurfaceQueries.oracle ++ SemanticQueries.oracle
+      SurfaceQueries.oracle ++ SemanticQueries.oracle ++ ReleaseQueries.oracle
 }

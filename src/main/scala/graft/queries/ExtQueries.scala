@@ -276,6 +276,51 @@ object ExtQueries {
             col("n_docs"), 4).as("avg_tokens"))
     }),
 
+    // Dedup savings ledger (round 9): the release-engineering numbers a
+    // keep-one dedup buys, bucketed by near-dup cluster size — clusters,
+    // docs, total tokens, tokens saved (everything but the canonical
+    // copy), and the saved fraction per bucket. Rides q70's shared cluster
+    // stage; the extra work is one token-count join plus two keyed
+    // aggregates, the second over at most |clusters| rows collapsing to 5
+    // bucket rows.
+    "q273_dedup_savings" -> ((s, d) => {
+      val ntk = graft.ops.Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("ntk"))
+      val per = dedupClusters(s, d).join(ntk, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("m"), sum(col("ntk")).as("ts"),
+          sum(when(col("is_canonical"), col("ntk")).otherwise(0L)).as("kept"))
+      per.groupBy(
+        when(col("m") === 1, "1").when(col("m") === 2, "2")
+          .when(col("m") <= 4, "3-4").when(col("m") <= 8, "5-8")
+          .otherwise("9+").as("size_bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("m")).as("n_docs"),
+          sum(col("ts")).as("tokens_total"),
+          sum(col("ts") - col("kept")).as("tokens_saved"))
+        .withColumn("saved_frac", graft.ops.Ops.ratioHalfUp(
+          col("tokens_saved") * 10000, col("tokens_total"), 4))
+    }),
+
+    // Cross-source syndication matrix (round 9): near-dup pairs above the
+    // q70 threshold bucketed by (source, source) — the RefinedWeb-style
+    // answer to "is our duplication within-source boilerplate or
+    // cross-source syndication?" (on this corpus it is almost entirely
+    // cross-source). Rides the shared scored-pair stage; the residue is
+    // two equi-joins on doc id against the doc→source projection and an
+    // aggregate bounded by |sources|².
+    "q274_syndication_matrix" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      sharedScoredPairs(s, d).filter(col("jaccard") >= 0.5)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("_sa")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("_sb")),
+          "doc_b")
+        .groupBy(least(col("_sa"), col("_sb")).as("src_lo"),
+          greatest(col("_sa"), col("_sb")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
     // exercises the exact-similarity operator on guaranteed-nonempty input.
     "q27_ngram_jaccard" -> ((s, d) => {
@@ -729,6 +774,46 @@ object ExtQueries {
          |  ${SqlFragments.ratioHalfUpSql("sum(dup) * 10000", "sum(c)", 4)} AS dup_rate,
          |  ${SqlFragments.ratioHalfUpSql("sum(tk) * 10000", "sum(c)", 4)} AS avg_tokens
          |FROM lc GROUP BY 1""".stripMargin,
+
+    "q273_dedup_savings" ->
+      s"""WITH RECURSIVE $clusterChain,
+         |res AS (
+         |  SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
+         |    coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_can,
+         |    len($toks) AS ntk
+         |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+         |per AS (
+         |  SELECT cluster, count(*) AS m, CAST(sum(ntk) AS BIGINT) AS ts,
+         |    CAST(sum(CASE WHEN is_can THEN ntk ELSE 0 END) AS BIGINT) AS kept
+         |  FROM res GROUP BY 1)
+         |SELECT CASE WHEN m = 1 THEN '1' WHEN m = 2 THEN '2'
+         |    WHEN m <= 4 THEN '3-4' WHEN m <= 8 THEN '5-8'
+         |    ELSE '9+' END AS size_bucket,
+         |  count(*) AS n_clusters, CAST(sum(m) AS BIGINT) AS n_docs,
+         |  CAST(sum(ts) AS BIGINT) AS tokens_total,
+         |  CAST(sum(ts - kept) AS BIGINT) AS tokens_saved,
+         |  ${SqlFragments.ratioHalfUpSql("sum(ts - kept) * 10000", "sum(ts)", 4)}
+         |    AS saved_frac
+         |FROM per GROUP BY 1""".stripMargin,
+
+    "q274_syndication_matrix" ->
+      s"""WITH $shCte,
+         |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+         |bands AS (
+         |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+         |  FROM sigs, range(${NH / BAND}) t(b)),
+         |cpairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+         |  WHERE x.doc_id < y.doc_id),
+         |scored AS (${jaccardCte("cpairs")}),
+         |dup AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         |m AS (
+         |  SELECT least(da.source, db.source) AS src_lo,
+         |    greatest(da.source, db.source) AS src_hi
+         |  FROM dup JOIN documents da ON da.doc_id = dup.doc_a
+         |  JOIN documents db ON db.doc_id = dup.doc_b)
+         |SELECT src_lo, src_hi, count(*) AS n_pairs FROM m GROUP BY 1, 2""".stripMargin,
 
     "q27_ngram_jaccard" ->
       s"""WITH $shCte,

@@ -334,4 +334,39 @@ class ExtSpec extends AnyFunSuite {
       "src0" -> ((4L, 16L, 2L, 0.562335, 1L, 0.25, 4.0)),
       "src1" -> ((1L, 3L, 1L, 0.0, 0L, 0.0, 3.0))))
   }
+
+  test("q273: savings ledger buckets clusters by size; only non-canonical tokens are saved") {
+    // 3-way dup cluster (bucket 3-4), a pair (bucket 2), two singletons.
+    val dir = writeDocsFull(Seq(
+      (1L, "aa bb cc dd", "en", "srcT"),
+      (2L, "aa bb cc dd", "en", "srcT"),
+      (3L, "aa bb cc dd", "en", "srcT"),
+      (10L, "ee ff gg", "en", "srcT"),
+      (11L, "ee ff gg", "en", "srcT"),
+      (20L, "hh ii jj kk", "en", "srcT"),
+      (21L, "ll mm nn oo pp", "en", "srcT")))
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q273_dedup_savings")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      "3-4" -> ((1L, 3L, 12L, 8L, 0.6667)),
+      "2" -> ((1L, 2L, 6L, 3L, 0.5)),
+      "1" -> ((2L, 2L, 9L, 0L, 0.0))))
+  }
+
+  test("q274: near-dup pairs land in source-order-normalized matrix cells") {
+    val dir = writeDocsFull(Seq(
+      (1L, "aa bb cc dd", "en", "srcA"),
+      (2L, "aa bb cc dd", "en", "srcB"),   // cross-source dup of 1
+      (3L, "ee ff gg hh", "en", "srcA"),
+      (4L, "ee ff gg hh", "en", "srcA"),   // within-source dup of 3
+      (5L, "ii jj kk ll", "en", "srcC")))  // unpaired
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q274_syndication_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("srcA", "srcB") -> 1L,
+      ("srcA", "srcA") -> 1L))
+  }
 }

@@ -5734,6 +5734,180 @@ def check_q74_sketch_audit(con, sf_dir, spark_out):
     return errs
 
 
+def check_q271_dup_spans(con, sf_dir, spark_out, n=5):
+    """Literal interval-merge recompute: duplicated 5-gram start positions
+    per doc, merged with a sequential sweep (not the engine's lag/sum
+    window), exact-integer span accounting."""
+    toks = _doc_tokens(con, sf_dir)
+    gram_docs = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            gram_docs.setdefault(" ".join(tk[i:i + n]), set()).add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    got = dump(spark_out, "q271_dup_span_audit").set_index("doc_id")
+    errs = []
+    n_rows = sum(1 for tk in toks.values() if len(tk) >= n)
+    if len(got) != n_rows:
+        errs.append(f"row count {len(got)} != {n_rows}")
+    for d, tk in toks.items():
+        if len(tk) < n:
+            continue
+        starts = [i + 1 for i in range(len(tk) - n + 1)
+                  if " ".join(tk[i:i + n]) in dup]
+        spans = []
+        for p in starts:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            else:
+                spans.append([p, p + n - 1])
+        cov = sum(e - s + 1 for s, e in spans)
+        longest = max((e - s + 1 for s, e in spans), default=0)
+        g = got.loc[d]
+        if (int(g["n_tokens"]), int(g["n_spans"]), int(g["cov_tokens"]),
+                int(g["longest_span"])) != (len(tk), len(spans), cov, longest):
+            errs.append(f"doc {d}: spans differ")
+        if float(g["cov_frac"]) != half_up_ratio(cov * 10000, len(tk), 4):
+            errs.append(f"doc {d}: cov_frac differs")
+    return errs[:5]
+
+
+def check_q272_pii(con, sf_dir, spark_out):
+    """Python re recompute of the PII scan: the same three patterns over
+    the same deterministic augmentation, counts via findall, redaction
+    delta via chained re.sub."""
+    pats = [r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", r"555-[0-9]{4}",
+            r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"]
+    tags = ["<EMAIL>", "<PHONE>", "<IP>"]
+    docs = load(con, sf_dir, "documents", "doc_id, source, text")
+    agg = {}
+    for _, r in docs.iterrows():
+        d = int(r["doc_id"])
+        aug = r["text"]
+        if d % 5 == 0:
+            aug += f" contact user{d}@example.com"
+        if d % 7 == 0:
+            aug += f" call 555-{d % 10000:04d}"
+        if d % 11 == 0:
+            aug += f" from 10.{d % 256}.{(d * 7) % 256}.1"
+        cnt = [len(re.findall(p, aug)) for p in pats]
+        red = aug
+        for p, t in zip(pats, tags):
+            red = re.sub(p, t, red)
+        cell = agg.setdefault(r["source"], [0, 0, 0, 0, 0, 0])
+        cell[0] += 1
+        cell[1] += 1 if sum(cnt) > 0 else 0
+        cell[2] += cnt[0]
+        cell[3] += cnt[1]
+        cell[4] += cnt[2]
+        cell[5] += len(aug) - len(red)
+    got = dump(spark_out, "q272_pii_audit").set_index("source")
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"source count {len(got)} != {len(agg)}")
+    for src, c in agg.items():
+        g = got.loc[src]
+        if (int(g["n_docs"]), int(g["docs_with_pii"]), int(g["n_emails"]),
+                int(g["n_phones"]), int(g["n_ips"]),
+                int(g["chars_redacted"])) != tuple(c):
+            errs.append(f"{src}: {tuple(int(g[k]) for k in g.index)} != {c}")
+    return errs[:5]
+
+
+def check_q273_savings(con, sf_dir, spark_out):
+    """Savings ledger from the shared union-find labels + a literal
+    per-cluster dict aggregation and bucket map."""
+    edges, all_ids = _lsh_dup_edges(con, sf_dir)
+    labels = _cc_labels(all_ids, edges)
+    toks = _doc_tokens(con, sf_dir)
+    per = {}
+    for d, l in labels.items():
+        m, ts, kept = per.get(l, (0, 0, 0))
+        ntk = len(toks[d])
+        per[l] = (m + 1, ts + ntk, kept + (ntk if d == l else 0))
+    agg = {}
+    for m, ts, kept in per.values():
+        b = "1" if m == 1 else ("2" if m == 2 else (
+            "3-4" if m <= 4 else ("5-8" if m <= 8 else "9+")))
+        c = agg.setdefault(b, [0, 0, 0, 0])
+        c[0] += 1
+        c[1] += m
+        c[2] += ts
+        c[3] += ts - kept
+    got = dump(spark_out, "q273_dedup_savings").set_index("size_bucket")
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"bucket count {len(got)} != {len(agg)}")
+    for b, c in agg.items():
+        g = got.loc[b]
+        if (int(g["n_clusters"]), int(g["n_docs"]), int(g["tokens_total"]),
+                int(g["tokens_saved"])) != tuple(c):
+            errs.append(f"{b}: counts differ")
+        if float(g["saved_frac"]) != half_up_ratio(c[3] * 10000, c[2], 4):
+            errs.append(f"{b}: saved_frac differs")
+    return errs[:5]
+
+
+def check_q274_syndication(con, sf_dir, spark_out):
+    """Source-pair matrix straight from the recomputed >=0.5 jaccard edge
+    set (not the engine's shared-stage plan)."""
+    edges, _ = _lsh_dup_edges(con, sf_dir)
+    docs = load(con, sf_dir, "documents", "doc_id, source")
+    src = {int(r["doc_id"]): r["source"] for _, r in docs.iterrows()}
+    agg = {}
+    for a, b in edges:
+        k = tuple(sorted((src[a], src[b])))
+        agg[k] = agg.get(k, 0) + 1
+    got = dump(spark_out, "q274_syndication_matrix") \
+        .set_index(["src_lo", "src_hi"])
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"pair-bucket count {len(got)} != {len(agg)}")
+    for k, n in agg.items():
+        if k not in got.index or int(got.loc[k, "n_pairs"]) != n:
+            errs.append(f"{k}: n_pairs differs")
+    return errs[:5]
+
+
+def check_q275_contamination(con, sf_dir, spark_out, n=8):
+    """Exact containment recompute: hashlib md5 split draw, per-doc
+    distinct 8-gram sets, literal set intersection against the train
+    union."""
+    import hashlib
+    docs = load(con, sf_dir, "documents", "doc_id, text")
+    split, grams = {}, {}
+    for _, r in docs.iterrows():
+        d = int(r["doc_id"])
+        b = int(hashlib.md5(str(d).encode()).hexdigest()[:6], 16) % 100
+        split[d] = "train" if b < 80 else ("val" if b < 90 else "test")
+        tk = tokenize(r["text"])
+        grams[d] = {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+    train = set().union(*(grams[d] for d in grams if split[d] == "train"))
+    agg = {}
+    for d, sp in split.items():
+        if sp == "train":
+            continue
+        c = agg.setdefault(sp, [0, 0, 0, 0])
+        hit = len(grams[d] & train)
+        c[0] += 1
+        c[1] += 1 if hit > 0 else 0
+        c[2] += len(grams[d])
+        c[3] += hit
+    got = dump(spark_out, "q275_eval_contamination").set_index("split")
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"split count {len(got)} != {len(agg)}")
+    for sp, c in agg.items():
+        g = got.loc[sp]
+        if (int(g["n_docs"]), int(g["n_dirty"]), int(g["n_grams"]),
+                int(g["n_hit_grams"])) != tuple(c):
+            errs.append(f"{sp}: counts differ")
+        exp_hit = 0.0 if c[2] == 0 else half_up_ratio(c[3] * 10000, c[2], 4)
+        if float(g["dirty_frac"]) != half_up_ratio(c[1] * 10000, c[0], 4) \
+                or float(g["hit_frac"]) != exp_hit:
+            errs.append(f"{sp}: fractions differ")
+    return errs[:5]
+
+
 CHECKS = {
     "q50_als_recommend": check_q50_als_audit,
     "q74_sketches": check_q74_sketch_audit,
@@ -5939,6 +6113,11 @@ CHECKS = {
     "q270_data_card": check_q270_data_card,
     "q265_topk_coverage": check_q265_coverage,
     "q266_pair_pack": check_q266_pair_pack,
+    "q271_dup_span_audit": check_q271_dup_spans,
+    "q272_pii_audit": check_q272_pii,
+    "q273_dedup_savings": check_q273_savings,
+    "q274_syndication_matrix": check_q274_syndication,
+    "q275_eval_contamination": check_q275_contamination,
 }
 
 
