@@ -413,16 +413,21 @@ object RelationalQueries {
     "q74_sketches" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("user_id"), col("value"))
+      // Sketches alone in pass 1: mixing countDistinct into the same agg
+      // triggers RewriteDistinctAggregates' EXPAND — every input row
+      // duplicated with the per-copy percentile/HLL object state carried
+      // through a 389-field ObjectHashAggregate (16× the lane's cost at
+      // sf0.1). The exact count rides pass 2 instead, where the expand
+      // only duplicates cheap long sums.
       val sk = ev.groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id"), rsd = 0.02).as("_au"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("_p50"),
-          percentile_approx(col("value"), lit(0.95), lit(10000)).as("_p95"),
-          countDistinct(col("user_id")).as("exact_users"))
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("_p95"))
       ev.join(broadcast(sk), "event_type")
         .groupBy(col("event_type"))
         .agg(
-          max(col("exact_users")).as("exact_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           max(col("_au")).as("_au"),
           count(lit(1)).as("_n"),
           sum((col("value") < col("_p50")).cast("long")).as("_lt50"),

@@ -154,6 +154,42 @@ object ReleaseQueries {
           sum(col("_delta")).as("chars_redacted"))
     }),
 
+    // Within-document repetition audit (Rae et al. 2021 "Gopher" §A1.1
+    // repetition filters, re-expressed on token n-grams): per document,
+    // the slot share of the single most frequent 2-gram and 3-gram, the
+    // fraction of bigram slots occupied by ANY duplicated bigram, and an
+    // exact-integer repetitiveness flag (top 2-gram holding > 1/5 of slots
+    // — the Gopher-style cut). Scale shape: every stat is DOC-LOCAL array
+    // algebra (the q257 idiom) computed inside the scan projection — the
+    // lane is one pass with NO shuffle; per-doc cost is O(len²) in
+    // document length, bounded regardless of corpus size.
+    "q277_repetition_audit" -> ((s, d) => {
+      val tk = Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+      val grams = tk.select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        expr("transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', slice(tk, i, 2)))")
+          .as("_g2"),
+        expr("transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))")
+          .as("_g3"))
+      grams.select(col("doc_id"), col("n_tokens"),
+        size(col("_g2")).cast("long").as("_n2"),
+        size(col("_g3")).cast("long").as("_n3"),
+        expr("array_max(transform(array_distinct(_g2), g -> size(filter(_g2, x -> x = g))))")
+          .cast("long").as("_m2"),
+        expr("array_max(transform(array_distinct(_g3), g -> size(filter(_g3, x -> x = g))))")
+          .cast("long").as("_m3"),
+        expr("aggregate(transform(array_distinct(_g2), g -> size(filter(_g2, x -> x = g)))," +
+          " 0L, (a, c) -> a + CASE WHEN c >= 2 THEN CAST(c AS BIGINT) ELSE 0L END)")
+          .as("_d2"))
+        .select(col("doc_id"), col("n_tokens"),
+          Ops.ratioHalfUp(col("_m2") * 10000, col("_n2"), 4).as("top2_share"),
+          Ops.ratioHalfUp(col("_m3") * 10000, col("_n3"), 4).as("top3_share"),
+          Ops.ratioHalfUp(col("_d2") * 10000, col("_n2"), 4).as("dup2_frac"),
+          (col("_m2") * 5 > col("_n2")).as("is_repetitive"))
+    }),
+
     // Eval-contamination audit: distinct token 8-grams per held-out doc
     // probed against the train split's distinct-gram set (the q262 draw).
     // Per split: docs, dirty docs (any verbatim 8-gram seen in train), and
@@ -262,6 +298,33 @@ object ReleaseQueries {
          |  CAST(sum(ip) AS BIGINT) AS n_ips,
          |  CAST(sum(delta) AS BIGINT) AS chars_redacted
          |FROM h GROUP BY 1""".stripMargin,
+
+    "q277_repetition_audit" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+         |g AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS g2,
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i+2], ' ')) AS g3
+         |  FROM f),
+         |m AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(len(g2) AS BIGINT) AS n2, CAST(len(g3) AS BIGINT) AS n3,
+         |    list_max(list_transform(list_distinct(g2),
+         |      g -> len(list_filter(g2, x -> x = g)))) AS m2,
+         |    list_max(list_transform(list_distinct(g3),
+         |      g -> len(list_filter(g3, x -> x = g)))) AS m3,
+         |    list_sum(list_transform(list_distinct(g2),
+         |      g -> CASE WHEN len(list_filter(g2, x -> x = g)) >= 2
+         |        THEN len(list_filter(g2, x -> x = g)) ELSE 0 END)) AS d2
+         |  FROM g)
+         |SELECT doc_id, n_tokens,
+         |  ${SqlFragments.ratioHalfUpSql("m2 * 10000", "n2", 4)} AS top2_share,
+         |  ${SqlFragments.ratioHalfUpSql("m3 * 10000", "n3", 4)} AS top3_share,
+         |  ${SqlFragments.ratioHalfUpSql("d2 * 10000", "n2", 4)} AS dup2_frac,
+         |  m2 * 5 > n2 AS is_repetitive
+         |FROM m""".stripMargin,
 
     "q275_eval_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

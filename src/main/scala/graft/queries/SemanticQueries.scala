@@ -371,6 +371,44 @@ object SemanticQueries {
         .select(col("rule"), col("rule_name"), col("n_killed"), col("n_surviving"))
     }),
 
+    // Per-document quality-signals frame (round 9; the RedPajama-V2
+    // posture — Together 2023 ship a "quality signals" parquet next to the
+    // corpus so downstream teams filter without re-deriving signals): one
+    // wide row per scoreable document joining the q257 rule inputs
+    // (uniqueness, word length, top-token share, stopword hit) with the
+    // q260 bigram-LM score. Scale shape: every rule stat is DOC-LOCAL
+    // array algebra inside the scan projection (no shuffle at all); the
+    // only shuffles are q260's vocabulary-bounded model joins plus one
+    // doc_id equi-join to attach avg_nll — the frame is materialized in
+    // one pass over the corpus plus the shared bigram stages.
+    "q276_quality_signals" -> ((s, d) => {
+      val base = Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          graft.text.Tokenizer.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val stats = base.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), size(col("tk")).cast("long").as("n_tokens"),
+        expr("aggregate(tk, 0L, (a, w) -> a + length(w))").as("_sl"),
+        expr("array_max(transform(array_distinct(tk), w -> size(filter(tk, t -> t = w))))")
+          .cast("long").as("_topk"),
+        size(array_distinct(col("tk"))).cast("long").as("_uq"),
+        (size(array_intersect(array_distinct(col("tk")),
+          array(Seq("the", "and", "of", "to", "in", "a", "is").map(lit): _*)))
+          >= 1).as("stopword_hit"))
+      stats
+        .join(bigramNllScores(s, d).select(col("doc_id"), col("avg_nll")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("n_tokens"),
+          Ops.ratioHalfUp(col("_uq") * 10000, col("n_tokens"), 4)
+            .as("uniq_ratio"),
+          Ops.ratioHalfUp(col("_sl") * 10000, col("n_tokens"), 4)
+            .as("mean_word_len"),
+          Ops.ratioHalfUp(col("_topk") * 10000, col("n_tokens"), 4)
+            .as("top_token_share"),
+          col("stopword_hit"), col("avg_nll"))
+    }),
+
     // Bigram-LM quality scoring (the CCNet posture, Wenzek et al. LREC
     // 2020: score text by an n-gram LM's perplexity and filter the tail):
     // train an add-1-smoothed bigram model ON the corpus in one pass, then
@@ -816,6 +854,28 @@ object SemanticQueries {
 
     "q260_bigram_lm" ->
       s"WITH $bigramCtes\n$bigramSelect",
+
+    "q276_quality_signals" ->
+      s"""WITH $bigramCtes,
+         |sc AS ($bigramSelect),
+         |t2 AS (SELECT doc_id, lang, source, n_chars, $toks AS tk
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    list_sum(list_transform(tk, w -> len(w))) AS sl,
+         |    list_max(list_transform(list_distinct(tk),
+         |      w -> len(list_filter(tk, x -> x = w)))) AS topk,
+         |    len(list_distinct(tk)) AS uq,
+         |    len(list_intersect(list_distinct(tk),
+         |      ['the','and','of','to','in','a','is'])) >= 1 AS stopword_hit
+         |  FROM t2 WHERE len(tk) >= 2)
+         |SELECT m.doc_id, m.lang, m.source, m.n_chars, m.n_tokens,
+         |  ${SqlFragments.ratioHalfUpSql("uq * 10000", "n_tokens", 4)} AS uniq_ratio,
+         |  ${SqlFragments.ratioHalfUpSql("sl * 10000", "n_tokens", 4)} AS mean_word_len,
+         |  ${SqlFragments.ratioHalfUpSql("topk * 10000", "n_tokens", 4)} AS top_token_share,
+         |  m.stopword_hit, sc.avg_nll
+         |FROM m JOIN sc USING (doc_id)""".stripMargin,
 
     "q267_ccnet_buckets" ->
       s"""WITH $bigramCtes,

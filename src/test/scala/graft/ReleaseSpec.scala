@@ -107,6 +107,21 @@ class ReleaseSpec extends AnyFunSuite {
     assert(em === 2L && ph === 2L && ip === 2L && withPii === 3L)
   }
 
+  test("q277: engineered bigram repetition is measured exactly; clean doc stays low") {
+    val docs = Seq(
+      1L -> "aa bb aa bb aa",   // g2: [aa bb, bb aa, aa bb, bb aa]
+      2L -> "cc dd ee ff")      // all grams distinct
+    val got = run("q277_repetition_audit", writeDocs(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    // doc1: n2=4, m2=2 -> 0.5; n3=3, m3=2 -> 0.6667; d2=4 -> 1.0; 10 > 4
+    assert(got(1L) === ((5L, 0.5, 0.6667, 1.0, true)))
+    // doc2: n2=3, m2=1 -> 0.3333; n3=2, m3=1 -> 0.5; d2=0; 5 > 3 (tiny-doc
+    // artifact of the 1/5 slot rule — the flag is exact, not clamped)
+    assert(got(2L) === ((4L, 0.3333, 0.5, 0.0, true)))
+  }
+
   test("q275: verbatim 8-gram run marks the eval doc dirty; short eval docs count clean") {
     def bucket(id: Long): Int = {
       val md = java.security.MessageDigest.getInstance("MD5")

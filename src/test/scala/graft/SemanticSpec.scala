@@ -292,6 +292,25 @@ class SemanticSpec extends AnyFunSuite {
       2L -> ((2L, r6((nAB + nBA) / 2)))))
   }
 
+  test("q276: signals frame joins hand-derived rule stats with the q260 score") {
+    val dir = tmpDir()
+    writeDocs(dir, Seq(
+      (1L, "the aa the bb", "en"),  // n=4, uq=3, sl=10, topk=2, stopword yes
+      (2L, "cc dd ee", "fr"),       // n=3, uq=3, sl=6, topk=1, no stopword
+      (3L, "zz", "en")))            // single token -> excluded (no bigrams)
+    val got = run("q276_quality_signals", dir)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getBoolean(8), r.getDouble(9)))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    // avg_nll must agree with the q260 lane on the same fixture
+    graft.runtime.Stage.newQueryScope()
+    val nll = SemanticQueries.queries("q260_bigram_lm")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) === (("en", "srcT", 13L, 4L, 0.75, 2.5, 0.5, true, nll(1L))))
+    assert(got(2L) === (("fr", "srcT", 8L, 3L, 1.0, 2.0, 0.3333, false, nll(2L))))
+  }
+
   test("q261: PMI ranking over min-count-floored pairs") {
     val dir = tmpDir()
     writeDocs(dir, Seq(

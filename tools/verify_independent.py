@@ -5908,6 +5908,82 @@ def check_q275_contamination(con, sf_dir, spark_out, n=8):
     return errs[:5]
 
 
+def check_q276_signals(con, sf_dir, spark_out):
+    """Wide signals frame recomputed literally: Counter-based bigram model
+    (the q260 textbook path) + per-doc token stats from tokenize()."""
+    from collections import Counter
+    docs = load(con, sf_dir, "documents",
+                "doc_id, lang, source, n_chars, text")
+    toks = {int(r["doc_id"]): tokenize(r["text"]) for _, r in docs.iterrows()}
+    cb, cw = Counter(), Counter()
+    per_doc = {}
+    for d, tk in toks.items():
+        if len(tk) < 2:
+            continue
+        bigs = Counter(zip(tk[:-1], tk[1:]))
+        per_doc[d] = bigs
+        for b, k in bigs.items():
+            cb[b] += k
+            cw[b[0]] += k
+    v = float(len(cw))
+    got = dump(spark_out, "q276_quality_signals").set_index("doc_id")
+    errs = []
+    if len(got) != len(per_doc):
+        errs.append(f"row count {len(got)} != {len(per_doc)}")
+    stop = {"the", "and", "of", "to", "in", "a", "is"}
+    meta = {int(r["doc_id"]): r for _, r in docs.iterrows()}
+    for d, bigs in per_doc.items():
+        tk, r, g = toks[d], meta[d], got.loc[d]
+        n = len(tk)
+        uq = len(set(tk))
+        sl = sum(len(w) for w in tk)
+        topk = max(Counter(tk).values())
+        nb = sum(bigs.values())
+        nll = sum(k * -math.log((cb[b] + 1) / (cw[b[0]] + v))
+                  for b, k in bigs.items()) / nb
+        if (g["lang"], g["source"], int(g["n_chars"]), int(g["n_tokens"]),
+                bool(g["stopword_hit"])) != \
+                (r["lang"], r["source"], int(r["n_chars"]), n,
+                 len(set(tk) & stop) >= 1):
+            errs.append(f"doc {d}: meta/stopword differ")
+        if (float(g["uniq_ratio"]), float(g["mean_word_len"]),
+                float(g["top_token_share"])) != \
+                (half_up_ratio(uq * 10000, n, 4),
+                 half_up_ratio(sl * 10000, n, 4),
+                 half_up_ratio(topk * 10000, n, 4)):
+            errs.append(f"doc {d}: ratios differ")
+        if not close(g["avg_nll"], nll, 5.1e-7):
+            errs.append(f"doc {d}: avg_nll differs")
+    return errs[:5]
+
+
+def check_q277_repetition(con, sf_dir, spark_out):
+    """Within-doc repetition stats from Counter over literal gram lists."""
+    from collections import Counter
+    toks = _doc_tokens(con, sf_dir)
+    got = dump(spark_out, "q277_repetition_audit").set_index("doc_id")
+    errs = []
+    n_rows = sum(1 for tk in toks.values() if len(tk) >= 3)
+    if len(got) != n_rows:
+        errs.append(f"row count {len(got)} != {n_rows}")
+    for d, tk in toks.items():
+        if len(tk) < 3:
+            continue
+        g2 = Counter(" ".join(tk[i:i + 2]) for i in range(len(tk) - 1))
+        g3 = Counter(" ".join(tk[i:i + 3]) for i in range(len(tk) - 2))
+        n2, n3 = sum(g2.values()), sum(g3.values())
+        m2, m3 = max(g2.values()), max(g3.values())
+        d2 = sum(c for c in g2.values() if c >= 2)
+        g = got.loc[d]
+        if (int(g["n_tokens"]), float(g["top2_share"]), float(g["top3_share"]),
+                float(g["dup2_frac"]), bool(g["is_repetitive"])) != \
+                (len(tk), half_up_ratio(m2 * 10000, n2, 4),
+                 half_up_ratio(m3 * 10000, n3, 4),
+                 half_up_ratio(d2 * 10000, n2, 4), m2 * 5 > n2):
+            errs.append(f"doc {d}: repetition stats differ")
+    return errs[:5]
+
+
 CHECKS = {
     "q50_als_recommend": check_q50_als_audit,
     "q74_sketches": check_q74_sketch_audit,
@@ -6118,6 +6194,8 @@ CHECKS = {
     "q273_dedup_savings": check_q273_savings,
     "q274_syndication_matrix": check_q274_syndication,
     "q275_eval_contamination": check_q275_contamination,
+    "q276_quality_signals": check_q276_signals,
+    "q277_repetition_audit": check_q277_repetition,
 }
 
 
