@@ -76,15 +76,61 @@ object ExtQueries {
         Dedup.jaccardOnShingles(sharedCands(s, d), sharedShingles(s, d)))
     }
 
+  /** Exact-duplicate collapse map (doc_id, rep): rep = min doc_id among
+    * byte-identical texts (md5 groupBy + join back — never a window over
+    * the hash, whose partitions would be dup-multiplicity-sized). The
+    * production pre-pass every fuzzy-dedup pipeline runs first
+    * (RefinedWeb, Penedo et al. 2023 §3.2: exact dedup BEFORE MinHash):
+    * without it the LSH candidate count is QUADRATIC in the exact-dup
+    * multiplicity — the ×100-replicated sf10 stress corpus priced the
+    * full-corpus scored-pair build at 575 s cold where the collapsed
+    * build is seconds. At the gate SFs the corpus has zero exact dups,
+    * so reps = all docs and every downstream result is unchanged.
+    */
+  private def sharedRepMap(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s, s"exact-reps:$d") {
+      val h = graft.ops.Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), md5(col("text")).as("_h"))
+      graft.runtime.Stage.persistShared(
+        h.join(h.groupBy(col("_h")).agg(min(col("doc_id")).as("rep")), "_h")
+          .select(col("doc_id"), col("rep")))
+    }
+
+  /** Jaccard-scored LSH pairs among exact-dup REPRESENTATIVES only — the
+    * cluster stage's edge source. Output-identical to thresholding the
+    * full-corpus pairs: copies carry byte-identical minhash signatures,
+    * so (copyX, copyY) collides in a band iff (repX, repY) does and has
+    * the same jaccard; within-group copy pairs are replaced by the
+    * copy→rep star edges in [[dedupClusters]]. Work is dup-LINEAR.
+    */
+  private def repScoredPairs(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s, s"rep-scored-pairs:$SH:$NH:$BAND:$d") {
+      val repDocs = graft.ops.Ops.fanOut(
+        Tables.documents(s, d).join(
+          sharedRepMap(s, d).filter(col("doc_id") === col("rep"))
+            .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      val sigs = graft.runtime.Stage.persistShared(
+        Dedup.minhashSignatures(repDocs, "doc_id", col("text"), SH, NH))
+      graft.runtime.Stage.persistShared(
+        Dedup.jaccardOnShingles(
+          Dedup.lshCandidates(sigs, "doc_id", NH, BAND),
+          Dedup.shingleRows(repDocs, "doc_id", col("text"), SH)))
+    }
+
   /** q70's cluster labels (doc_id, cluster, is_canonical), shared with the
-    * q98 keep-one ledger.
+    * q98 keep-one ledger. Edges = rep-level near-dup pairs ∪ copy→rep
+    * stars; components (and min-id labels) are bit-identical to running
+    * CC on the full-corpus pair set — see [[sharedRepMap]].
     */
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val dup = sharedScoredPairs(s, d)
+    val repDup = repScoredPairs(s, d)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val copyStars = sharedRepMap(s, d)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a"), col("rep").as("b"))
     val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
-    Dedup.connectedComponents(verts, dup,
+    Dedup.connectedComponents(verts, repDup.unionByName(copyStars),
       reroot = graft.runtime.Reroot.fromEnv())
       .select(col("_id").as("doc_id"), col("label").as("cluster"),
         (col("_id") === col("label")).as("is_canonical"))

@@ -88,7 +88,14 @@ object ScalePins {
     ("q263_incremental_dedup", 1, 0), ("q268_split_leakage", 7, 2),
     ("q252_semantic_dedup", 0, 1), ("q260_bigram_lm", 1, 0),
     ("q267_ccnet_buckets", 10, 0), ("q119_user_set_sim", 0, 0),
-    ("q269_lsh_recall_audit", 2, 0))
+    ("q269_lsh_recall_audit", 2, 0),
+    // r9 release-audit lanes with corpus-proportional joins: gram
+    // equi-joins (q271/q275), the signals doc_id join over the bigram
+    // model joins (q276), the cluster + token-count join (q273).
+    // sf1 measured bhjF/smjF = 2/0, 2/0, 2/0, 3/0 (fresh-data run,
+    // violations=0); floors at half the measured bhj, zero smj.
+    ("q271_dup_span_audit", 1, 0), ("q273_dedup_savings", 1, 0),
+    ("q275_eval_contamination", 1, 0), ("q276_quality_signals", 1, 0))
 
   /** The serial-collapse bug ran the scoring stage with 1 task; a healthy
     * sf1 scoring stage runs ≥ cores (pinned repartition in Stage

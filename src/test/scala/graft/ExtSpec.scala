@@ -355,6 +355,26 @@ class ExtSpec extends AnyFunSuite {
       "1" -> ((2L, 2L, 9L, 0L, 0.0))))
   }
 
+  test("q70 exact-collapse: clusters over copies + near-dups match direct CC on the full pair set") {
+    // Text A (3 exact copies), text B (2 copies) near-dup of A (1 token
+    // swapped on a 10-token body -> jaccard > 0.5), text C unrelated.
+    // Direct CC on all-pairs edges gives {1,2,5,10,11} labeled 1 and
+    // {20} labeled 20; the rep-level path must reproduce this exactly,
+    // including canonical flags.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " zzz"
+    val dir = writeDocsFull(Seq(
+      (1L, a, "en", "srcT"), (2L, a, "en", "srcT"), (5L, a, "en", "srcT"),
+      (10L, b, "en", "srcT"), (11L, b, "en", "srcT"),
+      (20L, "pp qq rr ss tt uu", "en", "srcT")))
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q70_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 5L -> ((1L, false)),
+      10L -> ((1L, false)), 11L -> ((1L, false)), 20L -> ((20L, true))))
+  }
+
   test("q274: near-dup pairs land in source-order-normalized matrix cells") {
     val dir = writeDocsFull(Seq(
       (1L, "aa bb cc dd", "en", "srcA"),
