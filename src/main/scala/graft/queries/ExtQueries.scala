@@ -348,6 +348,36 @@ object ExtQueries {
           col("tokens_saved") * 10000, col("tokens_total"), 4))
     }),
 
+    // Exact-duplicate audit (round 9): the [[sharedRepMap]] collapse as a
+    // first-class report — byte-identical-text groups bucketed by
+    // multiplicity, with the bytes a keep-one exact dedup saves. This is
+    // the FIRST number a crawl release reports (RefinedWeb drops ~50% of
+    // raw CommonCrawl on exact dedup alone, before any MinHash). On the
+    // synthetic gate corpora every text is unique, so the report is the
+    // all-singleton row (still hash-checked); the ScaleUp stress corpora
+    // exercise the multi-copy branch (×10/×100 groups), and the ExtSpec
+    // fixture pins it. One md5 groupBy + join-back + a |groups|-row
+    // aggregate — dup-linear at any multiplicity.
+    "q278_exact_dedup_audit" -> ((s, d) => {
+      val per = sharedRepMap(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("m"), sum(col("n_chars")).as("bt"),
+          sum(when(col("doc_id") === col("rep"), col("n_chars"))
+            .otherwise(0L)).as("kept"))
+      per.groupBy(
+        when(col("m") === 1, "1").when(col("m") === 2, "2")
+          .when(col("m") <= 4, "3-4").when(col("m") <= 8, "5-8")
+          .otherwise("9+").as("size_bucket"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("m")).as("n_docs"),
+          (sum(col("m")) - count(lit(1))).as("n_dup_docs"),
+          sum(col("bt")).as("bytes_total"),
+          sum(col("bt") - col("kept")).as("bytes_saved"))
+        .withColumn("saved_frac", graft.ops.Ops.ratioHalfUp(
+          col("bytes_saved") * 10000, col("bytes_total"), 4))
+    }),
+
     // Cross-source syndication matrix (round 9): near-dup pairs above the
     // q70 threshold bucketed by (source, source) — the RefinedWeb-style
     // answer to "is our duplication within-source boilerplate or
@@ -841,6 +871,27 @@ object ExtQueries {
          |  ${SqlFragments.ratioHalfUpSql("sum(ts - kept) * 10000", "sum(ts)", 4)}
          |    AS saved_frac
          |FROM per GROUP BY 1""".stripMargin,
+
+    // q278: the oracle groups by the text itself — the same partition the
+    // engine's md5(text) key induces (a hash collision would be a
+    // deterministic, astronomically unlikely corpus property, not an
+    // engine divergence).
+    "q278_exact_dedup_audit" ->
+      s"""WITH g AS (
+         |  SELECT min(doc_id) AS rep, count(*) AS m,
+         |    CAST(sum(n_chars) AS BIGINT) AS bt,
+         |    CAST(min_by(n_chars, doc_id) AS BIGINT) AS kept
+         |  FROM documents GROUP BY text)
+         |SELECT CASE WHEN m = 1 THEN '1' WHEN m = 2 THEN '2'
+         |    WHEN m <= 4 THEN '3-4' WHEN m <= 8 THEN '5-8'
+         |    ELSE '9+' END AS size_bucket,
+         |  count(*) AS n_groups, CAST(sum(m) AS BIGINT) AS n_docs,
+         |  CAST(sum(m) - count(*) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(bt) AS BIGINT) AS bytes_total,
+         |  CAST(sum(bt - kept) AS BIGINT) AS bytes_saved,
+         |  ${SqlFragments.ratioHalfUpSql("sum(bt - kept) * 10000", "sum(bt)", 4)}
+         |    AS saved_frac
+         |FROM g GROUP BY 1""".stripMargin,
 
     "q274_syndication_matrix" ->
       s"""WITH $shCte,

@@ -355,6 +355,24 @@ class ExtSpec extends AnyFunSuite {
       "1" -> ((2L, 2L, 9L, 0L, 0.0))))
   }
 
+  test("q278: exact-dup audit buckets byte-identical groups and prices keep-one bytes") {
+    val tA = "aa bb cc dd"       // 11 chars, 3 copies
+    val tB = "ee ff gg"          // 8 chars, 2 copies
+    val dir = writeDocsFull(Seq(
+      (1L, tA, "en", "srcT"), (2L, tA, "en", "srcT"), (3L, tA, "en", "srcT"),
+      (10L, tB, "en", "srcT"), (11L, tB, "en", "srcT"),
+      (20L, "hh ii jj kk", "en", "srcT"),      // 11 chars
+      (21L, "ll mm nn oo pp", "en", "srcT")))  // 14 chars
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q278_exact_dedup_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got === Map(
+      "3-4" -> ((1L, 3L, 2L, 33L, 22L, 0.6667)),
+      "2" -> ((1L, 2L, 1L, 16L, 8L, 0.5)),
+      "1" -> ((2L, 2L, 0L, 25L, 0L, 0.0))))
+  }
+
   test("q70 exact-collapse: clusters over copies + near-dups match direct CC on the full pair set") {
     // Text A (3 exact copies), text B (2 copies) near-dup of A (1 token
     // swapped on a 10-token body -> jaccard > 0.5), text C unrelated.

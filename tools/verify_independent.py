@@ -5908,6 +5908,41 @@ def check_q275_contamination(con, sf_dir, spark_out, n=8):
     return errs[:5]
 
 
+def check_q278_exact_audit(con, sf_dir, spark_out):
+    """Exact-dup ledger from a literal dict keyed by raw text."""
+    docs = load(con, sf_dir, "documents", "doc_id, text, n_chars")
+    groups = {}
+    for _, r in docs.iterrows():
+        groups.setdefault(r["text"], []).append(
+            (int(r["doc_id"]), int(r["n_chars"])))
+    agg = {}
+    for members in groups.values():
+        members.sort()
+        m = len(members)
+        bt = sum(c for _, c in members)
+        kept = members[0][1]
+        b = "1" if m == 1 else ("2" if m == 2 else (
+            "3-4" if m <= 4 else ("5-8" if m <= 8 else "9+")))
+        c = agg.setdefault(b, [0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1] += m
+        c[2] += m - 1
+        c[3] += bt
+        c[4] += bt - kept
+    got = dump(spark_out, "q278_exact_dedup_audit").set_index("size_bucket")
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"bucket count {len(got)} != {len(agg)}")
+    for b, c in agg.items():
+        g = got.loc[b]
+        if (int(g["n_groups"]), int(g["n_docs"]), int(g["n_dup_docs"]),
+                int(g["bytes_total"]), int(g["bytes_saved"])) != tuple(c):
+            errs.append(f"{b}: counts differ")
+        if float(g["saved_frac"]) != half_up_ratio(c[4] * 10000, c[3], 4):
+            errs.append(f"{b}: saved_frac differs")
+    return errs[:5]
+
+
 def check_q276_signals(con, sf_dir, spark_out):
     """Wide signals frame recomputed literally: Counter-based bigram model
     (the q260 textbook path) + per-doc token stats from tokenize()."""
@@ -6196,6 +6231,7 @@ CHECKS = {
     "q275_eval_contamination": check_q275_contamination,
     "q276_quality_signals": check_q276_signals,
     "q277_repetition_audit": check_q277_repetition,
+    "q278_exact_dedup_audit": check_q278_exact_audit,
 }
 
 
