@@ -78,19 +78,46 @@ object Bench {
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""k":$k,"stat":"median","samples":$samplesJson,"sf":"$sfDir"}"""
-    println(line)
     // Machine-readable full artifact: the driver's stdout tail keeps only
-    // ~60 per-query timings, which is what limits cross-round comparison —
-    // persist ALL of them. Default path bench/full_<sfname>.json (repo-
-    // relative, committed per round); override with SPARK_GRAFT_BENCH_OUT.
+    // the LAST 2000 CHARS, which is what limits cross-round comparison —
+    // persist ALL per-query samples here. Default path
+    // bench/full_<sfname>.json (repo-relative, committed per round);
+    // override with SPARK_GRAFT_BENCH_OUT.
+    val sfName = new java.io.File(sfDir).getName
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/full_$sfName.json")
     try {
-      val sfName = new java.io.File(sfDir).getName
-      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/full_$sfName.json")
       val f = new java.io.File(outPath)
       Option(f.getParentFile).foreach(_.mkdirs())
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(line) finally w.close()
     } catch { case e: Exception => System.err.println(s"[bench] artifact write failed: $e") }
+    // Final stdout line — MUST be the last output and MUST fit the
+    // driver's 2000-char stdout tail, or BENCH_r*.json records
+    // "parsed": null (rounds 7-9 all did). The full 278-lane medians map
+    // is ~7 KB, so the line carries the SLOWEST lanes (the informative
+    // ones) up to a hard character budget and points at the full
+    // artifact for the rest. Spark's own logging goes to stderr, so
+    // nothing follows this line on stdout.
+    val budget = 1800
+    val header = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
+      s""""unit":"sec","k":$k,"stat":"median","sf":"$sfName",""" +
+      s""""queries_total":${medians.size},"artifact":"$outPath","queries":{"""
+    val entries = medians.toSeq.sortBy(-_._2).iterator
+      .map { case (n, v) => s"\"$n\":${math.rint(v * 1000) / 1000}" }
+    val sb = new StringBuilder(header)
+    var shown = 0
+    var done = false
+    while (!done && entries.hasNext) {
+      val e = entries.next()
+      // +40 slack for the closing "},"queries_shown":NNN}" suffix
+      if (sb.length + e.length + 40 > budget) done = true
+      else {
+        if (shown > 0) sb.append(',')
+        sb.append(e); shown += 1
+      }
+    }
+    sb.append(s"""},"queries_shown":$shown}""")
+    println(sb.toString)
     spark.stop()
   }
 }

@@ -76,9 +76,9 @@ object ExtQueries {
         Dedup.jaccardOnShingles(sharedCands(s, d), sharedShingles(s, d)))
     }
 
-  /** Exact-duplicate collapse map (doc_id, rep): rep = min doc_id among
-    * byte-identical texts (md5 groupBy + join back — never a window over
-    * the hash, whose partitions would be dup-multiplicity-sized). The
+  /** Exact-duplicate collapse map (doc_id, rep, crep): rep = min doc_id
+    * among byte-identical texts (md5 groupBy + join back — never a window
+    * over the hash, whose partitions would be dup-multiplicity-sized). The
     * production pre-pass every fuzzy-dedup pipeline runs first
     * (RefinedWeb, Penedo et al. 2023 §3.2: exact dedup BEFORE MinHash):
     * without it the LSH candidate count is QUADRATIC in the exact-dup
@@ -86,14 +86,33 @@ object ExtQueries {
     * full-corpus scored-pair build at 575 s cold where the collapsed
     * build is seconds. At the gate SFs the corpus has zero exact dups,
     * so reps = all docs and every downstream result is unchanged.
+    *
+    * Two rep columns because exact-audit and fuzzy-collapse semantics
+    * differ on SHORT docs: `rep` groups every byte-identical text (the
+    * q278 exact-dedup ledger), while `crep` — the collapse key the fuzzy
+    * stage rides — groups only docs with >= SH tokens (non-empty shingle
+    * sets). A doc under SH tokens has a null minhash signature, so the
+    * defining full-corpus LSH semantics (the DuckDB oracles and the
+    * union-find checker) never emit an edge between short exact copies;
+    * collapsing them would invent clusters the oracle lacks. Byte-identical
+    * texts tokenize identically, so every exact group is homogeneous in
+    * shingleability and `crep` is exact-group-consistent.
     */
   private def sharedRepMap(s: SparkSession, d: String): DataFrame =
-    graft.runtime.Stage.shared(s, s"exact-reps:$d") {
-      val h = graft.ops.Ops.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), md5(col("text")).as("_h"))
+    graft.runtime.Stage.shared(s, s"exact-reps:$SH:$d") {
+      // Persist the hashed projection: it feeds both the groupBy and the
+      // join-back, and without the persist the documents scan + md5 +
+      // tokenize run twice inside this one stage build.
+      val h = graft.runtime.Stage.persistShared(
+        graft.ops.Ops.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), md5(col("text")).as("_h"),
+            (size(graft.text.Tokenizer.tokens(col("text"))) >= SH)
+              .as("_shingleable")))
       graft.runtime.Stage.persistShared(
         h.join(h.groupBy(col("_h")).agg(min(col("doc_id")).as("rep")), "_h")
-          .select(col("doc_id"), col("rep")))
+          .select(col("doc_id"), col("rep"),
+            when(col("_shingleable"), col("rep")).otherwise(col("doc_id"))
+              .as("crep")))
     }
 
   /** Jaccard-scored LSH pairs among exact-dup REPRESENTATIVES only — the
@@ -107,7 +126,7 @@ object ExtQueries {
     graft.runtime.Stage.shared(s, s"rep-scored-pairs:$SH:$NH:$BAND:$d") {
       val repDocs = graft.ops.Ops.fanOut(
         Tables.documents(s, d).join(
-          sharedRepMap(s, d).filter(col("doc_id") === col("rep"))
+          sharedRepMap(s, d).filter(col("doc_id") === col("crep"))
             .select(col("doc_id")), Seq("doc_id"), "left_semi"))
       val sigs = graft.runtime.Stage.persistShared(
         Dedup.minhashSignatures(repDocs, "doc_id", col("text"), SH, NH))
@@ -126,9 +145,12 @@ object ExtQueries {
     val repDup = repScoredPairs(s, d)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // Star edges only for SHINGLEABLE copies (crep, not rep): a short
+    // exact duplicate has a null signature and therefore no edge under
+    // the defining full-LSH semantics — it must stay a singleton.
     val copyStars = sharedRepMap(s, d)
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("a"), col("rep").as("b"))
+      .filter(col("doc_id") =!= col("crep"))
+      .select(col("doc_id").as("a"), col("crep").as("b"))
     val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
     Dedup.connectedComponents(verts, repDup.unionByName(copyStars),
       reroot = graft.runtime.Reroot.fromEnv())
@@ -378,23 +400,50 @@ object ExtQueries {
           col("bytes_saved") * 10000, col("bytes_total"), 4))
     }),
 
-    // Cross-source syndication matrix (round 9): near-dup pairs above the
-    // q70 threshold bucketed by (source, source) — the RefinedWeb-style
-    // answer to "is our duplication within-source boilerplate or
-    // cross-source syndication?" (on this corpus it is almost entirely
-    // cross-source). Rides the shared scored-pair stage; the residue is
-    // two equi-joins on doc id against the doc→source projection and an
-    // aggregate bounded by |sources|².
+    // Cross-source syndication matrix (round 9; rep-level analytic rewrite
+    // round 10): near-dup pairs above the q70 threshold bucketed by
+    // (source, source) — the RefinedWeb-style answer to "is our duplication
+    // within-source boilerplate or cross-source syndication?". The declared
+    // semantics are the RAW full-corpus pair counts (the DuckDB oracle and
+    // the first-principles checker both enumerate them literally), but on a
+    // dup-heavy corpus enumerating them is quadratic in exact-dup
+    // multiplicity (sf10 ×100 replicas: 518 s cold in r9). Exact copies
+    // make the counts ANALYTIC instead: byte-identical docs carry identical
+    // signatures and shingle sets, so (x∈A, y∈B) is a ≥τ dup pair iff the
+    // rep pair (repA, repB) is, and every within-group pair has jaccard 1.
+    // Pair counts per source bucket therefore collapse to products of
+    // per-(group, source) multiplicities:
+    //   within group g:  C(m_{g,s}, 2) for (s,s);  m_{g,u}·m_{g,v} for u<v
+    //   across groups A≠B (rep pair scored ≥τ):  m_{A,u}·m_{B,v} into
+    //     bucket (least(u,v), greatest(u,v))
+    // Short (<SH-token) docs never pair (null sigs), and under `crep` they
+    // are singletons contributing 0 — the multiplicity table needs no
+    // separate shingleability filter. Work: the rep-level scored-pair
+    // stage + two joins bounded by |groups|·|sources| rows.
     "q274_syndication_matrix" -> ((s, d) => {
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      sharedScoredPairs(s, d).filter(col("jaccard") >= 0.5)
-        .join(src.select(col("doc_id").as("doc_a"), col("source").as("_sa")),
-          "doc_a")
-        .join(src.select(col("doc_id").as("doc_b"), col("source").as("_sb")),
-          "doc_b")
-        .groupBy(least(col("_sa"), col("_sb")).as("src_lo"),
-          greatest(col("_sa"), col("_sb")).as("src_hi"))
-        .agg(count(lit(1)).as("n_pairs"))
+      val m = graft.runtime.Stage.scopedPersist(
+        sharedRepMap(s, d).join(src, "doc_id")
+          .groupBy(col("crep"), col("source")).agg(count(lit(1)).as("_m")))
+      val ma = m.select(col("crep").as("_ga"), col("source").as("_sa"),
+        col("_m").as("_ma"))
+      val mb = m.select(col("crep").as("_gb"), col("source").as("_sb"),
+        col("_m").as("_mb"))
+      val within = ma.join(mb,
+          col("_ga") === col("_gb") && col("_sa") <= col("_sb"))
+        .select(col("_sa").as("src_lo"), col("_sb").as("src_hi"),
+          when(col("_sa") === col("_sb"),
+            expr("_ma * (_ma - 1) div 2")).otherwise(col("_ma") * col("_mb"))
+            .as("_n"))
+      val cross = repScoredPairs(s, d).filter(col("jaccard") >= 0.5)
+        .join(ma.withColumnRenamed("_ga", "doc_a"), "doc_a")
+        .join(mb.withColumnRenamed("_gb", "doc_b"), "doc_b")
+        .select(least(col("_sa"), col("_sb")).as("src_lo"),
+          greatest(col("_sa"), col("_sb")).as("src_hi"),
+          (col("_ma") * col("_mb")).as("_n"))
+      within.unionByName(cross).filter(col("_n") > 0)
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(sum(col("_n")).as("n_pairs"))
     }),
 
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —

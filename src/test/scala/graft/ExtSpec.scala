@@ -393,6 +393,61 @@ class ExtSpec extends AnyFunSuite {
       10L -> ((1L, false)), 11L -> ((1L, false)), 20L -> ((20L, true))))
   }
 
+  test("short (<3-token) exact duplicates stay singletons in the fuzzy " +
+    "stage but still group in the exact audit") {
+    // Byte-identical docs under the shingle size have EMPTY shingle sets:
+    // null minhash signatures, no band rows, no LSH edges — the defining
+    // full-corpus semantics (DuckDB oracle + union-find checker) never
+    // merge them. The exact-collapse pre-pass must therefore NOT invent
+    // copy→rep star edges for them (crep = self), while the exact-dedup
+    // audit (q278, keyed on raw text) still counts them as one group.
+    val dir = writeDocsFull(Seq(
+      (1L, "aa bb", "en", "srcA"), (2L, "aa bb", "en", "srcB"),
+      (3L, "aa bb", "en", "srcA"),                    // 2-token dups ×3
+      (4L, "zz", "en", "srcA"), (5L, "zz", "en", "srcA"), // 1-token dups ×2
+      (10L, "pp qq rr ss tt", "en", "srcA"),
+      (11L, "pp qq rr ss tt", "en", "srcB")))         // shingleable dup pair
+    graft.runtime.Stage.newQueryScope()
+    val clusters = graft.queries.ExtQueries.queries("q70_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(clusters === Map(
+      1L -> ((1L, true)), 2L -> ((2L, true)), 3L -> ((3L, true)),
+      4L -> ((4L, true)), 5L -> ((5L, true)),
+      10L -> ((10L, true)), 11L -> ((10L, false))))
+    val matrix = graft.queries.ExtQueries.queries("q274_syndication_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(matrix === Map(("srcA", "srcB") -> 1L)) // only the shingleable pair
+    val audit = graft.queries.ExtQueries.queries("q278_exact_dedup_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // exact groups: {1,2,3} (3-4 bucket), {4,5} and {10,11} (2 bucket)
+    assert(audit("3-4") === ((1L, 3L, 2L)))
+    assert(audit("2") === ((2L, 4L, 2L)))
+  }
+
+  test("q274: multi-copy groups expand to analytic pair counts (within " +
+    "C(m,2) / cross m_a*m_b), matching literal enumeration") {
+    // Group X: 3 copies in srcA + 2 in srcB (shingleable). Group Y: 2
+    // copies in srcB, near-dup of X (jaccard > 0.5). Literal pair counts:
+    //   within X: (A,A)=C(3,2)=3, (A,B)=3*2=6, (B,B)=C(2,2)=1
+    //   within Y: (B,B)=C(2,2)=1
+    //   cross X-Y: A-side 3*2=6 into (A,B); B-side 2*2=4 into (B,B)
+    // => (A,A)=3, (A,B)=12, (B,B)=6.
+    val x = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val y = x + " zzz"
+    val dir = writeDocsFull(Seq(
+      (1L, x, "en", "srcA"), (2L, x, "en", "srcA"), (3L, x, "en", "srcA"),
+      (4L, x, "en", "srcB"), (5L, x, "en", "srcB"),
+      (10L, y, "en", "srcB"), (11L, y, "en", "srcB")))
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q274_syndication_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("srcA", "srcA") -> 3L,
+      ("srcA", "srcB") -> 12L,
+      ("srcB", "srcB") -> 6L))
+  }
+
   test("q274: near-dup pairs land in source-order-normalized matrix cells") {
     val dir = writeDocsFull(Seq(
       (1L, "aa bb cc dd", "en", "srcA"),
