@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.model.{Scene, SimilarityAlgorithm}
+import graft.model.{RecServing, Scene, SimilarityAlgorithm}
 import graft.ops.Ops
 import graft.sim.Scoring
 import org.apache.spark.sql.DataFrame
@@ -66,7 +66,7 @@ object RecommendPipeline {
     */
   private def pairScores(userKw: DataFrame, newsKw: DataFrame, activeUsers: DataFrame,
                          scene: Scene, scoreRound: Option[Int],
-                         postingCap: Option[Int]): DataFrame = {
+                         serving: RecServing): DataFrame = {
 
     // Similarity is day-INVARIANT: score each relevant (user, news) pair
     // exactly once via the inverted-index word join, then attach day
@@ -76,12 +76,13 @@ object RecommendPipeline {
     // is the job.)
     val inRange = newsKw.filter(col("date")
       .between(lit(scene.fromDate), date_add(lit(scene.toDate), scene.numDays)))
-    // Optional WAND-lite posting cap (Scoring.cappedPostings): bounds the
-    // word join's per-word fan-out to |users| × cap. Approximate by
-    // contract — None (the default) is the exact reference semantics.
-    val relevantNews = postingCap match {
-      case Some(cap) => Scoring.cappedPostings(inRange, "id", cap)
-      case None      => inRange
+    // Serving posture (see [[graft.model.RecServing]]): the DEFAULT is the
+    // WAND-lite posting cap, bounding the word join's per-word fan-out to
+    // |users| × cap — the exact posture's sf10 spill envelope (~100 GB per
+    // node on a dup-heavy corpus) is an explicit opt-in for parity lanes.
+    val relevantNews = serving match {
+      case RecServing.Capped(cap) => Scoring.cappedPostings(inRange, "id", cap)
+      case RecServing.Exact       => inRange
     }
     // Score active users only. The active set is BROADCAST by hint: it is
     // small by contract (distinct users active in the scene window), and
@@ -165,9 +166,9 @@ object RecommendPipeline {
     */
   def scoredPairs(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
                   scene: Scene, scoreRound: Option[Int] = None,
-                  postingCap: Option[Int] = None): DataFrame = {
+                  serving: RecServing = RecServing.default): DataFrame = {
     val activeUsers = activeUsersOf(clicks, scene)
-    pairScores(userKw, newsKw, activeUsers, scene, scoreRound, postingCap)
+    pairScores(userKw, newsKw, activeUsers, scene, scoreRound, serving)
       .join(newsDaysOf(newsKw, scene), "id")
       .join(activeUsers, Seq("day", "userId"), "left_semi")
       .select(col("day").as("date"), col("userId"), col("id").as("newsId"), col("score"))
@@ -175,15 +176,17 @@ object RecommendPipeline {
 
   /** Reference-shaped recommendations (userId, date, news array), ranked
     * score-desc / newsId-asc; `limit` = Some(k) for the TextRank cut, None
-    * for TF_IDF's unbounded collect.
+    * for TF_IDF's unbounded collect. `serving` defaults to the capped
+    * posture ([[graft.model.RecServing]]) — reference-parity callers must
+    * opt in to `RecServing.Exact` explicitly.
     */
   def recommendAll(userKw: DataFrame, newsKw: DataFrame, clicks: DataFrame,
                    scene: Scene, limit: Option[Int],
                    scoreRound: Option[Int] = None,
-                   postingCap: Option[Int] = None,
+                   serving: RecServing = RecServing.default,
                    unboundedRowBudget: Long = defaultUnboundedRowBudget): DataFrame = {
     val activeUsers = activeUsersOf(clicks, scene)
-    val scores = pairScores(userKw, newsKw, activeUsers, scene, scoreRound, postingCap)
+    val scores = pairScores(userKw, newsKw, activeUsers, scene, scoreRound, serving)
     limit match {
       case Some(k) =>
         // Hierarchical top-k: a day's candidate set is the union of the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.io.Tables
-import graft.model.{Scene, SimilarityAlgorithm}
+import graft.model.{RecServing, Scene, SimilarityAlgorithm}
 import graft.ops.Ops
 import graft.pipelines.{AlsRecommender, HotTopicsPipeline, PrecisionEval, RecommendPipeline}
 import graft.text.Tokenizer
@@ -112,7 +112,7 @@ object RecQueries {
         numRecommendations = 5)
       graft.runtime.Stage.persistShared(
         RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
-          limit = Some(5), scoreRound = Some(4)))
+          limit = Some(5), scoreRound = Some(4), serving = RecServing.Exact))
     }
 
   val queries: Map[String, Q] = Map(
@@ -134,7 +134,8 @@ object RecQueries {
       val daySc = scene.copy(fromDate = today, toDate = today,
         similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance)
       Ops.topKPerGroup(
-        RecommendPipeline.scoredPairs(userKw, newsKw, Tables.clicks(s, d), daySc, Some(4))
+        RecommendPipeline.scoredPairs(userKw, newsKw, Tables.clicks(s, d), daySc,
+            Some(4), serving = RecServing.Exact)
           .select(col("userId"), col("newsId"), col("score")),
         Seq("userId"), Seq(col("score").desc, col("newsId").asc), 5)
     }),
@@ -145,7 +146,8 @@ object RecQueries {
       val daySc = scene.copy(fromDate = today, toDate = today,
         similarityAlgorithm = SimilarityAlgorithm.CosineSimilarity)
       Ops.topKPerGroup(
-        RecommendPipeline.scoredPairs(userKw, newsKw, Tables.clicks(s, d), daySc, Some(6))
+        RecommendPipeline.scoredPairs(userKw, newsKw, Tables.clicks(s, d), daySc,
+            Some(6), serving = RecServing.Exact)
           .select(col("userId"), col("newsId"), col("score")),
         Seq("userId"), Seq(col("score").desc, col("newsId").asc), 5)
     }),
@@ -162,22 +164,22 @@ object RecQueries {
       val (newsKw, userKw) = profiles(s, d)
       val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance)
       RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
-          limit = None, scoreRound = Some(4))
+          limit = None, scoreRound = Some(4), serving = RecServing.Exact)
         .withColumn("news", concat_ws(",", col("news")))
     }),
 
-    // WAND-lite flagged path (Scoring.cappedPostings): the q23 all-days
-    // lane with frequency-capped posting lists (cap=64, value desc / id asc
-    // cut — deterministic, so the approximation itself is oracle-checked).
-    // The default lanes never set postingCap; this is the opt-in scale
-    // relaxation for corpora where stop-word-like keywords dominate the
-    // inverted join.
+    // The DEFAULT serving posture (RecServing.Capped — round 10 promoted
+    // it from opt-in): the q23 all-days lane with frequency-capped posting
+    // lists (cap=64, value desc / id asc cut — deterministic, so the
+    // approximation itself is oracle-checked). q23/q21/q22/q220 remain the
+    // declared EXACT-parity lanes via serving = RecServing.Exact.
     "q245_rec_lists_capped" -> ((s, d) => {
       val (newsKw, userKw) = profiles(s, d)
       val sc = scene.copy(similarityAlgorithm = SimilarityAlgorithm.EuclideanDistance,
         numRecommendations = 5)
       RecommendPipeline.recommendAll(userKw, newsKw, Tables.clicks(s, d), sc,
-          limit = Some(5), scoreRound = Some(4), postingCap = Some(PostingCap))
+          limit = Some(5), scoreRound = Some(4),
+          serving = RecServing.Capped(PostingCap))
         .withColumn("news", concat_ws(",", col("news")))
     }),
 
@@ -193,8 +195,8 @@ object RecQueries {
       val daySc = scene.copy(fromDate = today, toDate = today,
         similarityAlgorithm = SimilarityAlgorithm.CosineSimilarity)
       Ops.topKPerGroup(
-        RecommendPipeline.scoredPairs(userKw, newsKw, Tables.clicks(s, d), daySc, Some(6),
-            postingCap = Some(CosinePostingCap))
+        RecommendPipeline.scoredPairs(userKw, newsKw, Tables.clicks(s, d), daySc,
+            Some(6), serving = RecServing.Capped(CosinePostingCap))
           .select(col("userId"), col("newsId"), col("score")),
         Seq("userId"), Seq(col("score").desc, col("newsId").asc), 5)
     }),
@@ -327,10 +329,12 @@ object RecQueries {
       |    ON nd.date BETWEEN d.day AND d.day + 7),
       |""".stripMargin + scoresRankedCte
 
-  /** q245's WAND-lite posting cap (Scoring.cappedPostings), interpolated
-    * into the oracle so both sides share one definition.
+  /** q245's WAND-lite posting cap (Scoring.cappedPostings) = the pipeline
+    * default ([[graft.model.RecServing.DefaultCap]]), interpolated into the
+    * oracle so all three sides (default serving mode, lane, oracle) share
+    * one definition — q245 IS the default-posture lane.
     */
-  private val PostingCap = 64
+  private val PostingCap = graft.model.RecServing.DefaultCap
 
   /** q246's cosine-lane posting cap — tighter than [[PostingCap]] so the
     * approximation provably changes candidates at bench SF (verified by

@@ -84,7 +84,8 @@ object TextRankQueries {
       // chain (~130 s at sf1) for q117 — see Stage.persistShared scaladoc.
       graft.runtime.Stage.sharedCut(
         RecommendPipeline.recommendAll(userKw, newsKw, clicks, scene,
-          limit = Some(scene.numRecommendations), scoreRound = Some(6)))
+          limit = Some(scene.numRecommendations), scoreRound = Some(6),
+          serving = graft.model.RecServing.Exact))
     }
 
   /** Recursive-CTE oracles: the per-document window graph (WITH the

@@ -80,7 +80,8 @@ object Profile {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val userKwP = userKw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rec = RecommendPipeline.recommendAll(userKwP, newsKw, clicks, scene,
-      limit = Some(scene.numRecommendations), scoreRound = Some(6))
+      limit = Some(scene.numRecommendations), scoreRound = Some(6),
+      serving = graft.model.RecServing.Exact)
     time("q40 recommendAll (kw persisted)")(rec.write.mode("overwrite").format("noop").save())
 
     // ---- recommendAll internals (persisted kw inputs) ----

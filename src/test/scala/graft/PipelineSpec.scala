@@ -199,20 +199,27 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 999L, d("2024-01-01"), 1),
       (2L, 999L, d("2024-01-01"), 1)).toDF("userId", "newsId", "date", "count")
 
-    def pairsOf(cap: Option[Int]): Map[(Long, Long), Double] =
-      RecommendPipeline.scoredPairs(userKw, newsKw, clicks, scene, postingCap = cap)
+    def pairsOf(serving: graft.model.RecServing): Map[(Long, Long), Double] =
+      RecommendPipeline.scoredPairs(userKw, newsKw, clicks, scene, serving = serving)
         .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
 
-    // Exact path: news 12 scores via BOTH words (1*1 + 1*5 = 6).
-    assert(pairsOf(None) === Map(
+    // Exact path (explicit opt-in): news 12 scores via BOTH words (1+5=6).
+    assert(pairsOf(graft.model.RecServing.Exact) === Map(
       (1L, 10L) -> 3.0, (1L, 11L) -> 2.0, (1L, 12L) -> 6.0,
       (2L, 20L) -> 1.0, (2L, 21L) -> 1.0, (2L, 22L) -> 1.0))
     // Capped: news 12's "spark" posting is cut (rank 3 by value), so its
     // score keeps only the flink mass; the equal-value "tie" postings cut
     // id-asc — news 22 disappears entirely (deterministic approximation).
-    assert(pairsOf(Some(2)) === Map(
+    assert(pairsOf(graft.model.RecServing.Capped(2)) === Map(
       (1L, 10L) -> 3.0, (1L, 11L) -> 2.0, (1L, 12L) -> 5.0,
       (2L, 20L) -> 1.0, (2L, 21L) -> 1.0))
+    // The DEFAULT serving posture is capped with DefaultCap — the fixture's
+    // 3-posting words sit under 64, so the default equals the exact result
+    // here while the sf10 stress tier relies on the cap binding.
+    assert(graft.model.RecServing.default ===
+      graft.model.RecServing.Capped(graft.model.RecServing.DefaultCap))
+    assert(pairsOf(graft.model.RecServing.default) ===
+      pairsOf(graft.model.RecServing.Exact))
     intercept[IllegalArgumentException](Scoring.cappedPostings(newsKw, "id", 0))
   }
 
