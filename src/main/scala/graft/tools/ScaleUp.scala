@@ -13,7 +13,24 @@ import org.apache.spark.sql.functions._
   * that makes every doc a 10-way exact duplicate, which is the WORST case
   * for the dedup/blocking lanes — precisely what a skew stress run wants.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor> [mode]
+  *
+  * mode = `exact` (default): document text replicates VERBATIM — every doc
+  * becomes a factor-way exact duplicate, the worst case for exact-dedup
+  * collapse and blocking.
+  * mode = `neardup`: replica i>0 of each document MUTATES its text
+  * deterministically — every ~16th token (keyed by hash(doc_id, i, pos),
+  * no RNG state) is prefixed with a replica tag (pure letters, so the
+  * engine tokenizer keeps it one token). Texts are byte-distinct, so the
+  * exact-collapse pre-pass (sharedRepMap) collapses NOTHING and the
+  * MinHash/LSH candidate + jaccard stages carry the full load — the real
+  * 100 TB crawl profile AFTER exact dedup, where what remains is mutated
+  * near-duplication (template pages, syndicated edits), not byte copies.
+  * Measured shape at ~50 tokens/doc: original↔replica jaccard ≈ 0.6–0.8
+  * (above the 0.5 cluster threshold), replica↔replica ≈ 0.4–0.55
+  * (straddling it) — clusters form via the original, and the LSH band
+  * join produces group-quadratic candidate pairs that exact-collapse
+  * cannot shortcut.
   *
   * `events.ts` mirrors the source layout: the round-6+ µs TIMESTAMP_NTZ
   * source passes through unchanged (Spark writes NTZ natively), while the
@@ -26,6 +43,9 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    val mode = if (args.length > 3) args(3) else "exact"
+    require(mode == "exact" || mode == "neardup",
+      s"ScaleUp: unknown mode '$mode' (expected exact|neardup)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -109,7 +129,31 @@ object ScaleUp {
     require(part.renameTo(tgt), s"rename ${part} -> $tgt failed")
     tmp.listFiles().foreach(_.delete()); tmp.delete()
     println(s"[scaleup] events: ${spark.read.parquet(s"$out/events.parquet").count()} rows (single file, µs ts)")
-    write(replicate(t("documents"), Map("doc_id" -> docS)), "documents")
+    // documents: replica 0 is always verbatim; neardup mode mutates the
+    // text of replicas i>0 (deterministic token prefixing — see header).
+    // n_chars is recomputed so downstream byte audits stay consistent.
+    val docsOut =
+      if (mode == "exact") replicate(t("documents"), Map("doc_id" -> docS))
+      else (0 until factor).map { i =>
+        val base = t("documents").withColumn("doc_id", col("doc_id") + lit(i * docS))
+        if (i == 0) base
+        else {
+          // replica tag in pure letters (digits would split under the
+          // engine tokenizer): i -> "z" + two base-26 letters.
+          val tag = "z" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+          // pos 0 ALWAYS mutates so every replica is byte-distinct from its
+          // original and from sibling replicas (short texts could otherwise
+          // draw zero mutated positions and stay exact copies).
+          base.withColumn("text",
+              array_join(transform(split(col("text"), " "), (tok, pos) =>
+                when(pos === 0 ||
+                     pmod(hash(col("doc_id"), lit(i), pos), lit(16)) === 0,
+                  concat(lit(tag), tok)).otherwise(tok)), " "))
+            .withColumn("n_chars", length(col("text")).cast(
+              t("documents").schema("n_chars").dataType))
+        }
+      }.reduce(_ unionByName _)
+    write(docsOut, "documents")
     write(replicate(t("embeddings"), Map("vec_id" -> vecS)), "embeddings")
 
     spark.stop()
