@@ -222,11 +222,12 @@ object ExtQueries {
     // cost over a session that already deduped is the split join only.
     "q268_split_leakage" -> ((s, d) => {
       val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-        16, 10).cast("long") % 100L).cast("int")
+        16, 10).cast("long") % SplitDraw.Mod.toLong).cast("int")
       val splits = Tables.documents(s, d).select(col("doc_id"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("sp"),
-        when(bucket < 80, 0).when(bucket < 90, 1).otherwise(2).as("spr"))
+        when(bucket < SplitDraw.TrainLt, "train")
+          .when(bucket < SplitDraw.ValLt, "val").otherwise("test").as("sp"),
+        when(bucket < SplitDraw.TrainLt, 0)
+          .when(bucket < SplitDraw.ValLt, 1).otherwise(2).as("spr"))
       sharedScoredPairs(s, d).filter(col("jaccard") >= 0.5)
         .join(splits.select(col("doc_id").as("doc_a"),
           col("sp").as("sp_a"), col("spr").as("r_a")), "doc_a")
@@ -829,10 +830,11 @@ object ExtQueries {
          |dup AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
          |sp AS (
          |  SELECT doc_id,
-         |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
-         |      ELSE 'test' END AS sp,
-         |    CASE WHEN bk < 80 THEN 0 WHEN bk < 90 THEN 1 ELSE 2 END AS r
-         |  FROM (SELECT doc_id, ($splitHex6) % 100 AS bk FROM documents)),
+         |    CASE WHEN bk < ${SplitDraw.TrainLt} THEN 'train'
+         |      WHEN bk < ${SplitDraw.ValLt} THEN 'val' ELSE 'test' END AS sp,
+         |    CASE WHEN bk < ${SplitDraw.TrainLt} THEN 0
+         |      WHEN bk < ${SplitDraw.ValLt} THEN 1 ELSE 2 END AS r
+         |  FROM (SELECT doc_id, ($splitHex6) % ${SplitDraw.Mod} AS bk FROM documents)),
          |x AS (
          |  SELECT CASE WHEN a.r <= b.r THEN a.sp ELSE b.sp END AS split_lo,
          |    CASE WHEN a.r <= b.r THEN b.sp ELSE a.sp END AS split_hi,

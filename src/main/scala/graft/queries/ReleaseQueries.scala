@@ -50,13 +50,26 @@ object ReleaseQueries {
   val PhonePat = "555-[0-9]{4}"
   val IpPat = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  /** q272's augmentation strata (which doc ids get which synthetic PII) —
+    * mirrored in tools/shared_constants.json (SharedConstantsSpec).
+    */
+  val EmailMod = 5
+  val PhoneMod = 7
+  val IpMod = 11
+
+  /** q272's redaction tags (engine + oracle; mirrored in the manifest). */
+  val EmailTag = "<EMAIL>"
+  val PhoneTag = "<PHONE>"
+  val IpTag = "<IP>"
+
   /** q262's split draw (md5 hex-6 bucket), reused verbatim so the
     * contamination audit and the split manifest agree on every document.
     */
   private def splitCol: Column = {
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-      16, 10).cast("long") % 100L).cast("int")
-    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+      16, 10).cast("long") % SplitDraw.Mod.toLong).cast("int")
+    when(bucket < SplitDraw.TrainLt, "train")
+      .when(bucket < SplitDraw.ValLt, "val").otherwise("test")
   }
 
   /** q272's deterministic PII augmentation: id-derived email / phone /
@@ -64,14 +77,14 @@ object ReleaseQueries {
     * structural at every SF and reproducible in the oracle.
     */
   private def augmented: Column = concat(col("text"),
-    when(col("doc_id") % 5 === 0,
+    when(col("doc_id") % EmailMod === 0,
       concat(lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com"))).otherwise(lit("")),
-    when(col("doc_id") % 7 === 0,
+    when(col("doc_id") % PhoneMod === 0,
       concat(lit(" call 555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
       .otherwise(lit("")),
-    when(col("doc_id") % 11 === 0,
+    when(col("doc_id") % IpMod === 0,
       concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
         lit("."), ((col("doc_id") * 7) % 256).cast("string"), lit(".1")))
       .otherwise(lit("")))
@@ -133,8 +146,8 @@ object ReleaseQueries {
     "q272_pii_audit" -> ((s, d) => {
       val aug = augmented
       val red = regexp_replace(
-        regexp_replace(regexp_replace(aug, EmailPat, "<EMAIL>"),
-          PhonePat, "<PHONE>"), IpPat, "<IP>")
+        regexp_replace(regexp_replace(aug, EmailPat, EmailTag),
+          PhonePat, PhoneTag), IpPat, IpTag)
       Ops.fanOut(Tables.documents(s, d))
         .select(col("source"),
           size(regexp_extract_all(aug, lit(EmailPat), lit(0)))
@@ -243,9 +256,9 @@ object ReleaseQueries {
   // Single physical line: this fragment is interpolated into stripMargin
   // oracles, where a line-leading `||` would be eaten as a margin char.
   private val augSql =
-    "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
-      " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
-      " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.1' ELSE '' END"
+    s"text || CASE WHEN doc_id % $EmailMod = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+      s" || CASE WHEN doc_id % $PhoneMod = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+      s" || CASE WHEN doc_id % $IpMod = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.1' ELSE '' END"
 
   def oracle: Map[String, String] = Map(
 
@@ -287,8 +300,8 @@ object ReleaseQueries {
          |  CAST(len(regexp_extract_all(aug, '$PhonePat')) AS BIGINT) AS ph,
          |  CAST(len(regexp_extract_all(aug, '$IpPat')) AS BIGINT) AS ip,
          |  CAST(len(aug) - len(regexp_replace(regexp_replace(regexp_replace(
-         |    aug, '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'),
-         |    '$IpPat', '<IP>', 'g')) AS BIGINT) AS delta
+         |    aug, '$EmailPat', '$EmailTag', 'g'), '$PhonePat', '$PhoneTag', 'g'),
+         |    '$IpPat', '$IpTag', 'g')) AS BIGINT) AS delta
          |  FROM a)
          |SELECT source, count(*) AS n_docs,
          |  CAST(count(*) FILTER (WHERE em + ph + ip > 0) AS BIGINT)
@@ -328,9 +341,10 @@ object ReleaseQueries {
 
     "q275_eval_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-         |b AS (SELECT doc_id, tk, ($hex6) % 100 AS bk FROM t),
+         |b AS (SELECT doc_id, tk, ($hex6) % ${SplitDraw.Mod} AS bk FROM t),
          |s AS (SELECT doc_id, tk,
-         |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |  CASE WHEN bk < ${SplitDraw.TrainLt} THEN 'train'
+         |    WHEN bk < ${SplitDraw.ValLt} THEN 'val'
          |    ELSE 'test' END AS split FROM b),
          |g AS (SELECT DISTINCT doc_id, split, array_to_string(tk[i:i+${OverlapN - 1}], ' ') AS ng
          |  FROM (SELECT doc_id, split, tk, unnest(range(1, len(tk) - ${OverlapN - 2})) AS i

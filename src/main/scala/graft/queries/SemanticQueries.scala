@@ -127,6 +127,12 @@ object SemanticQueries {
     * Thresholds are integer cross-multiplications so both engines compare
     * exact integers (no ratio rounding inside a filter).
     */
+  /** The q257/q276 quality-signal stopword probe list — mirrored in
+    * tools/shared_constants.json (SharedConstantsSpec) because the
+    * independent Python checkers re-type it.
+    */
+  private[graft] val SignalStopwords = Seq("the", "and", "of", "to", "in", "a", "is")
+
   val FunnelRules: Seq[String] = Seq(
     "word_count", "mean_word_len", "top_token_share", "uniq_ratio", "stopword_hit")
 
@@ -346,7 +352,7 @@ object SemanticQueries {
           .cast("long").as("topk"),
         size(array_distinct(col("tk"))).cast("long").as("uq"),
         size(array_intersect(array_distinct(col("tk")),
-          array(Seq("the", "and", "of", "to", "in", "a", "is").map(lit): _*)))
+          array(SignalStopwords.map(lit): _*)))
           .cast("long").as("ns"))
       val ff = graft.runtime.Stage.scopedPersist(m.select(
         when(!col("n").between(20L, 90L), 1)
@@ -393,7 +399,7 @@ object SemanticQueries {
           .cast("long").as("_topk"),
         size(array_distinct(col("tk"))).cast("long").as("_uq"),
         (size(array_intersect(array_distinct(col("tk")),
-          array(Seq("the", "and", "of", "to", "in", "a", "is").map(lit): _*)))
+          array(SignalStopwords.map(lit): _*)))
           >= 1).as("stopword_hit"))
       stats
         .join(bigramNllScores(s, d).select(col("doc_id"), col("avg_nll")),
@@ -465,10 +471,11 @@ object SemanticQueries {
     // manifest with per-stratum doc and token totals.
     "q262_split_manifest" -> ((s, d) => {
       val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-        16, 10).cast("long") % 100L).cast("int")
+        16, 10).cast("long") % SplitDraw.Mod.toLong).cast("int")
       Ops.fanOut(Tables.documents(s, d))
         .select(col("lang"),
-          when(bucket < 80, "train").when(bucket < 90, "val")
+          when(bucket < SplitDraw.TrainLt, "train")
+            .when(bucket < SplitDraw.ValLt, "val")
             .otherwise("test").as("split"),
           size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("ntk"))
         .groupBy(col("lang"), col("split"))
@@ -832,7 +839,7 @@ object SemanticQueries {
          |      w -> len(list_filter(tk, x -> x = w)))) AS topk,
          |    len(list_distinct(tk)) AS uq,
          |    len(list_intersect(list_distinct(tk),
-         |      ['the','and','of','to','in','a','is'])) AS ns
+         |      [${SignalStopwords.map(w => s"'$w'").mkString(",")}])) AS ns
          |  FROM t),
          |f AS (
          |  SELECT CASE WHEN NOT (n BETWEEN 20 AND 90) THEN 1
@@ -868,7 +875,7 @@ object SemanticQueries {
          |      w -> len(list_filter(tk, x -> x = w)))) AS topk,
          |    len(list_distinct(tk)) AS uq,
          |    len(list_intersect(list_distinct(tk),
-         |      ['the','and','of','to','in','a','is'])) >= 1 AS stopword_hit
+         |      [${SignalStopwords.map(w => s"'$w'").mkString(",")}])) >= 1 AS stopword_hit
          |  FROM t2 WHERE len(tk) >= 2)
          |SELECT m.doc_id, m.lang, m.source, m.n_chars, m.n_tokens,
          |  ${SqlFragments.ratioHalfUpSql("uq * 10000", "n_tokens", 4)} AS uniq_ratio,
@@ -915,10 +922,11 @@ object SemanticQueries {
 
     "q262_split_manifest" ->
       s"""WITH b AS (SELECT lang,
-         |  (${md5Hex("CAST(doc_id AS VARCHAR)", 6)}) % 100 AS bk,
+         |  (${md5Hex("CAST(doc_id AS VARCHAR)", 6)}) % ${SplitDraw.Mod} AS bk,
          |  len($toks) AS ntk FROM documents)
          |SELECT lang,
-         |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |  CASE WHEN bk < ${SplitDraw.TrainLt} THEN 'train'
+         |    WHEN bk < ${SplitDraw.ValLt} THEN 'val'
          |    ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(ntk) AS BIGINT) AS n_tokens
          |FROM b GROUP BY 1, 2""".stripMargin,

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val stopwords = Seq("the", "a", "of", "and")
+  /** q14's quality-score stopword list — mirrored in
+    * tools/shared_constants.json (SharedConstantsSpec).
+    */
+  private[graft] val stopwords = Seq("the", "a", "of", "and")
 
   val queries: Map[String, Q] = Map(
     // F1 tokenize + per-doc token stats.

@@ -9,7 +9,11 @@
 # Usage: tools/solo_bench.sh <sfDir> <outJson> [lanes-csv]
 set -eu
 SF=${1:?sfDir}; OUT=${2:?outJson}
-LANES=${3:-q220_rec_unbounded,q121_item_cf,q268_split_leakage,q21_rec_dot,q22_rec_cosine,q23_rec_lists,q245_rec_lists_capped,q246_rec_cosine_capped}
+# Default set = the rec-family cache-sensitive lanes PLUS every lane a
+# round has ever adjudicated as suite-ordering churn (r9: q26/q107/q23/
+# q105/q106/q162/q186) — tools/ab_analyze.py roundcmp classifies against
+# this artifact, so a lane missing here costs a hand adjudication later.
+LANES=${3:-q220_rec_unbounded,q121_item_cf,q268_split_leakage,q21_rec_dot,q22_rec_cosine,q23_rec_lists,q245_rec_lists_capped,q246_rec_cosine_capped,q26_lsh_pairs,q105_conversion_paths,q106_salted_join,q107_zorder,q162_geo_bucket_join,q186_degree_assortativity}
 TMP=$(mktemp -d)
 IFS=',' read -ra L <<< "$LANES"
 for q in "${L[@]}"; do

@@ -21,6 +21,7 @@ unrounded, the dump is rounded at a known scale).
 """
 import argparse
 import glob
+import json
 import math
 import os
 import re
@@ -29,6 +30,21 @@ import sys
 import duckdb
 import numpy as np
 import pandas as pd
+
+# Shared engine/checker tunables (gram widths, PII patterns + strata,
+# stopword lists, split draw) — single machine-readable source consumed
+# here and asserted against the Scala constants by SharedConstantsSpec,
+# so neither side can drift silently (ADVICE r9).
+SHARED = json.load(open(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "shared_constants.json")))
+
+
+def _split_of(bucket):
+    """The shared split draw: md5 hex-6 bucket -> (name, rank)."""
+    sd = SHARED["split_draw"]
+    if bucket < sd["train_lt"]:
+        return "train", 0
+    return ("val", 1) if bucket < sd["val_lt"] else ("test", 2)
 
 
 def tbl(sf_dir, name):
@@ -2563,8 +2579,8 @@ def check_q262_split(con, sf_dir, spark_out):
     agg = {}
     for _, r in docs.iterrows():
         b = int(hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()[:6],
-                16) % 100
-        split = "train" if b < 80 else ("val" if b < 90 else "test")
+                16) % SHARED["split_draw"]["mod"]
+        split = _split_of(b)[0]
         k = (r["lang"], split)
         n, t = agg.get(k, (0, 0))
         agg[k] = (n + 1, t + len(tokenize(r["text"])))
@@ -2734,9 +2750,9 @@ def check_q268_leakage(con, sf_dir, spark_out, band=2):
             for d, tk in toks.items() if len(tk) >= 3}
 
     def split(d):
-        bk = int(hashlib.md5(str(int(d)).encode()).hexdigest()[:6], 16) % 100
-        return ("train", 0) if bk < 80 else \
-            (("val", 1) if bk < 90 else ("test", 2))
+        bk = int(hashlib.md5(str(int(d)).encode()).hexdigest()[:6],
+                 16) % SHARED["split_draw"]["mod"]
+        return _split_of(bk)
 
     exp = {}
     for a, b in pairs:
@@ -3058,7 +3074,7 @@ def check_q187_trigrams(con, sf_dir, spark_out):
 
 
 def check_q14_quality(con, sf_dir, spark_out):
-    stop = {"the", "a", "of", "and"}
+    stop = set(SHARED["quality_stopwords"])
     docs = load(con, sf_dir, "documents", "doc_id, n_chars, text")
     got = dump(spark_out, "q14_quality_score").set_index("doc_id")
     errs = []
@@ -3862,7 +3878,7 @@ def check_q255_mix_sample(con, sf_dir, spark_out, cap_micros=3000000):
 
 
 def check_q257_funnel(con, sf_dir, spark_out):
-    stop = {"the", "and", "of", "to", "in", "a", "is"}
+    stop = set(SHARED["signal_stopwords"])
     toks = _doc_tokens(con, sf_dir)
     kills = {}
     for tk in toks.values():
@@ -5734,7 +5750,7 @@ def check_q74_sketch_audit(con, sf_dir, spark_out):
     return errs
 
 
-def check_q271_dup_spans(con, sf_dir, spark_out, n=5):
+def check_q271_dup_spans(con, sf_dir, spark_out, n=SHARED["span_n"]):
     """Literal interval-merge recompute: duplicated 5-gram start positions
     per doc, merged with a sequential sweep (not the engine's lag/sum
     window), exact-integer span accounting."""
@@ -5775,19 +5791,19 @@ def check_q272_pii(con, sf_dir, spark_out):
     """Python re recompute of the PII scan: the same three patterns over
     the same deterministic augmentation, counts via findall, redaction
     delta via chained re.sub."""
-    pats = [r"[a-z0-9]+@[a-z0-9]+\.[a-z]+", r"555-[0-9]{4}",
-            r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"]
-    tags = ["<EMAIL>", "<PHONE>", "<IP>"]
+    pats = [SHARED["pii_patterns"][k] for k in ("email", "phone", "ip")]
+    tags = [SHARED["pii_tags"][k] for k in ("email", "phone", "ip")]
+    strata = SHARED["pii_strata"]
     docs = load(con, sf_dir, "documents", "doc_id, source, text")
     agg = {}
     for _, r in docs.iterrows():
         d = int(r["doc_id"])
         aug = r["text"]
-        if d % 5 == 0:
+        if d % strata["email_mod"] == 0:
             aug += f" contact user{d}@example.com"
-        if d % 7 == 0:
+        if d % strata["phone_mod"] == 0:
             aug += f" call 555-{d % 10000:04d}"
-        if d % 11 == 0:
+        if d % strata["ip_mod"] == 0:
             aug += f" from 10.{d % 256}.{(d * 7) % 256}.1"
         cnt = [len(re.findall(p, aug)) for p in pats]
         red = aug
@@ -5868,7 +5884,7 @@ def check_q274_syndication(con, sf_dir, spark_out):
     return errs[:5]
 
 
-def check_q275_contamination(con, sf_dir, spark_out, n=8):
+def check_q275_contamination(con, sf_dir, spark_out, n=SHARED["overlap_n"]):
     """Exact containment recompute: hashlib md5 split draw, per-doc
     distinct 8-gram sets, literal set intersection against the train
     union."""
@@ -5877,8 +5893,9 @@ def check_q275_contamination(con, sf_dir, spark_out, n=8):
     split, grams = {}, {}
     for _, r in docs.iterrows():
         d = int(r["doc_id"])
-        b = int(hashlib.md5(str(d).encode()).hexdigest()[:6], 16) % 100
-        split[d] = "train" if b < 80 else ("val" if b < 90 else "test")
+        b = int(hashlib.md5(str(d).encode()).hexdigest()[:6],
+                16) % SHARED["split_draw"]["mod"]
+        split[d] = _split_of(b)[0]
         tk = tokenize(r["text"])
         grams[d] = {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
     train = set().union(*(grams[d] for d in grams if split[d] == "train"))
@@ -5965,7 +5982,7 @@ def check_q276_signals(con, sf_dir, spark_out):
     errs = []
     if len(got) != len(per_doc):
         errs.append(f"row count {len(got)} != {len(per_doc)}")
-    stop = {"the", "and", "of", "to", "in", "a", "is"}
+    stop = set(SHARED["signal_stopwords"])
     meta = {int(r["doc_id"]): r for _, r in docs.iterrows()}
     for d, bigs in per_doc.items():
         tk, r, g = toks[d], meta[d], got.loc[d]
