@@ -1,0 +1,224 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming stress probe (VERDICT r9 task 7): skewed-key state growth and
+  * mid-stream kill/restart recovery for the q102 (stream-stream outer
+  * join) and q204 (transformWithState event-time timers) operator shapes,
+  * at stress scale.
+  *
+  * What the driver-gate lanes do NOT exercise:
+  *  - **Key skew**: one hot user = one hot state-store partition. The
+  *    outer join buffers every unmatched hot-key row in a single
+  *    partition's store until the watermark passes; the TWS lane grows one
+  *    per-key Totals blob but funnels every hot row through one store.
+  *  - **Kill/restart at scale**: the spec-level recovery tests
+  *    (PlanAndStreamSpec) run on 6-row fixtures; this probe kills a
+  *    multi-million-row run mid-stream (after `KillAfterBatches`
+  *    committed micro-batches) and restarts on the same checkpoint + file
+  *    sink, asserting the merged output is exactly the uninterrupted
+  *    batch-computed expectation (file-sink log = exactly-once).
+  *
+  * Protocol per lane: events are re-keyed so `hotPct`% of rows (by
+  * deterministic event_id hash) belong to ONE hot user, split into
+  * `NumFiles` part files streamed `maxFilesPerTrigger=2` per micro-batch;
+  * a far-future sentinel file (mtime-forced LAST) flushes the final
+  * watermark. Phase 1 starts the query and stops it after
+  * `KillAfterBatches` progress events; phase 2 restarts the IDENTICAL
+  * query on the same checkpoint and drains. The probe then compares the
+  * parquet sink against the batch oracle (exceptAll both ways) and emits
+  * one JSON line: per-phase wall seconds, micro-batch count, max state
+  * rows/bytes from the progress stream, watermark advance, match verdict.
+  *
+  * Usage: runMain graft.tools.StreamStress <sfDir> <outJsonPath> [hotPct]
+  * (hotPct default 2; 0 = unskewed control)
+  */
+object StreamStress {
+
+  private val HotUser = 424242424242L
+  private val SentinelUser = -1L
+  private val NumFiles = 24
+  private val KillAfterBatches = 4
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outJson = args(1)
+    val hotPct = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("stream_stress").toString
+    val skewDir = s"$work/events_skew"
+
+    // --- skewed source: hotPct% of events re-keyed to the single hot user,
+    // written as NumFiles part files (multi-micro-batch), plus a sentinel
+    // file whose mtime forces it to stream LAST (file source orders by
+    // modification time), advancing both watermarks past every real row.
+    val ev = graft.io.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val skewed =
+      if (hotPct == 0) ev
+      else ev.withColumn("user_id",
+        when(pmod(hash(col("event_id")), lit(100)) < hotPct, lit(HotUser))
+          .otherwise(col("user_id")))
+    // TIME-ORDERED file slices, streamed in event-time order (the file
+    // source reads oldest-mtime first): a random repartition would hand
+    // batch 1 rows from the whole month, jump the watermark to
+    // max(ts) - delay, and drop nearly every later batch as late data —
+    // a harness artifact no real stream has. Slice boundaries come from
+    // the (min,max) ts range; each slice's part files get a strictly
+    // increasing mtime, the sentinel strictly last.
+    val stamped = skewed.withColumn("_us", unix_micros(col("ts")))
+    val Row(minUs: Long, maxUs: Long) =
+      stamped.agg(min(col("_us")), max(col("_us"))).head()
+    val span = maxUs - minUs + 1
+    val sliced = stamped.withColumn("_b",
+      ((col("_us") - minUs) * NumFiles / span).cast("int"))
+    val base = System.currentTimeMillis()
+    val seen = scala.collection.mutable.Set[String]()
+    def stampNew(i: Int): Unit =
+      new java.io.File(skewDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !seen(f.getName))
+        .foreach { f => f.setLastModified(base + i * 1000L); seen += f.getName }
+    (0 until NumFiles).foreach { i =>
+      sliced.filter(col("_b") === i).drop("_us", "_b")
+        .coalesce(1).write.mode("append").parquet(skewDir)
+      stampNew(i)
+    }
+    // One far-future VIEW and CLICK: the outer join holds unmatched views
+    // until the RIGHT watermark passes v_ts + interval, so BOTH sides'
+    // watermarks must advance or the last delay+interval of views never
+    // flushes (StreamingOuterJoin's writeSentinel contract).
+    val farTs = timestamp_micros(lit(maxUs + 48L * 3600L * 1000000L))
+    spark.createDataFrame(Seq(
+        (-1L, SentinelUser, "view"), (-2L, SentinelUser, "click")))
+      .toDF("event_id", "user_id", "event_type")
+      .select(col("event_id"), farTs.as("ts"), col("user_id"), col("event_type"))
+      .coalesce(1).write.mode("append").parquet(skewDir)
+    stampNew(NumFiles + 10)
+
+    def stream(): DataFrame = {
+      val schema = spark.read.parquet(skewDir).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(skewDir)
+    }
+
+    val results = new StringBuilder
+    def lane(name: String)(build: DataFrame => DataFrame)
+            (expected: DataFrame => DataFrame): Unit = {
+      val sinkDir = s"$work/${name}_sink"
+      val ckpt = s"$work/${name}_ckpt"
+      var progress = Vector.empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+
+      def writer(df: DataFrame): DataStreamWriter[Row] =
+        df.writeStream.outputMode("append").format("parquet")
+          .option("path", sinkDir).option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime(0L))
+
+      // phase 1: run to KillAfterBatches committed batches, then kill.
+      val t0 = System.nanoTime()
+      val q1 = writer(build(stream())).start()
+      var killedAt = -1
+      while (killedAt < 0) {
+        Thread.sleep(200)
+        val done = q1.recentProgress.count(_.numInputRows > 0)
+        if (done >= KillAfterBatches) { killedAt = done; q1.stop() }
+        else if (!q1.isActive) killedAt = done // drained before the kill
+      }
+      q1.awaitTermination()
+      progress ++= q1.recentProgress
+      val preS = (System.nanoTime() - t0) / 1e9
+
+      // phase 2: identical query, same checkpoint — resume and drain.
+      val t1 = System.nanoTime()
+      val q2 = writer(build(stream())).start()
+      q2.processAllAvailable()
+      q2.stop(); q2.awaitTermination()
+      progress ++= q2.recentProgress
+      val postS = (System.nanoTime() - t1) / 1e9
+
+      // exactly-once check: sink == batch expectation, both directions.
+      val got = expected(spark.read.parquet(sinkDir))
+      val exp = expected(null) // null signals "compute from batch source"
+      val missing = exp.exceptAll(got).count()
+      val extra = got.exceptAll(exp).count()
+      val rows = got.count()
+
+      val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+      val dataBatches = progress.count(_.numInputRows > 0)
+      results.append(
+        s""""$name":{"hot_pct":$hotPct,"pre_kill_s":${f"$preS%.1f"},""" +
+        s""""post_restart_s":${f"$postS%.1f"},"batches_pre_kill":$killedAt,""" +
+        s""""data_batches_total":$dataBatches,"rows_out":$rows,""" +
+        s""""state_rows_max":${if (stateRows.isEmpty) 0 else stateRows.max},""" +
+        s""""state_bytes_max":${if (stateBytes.isEmpty) 0 else stateBytes.max},""" +
+        s""""missing_vs_batch":$missing,"extra_vs_batch":$extra,""" +
+        s""""exactly_once_match":${missing == 0 && extra == 0}},""")
+      println(f"[stress] $name: pre=$preS%.1f post=$postS%.1f rows=$rows " +
+        s"missing=$missing extra=$extra stateRowsMax=" +
+        s"${if (stateRows.isEmpty) 0 else stateRows.max}")
+    }
+
+    // --- lane 1: q102 shape — stream-stream LEFT OUTER interval join.
+    def ojViews(df: DataFrame): DataFrame = df
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    def ojClicks(df: DataFrame): DataFrame = df
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    lane("outer_join") { src =>
+      graft.streaming.StreamingOuterJoin.join(
+        ojViews(src).withWatermark("v_ts", "2 hours"),
+        ojClicks(src).withWatermark("c_ts", "2 hours"))
+        .select(col("v_user"), col("view_id"), col("click_id"))
+    } { sunk =>
+      val base =
+        if (sunk != null) sunk
+        else {
+          val b = spark.read.parquet(skewDir)
+          graft.streaming.StreamingOuterJoin.join(ojViews(b), ojClicks(b))
+            .select(col("v_user"), col("view_id"), col("click_id"))
+        }
+      base.filter(col("v_user") =!= SentinelUser)
+    }
+
+    // --- lane 2: q204 shape — TWS event-time timers (RocksDB provider).
+    graft.streaming.StreamingTws.withRocksDb(spark) {
+      lane("tws_timers") { src =>
+        graft.streaming.StreamingTws.timerPipeline(spark,
+          src.select(col("user_id").as("userId"),
+            expr("unix_micros(ts) DIV 1000").as("tsMs")))
+      } { sunk =>
+        if (sunk != null) graft.streaming.StreamingTws.mergeTimerSink(sunk)
+        else {
+          spark.read.parquet(skewDir)
+            .filter(col("user_id") =!= SentinelUser)
+            .select(col("user_id"),
+              expr("unix_micros(ts) DIV 1000").as("tsMs"))
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_events"), min(col("tsMs")).as("first_ms"),
+              max(col("tsMs")).as("last_ms"))
+        }
+      }
+    }
+
+    val json = "{" + results.toString.stripSuffix(",") + "}"
+    val w = new java.io.PrintWriter(outJson, "UTF-8")
+    try w.println(json) finally w.close()
+    println(json)
+    spark.stop()
+  }
+}
