@@ -447,6 +447,31 @@ object ExtQueries {
         .agg(sum(col("_n")).as("n_pairs"))
     }),
 
+    // MinHash-ESTIMATE screening (round 10): candidate pairs scored by
+    // signature agreement — the fraction of the NH minhashes that match,
+    // whose expectation IS the jaccard (Broder '97) — instead of the exact
+    // shingle-intersection join. This is the screening-grade scorer a
+    // crawl-scale dedup runs when even the candidate jaccard stage
+    // dominates (the near-dup-dense profile: the nd stress tier prices
+    // q26's exact scoring at 321 s cold at sf10nd; this lane's pair work
+    // is one ROW-LOCAL 8-slot array comparison — no second explode join,
+    // no shingle shuffle). Approximate BY CONTRACT (8 hashes → estimate
+    // granularity 1/8); exact-jaccard lanes remain the adjudicating
+    // semantics. est = k/8 is an exact binary fraction, so the round(6)
+    // is bit-stable across engines.
+    "q279_minhash_estimate" -> ((s, d) => {
+      val sigs = sharedSigs(s, d)
+      val vec = array((0 until NH).map(i => col(s"sig$i")): _*)
+      val sa = sigs.select(col("doc_id").as("doc_a"), vec.as("_va"))
+      val sb = sigs.select(col("doc_id").as("doc_b"), vec.as("_vb"))
+      sharedCands(s, d)
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(size(filter(zip_with(col("_va"), col("_vb"),
+              (x, y) => x === y), b => b)).cast("double") / NH, 6)
+            .as("est_jaccard"))
+    }),
+
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
     // exercises the exact-similarity operator on guaranteed-nonempty input.
     "q27_ngram_jaccard" -> ((s, d) => {
@@ -962,6 +987,24 @@ object ExtQueries {
          |  FROM dup JOIN documents da ON da.doc_id = dup.doc_a
          |  JOIN documents db ON db.doc_id = dup.doc_b)
          |SELECT src_lo, src_hi, count(*) AS n_pairs FROM m GROUP BY 1, 2""".stripMargin,
+
+    "q279_minhash_estimate" ->
+      s"""WITH $shCte,
+         |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+         |bands AS (
+         |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+         |  FROM sigs, range(${NH / BAND}) t(b)),
+         |cpairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         |  round((${(0 until NH).map(i =>
+                s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END")
+                .mkString(" + ")}) / ${NH}.0, 6) AS est_jaccard
+         |FROM cpairs p
+         |JOIN sigs a ON a.doc_id = p.doc_a
+         |JOIN sigs b ON b.doc_id = p.doc_b""".stripMargin,
 
     "q27_ngram_jaccard" ->
       s"""WITH $shCte,

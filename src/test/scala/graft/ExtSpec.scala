@@ -448,6 +448,43 @@ class ExtSpec extends AnyFunSuite {
       ("srcB", "srcB") -> 6L))
   }
 
+  test("q279: signature agreement is 1.0 on exact copies and counts " +
+    "matching slots exactly on near-dups") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = writeDocsFull(Seq(
+      (1L, a, "en", "srcA"), (2L, a, "en", "srcA"),      // exact copies
+      (3L, a + " zzz", "en", "srcA"),                    // near-dup of a
+      (4L, "pp qq rr ss tt uu vv ww", "en", "srcA")))    // unrelated
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q279_minhash_estimate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact copies: identical signature vectors -> agreement exactly 1.0
+    assert(got((1L, 2L)) === 1.0)
+    // the near-dup collides in >=1 band (else it wouldn't be a candidate);
+    // its estimate is a multiple of 1/8 strictly between 0 and 1 is not
+    // guaranteed (could be 1.0 if all slots agree), but it must match the
+    // independently-computed agreement of the same md5 minhash vectors.
+    val sigsOf = Map(1L -> a, 3L -> (a + " zzz")).map { case (id, t) =>
+      val sh = graft.text.Tokenizer.tokenize(t).sliding(3).map(_.mkString(" ")).toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte], from: Int, until: Int) =
+        b.slice(from, until).map("%02x".format(_)).mkString
+      id -> (0 until 8).map { i =>
+        val seed = i / 2
+        sh.map { ss =>
+          val dg = md.digest(s"${seed}_$ss".getBytes("UTF-8"))
+          if (i % 2 == 0) hex(dg, 0, 8) else hex(dg, 8, 16)
+        }.min
+      }
+    }
+    got.get((1L, 3L)).foreach { est =>
+      val agree = (0 until 8).count(i => sigsOf(1L)(i) == sigsOf(3L)(i))
+      assert(est === agree.toDouble / 8)
+    }
+    // the unrelated doc shares no shingles -> no band collision -> no row
+    assert(!got.keys.exists { case (x, y) => x == 4L || y == 4L })
+  }
+
   test("q274: near-dup pairs land in source-order-normalized matrix cells") {
     val dir = writeDocsFull(Seq(
       (1L, "aa bb cc dd", "en", "srcA"),

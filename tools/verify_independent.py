@@ -1467,6 +1467,41 @@ def check_q25(con, sf_dir, spark_out):
     return errs
 
 
+def check_q279_minhash_estimate(con, sf_dir, spark_out, band=2):
+    """Signature-agreement recompute: the same hashlib minhash vectors,
+    band-bucket candidate pairs, estimate = agreeing slots / num hashes."""
+    sigs, _ = _minhash_sigs(con, sf_dir)
+    buckets = {}
+    for d, mins in sigs.items():
+        if mins[0] is None:
+            continue
+        for b in range(len(mins) // band):
+            buckets.setdefault((b, "".join(mins[b * band:(b + 1) * band])),
+                               []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    got = dump(spark_out, "q279_minhash_estimate") \
+        .set_index(["doc_a", "doc_b"])
+    errs = []
+    if len(got) != len(pairs):
+        errs.append(f"pair count {len(got)} != {len(pairs)}")
+    bad = 0
+    for a, b in pairs:
+        nh = len(sigs[a])
+        est = sum(1 for i in range(nh) if sigs[a][i] == sigs[b][i]) / nh
+        if (a, b) not in got.index or \
+           not close(float(got.loc[(a, b), "est_jaccard"]),
+                     spark_round(est, 6), 1e-9):
+            bad += 1
+    if bad:
+        errs.append(f"{bad}/{len(pairs)} estimates differ")
+    return errs[:5]
+
+
 def check_q26(con, sf_dir, spark_out, band=2):
     sigs, toks = _minhash_sigs(con, sf_dir)
     buckets = {}
@@ -6192,6 +6227,7 @@ CHECKS = {
     "q24_precision_hot": check_q24,
     "q25_minhash_sig": check_q25,
     "q26_lsh_pairs": check_q26,
+    "q279_minhash_estimate": check_q279_minhash_estimate,
     "q39_textrank_kw": check_q39,
     "q46_precision_rec": check_q46,
     "q27_ngram_jaccard": check_q27_jaccard,
