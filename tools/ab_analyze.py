@@ -36,9 +36,14 @@ def round_compare(cur_path, prev_path, solo_path, out_path,
         is not slower; the in-suite median moved with block-manager/
         ordering state. This is r9's "reproduces its r8 time in run 1 of
         the same binary" adjudication, mechanized.
-      - "suite-churn (spread)": prev median lies inside the current
-        sample range — the delta is within this run's own noise.
-      - "REAL": neither — investigate.
+      - "suite-churn (spread)": the two rounds' k-sample RANGES overlap
+        (fastest current sample <= slowest previous sample) — the medians
+        moved but the distributions did not separate; on this box the
+        measured run-to-run spread is ~1.3-2x on sub-second lanes, wider
+        than the flag threshold.
+      - "REAL": neither — the distributions separated; investigate (an
+        intended plan change lands here too, e.g. a lane that now builds
+        a shared stage it previously borrowed warm).
     """
     cur = json.load(open(cur_path))
     prev = json.load(open(prev_path))
@@ -51,11 +56,12 @@ def round_compare(cur_path, prev_path, solo_path, out_path,
         per[q] = {"prev_s": round(p, 3), "cur_s": round(c, 3), "ratio": ratio}
         if ratio is not None and ratio >= regress_at and c - p > 0.15:
             samples = cur.get("samples", {}).get(q, [c])
+            prev_samples = prev.get("samples", {}).get(q, [p])
             verdict = "REAL"
             sq = solo["queries"].get(q)
             if sq is not None and sq <= p * churn_tol:
                 verdict = "suite-churn (solo)"
-            elif min(samples) <= p <= max(samples):
+            elif min(samples) <= max(prev_samples):
                 verdict = "suite-churn (spread)"
             regressions[q] = dict(per[q], verdict=verdict,
                                   cur_samples=[round(s, 3) for s in samples],
