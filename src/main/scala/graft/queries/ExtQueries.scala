@@ -472,6 +472,27 @@ object ExtQueries {
             .as("est_jaccard"))
     }),
 
+    // Estimate-based dedup clusters (round 10): the END-TO-END cheap
+    // screening path — bands → slot-agreement estimate ≥ τ → connected
+    // components — with NO shingle-intersection join anywhere. This is
+    // what a first-pass crawl triage runs before (or instead of) the
+    // exact-jaccard cluster stage: per-pair cost is the 8-slot
+    // comparison, so the whole pipeline is candidate-linear. The
+    // semantics are DECLARED approximate (agreement quantizes jaccard to
+    // eighths, so borderline pairs flip vs q70); both the oracle and the
+    // union-find checker compute the same estimate edges, so the lane is
+    // still bit-checked end to end.
+    "q280_estimate_clusters" -> ((s, d) => {
+      val est = queries("q279_minhash_estimate")(s, d)
+      val edges = est.filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
+      Dedup.connectedComponents(verts, edges,
+        reroot = graft.runtime.Reroot.fromEnv())
+        .select(col("_id").as("doc_id"), col("label").as("cluster"),
+          (col("_id") === col("label")).as("is_canonical"))
+    }),
+
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
     // exercises the exact-similarity operator on guaranteed-nonempty input.
     "q27_ngram_jaccard" -> ((s, d) => {
@@ -766,6 +787,35 @@ object ExtQueries {
        |  SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r),
        |lab AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)""".stripMargin
 
+  /** q280's chain: [[clusterChain]] with the exact-jaccard scoring
+    * replaced by the signature-agreement estimate (>= 4 of 8 slots).
+    * Ends with `elab(id, mn)`.
+    */
+  private lazy val estClusterChain =
+    s"""$shCte,
+       |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+       |bands AS (
+       |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+       |  FROM sigs, range(${NH / BAND}) t(b)),
+       |cpairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+       |  WHERE x.doc_id < y.doc_id),
+       |edup AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM cpairs p JOIN sigs a ON a.doc_id = p.doc_a
+       |  JOIN sigs b ON b.doc_id = p.doc_b
+       |  WHERE (${(0 until NH).map(i =>
+            s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END")
+            .mkString(" + ")}) / ${NH}.0 >= 0.5),
+       |eedges AS (SELECT doc_a AS a, doc_b AS b FROM edup
+       |           UNION SELECT doc_b, doc_a FROM edup),
+       |ereach AS (
+       |  SELECT a AS id, b AS r FROM eedges
+       |  UNION
+       |  SELECT re.id, e.b FROM ereach re JOIN eedges e ON e.a = re.r),
+       |elab AS (SELECT id, min(r) AS mn FROM ereach GROUP BY id)""".stripMargin
+
   private def projExpr(j: Int): String =
     s"list_sum(list_transform(range($DIM), pi -> (CASE WHEN substr(md5('${j}_' || pi::VARCHAR), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END) * CAST(embedding[pi+1] AS DOUBLE)))"
 
@@ -1005,6 +1055,12 @@ object ExtQueries {
          |FROM cpairs p
          |JOIN sigs a ON a.doc_id = p.doc_a
          |JOIN sigs b ON b.doc_id = p.doc_b""".stripMargin,
+
+    "q280_estimate_clusters" ->
+      s"""WITH RECURSIVE $estClusterChain
+         |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
+         |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN elab l ON l.id = d.doc_id""".stripMargin,
 
     "q27_ngram_jaccard" ->
       s"""WITH $shCte,

@@ -485,6 +485,20 @@ class ExtSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (x, y) => x == 4L || y == 4L })
   }
 
+  test("q280: estimate clusters merge exact copies (agreement 1.0) and " +
+    "leave non-candidates singleton") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = writeDocsFull(Seq(
+      (1L, a, "en", "srcA"), (2L, a, "en", "srcA"), (5L, a, "en", "srcB"),
+      (20L, "pp qq rr ss tt uu", "en", "srcA")))
+    graft.runtime.Stage.newQueryScope()
+    val got = graft.queries.ExtQueries.queries("q280_estimate_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 5L -> ((1L, false)),
+      20L -> ((20L, true))))
+  }
+
   test("q274: near-dup pairs land in source-order-normalized matrix cells") {
     val dir = writeDocsFull(Seq(
       (1L, "aa bb cc dd", "en", "srcA"),

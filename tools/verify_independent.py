@@ -1502,6 +1502,39 @@ def check_q279_minhash_estimate(con, sf_dir, spark_out, band=2):
     return errs[:5]
 
 
+def check_q280_estimate_clusters(con, sf_dir, spark_out, band=2):
+    """Union-find over signature-agreement (>= half the slots) edges —
+    the estimate-screening cluster semantics, no shingle sets at all."""
+    sigs, toks = _minhash_sigs(con, sf_dir)
+    buckets = {}
+    for d, mins in sigs.items():
+        if mins[0] is None:
+            continue
+        for b in range(len(mins) // band):
+            buckets.setdefault((b, "".join(mins[b * band:(b + 1) * band])),
+                               []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    edges = [(a, b) for a, b in pairs
+             if sum(1 for i in range(len(sigs[a]))
+                    if sigs[a][i] == sigs[b][i]) * 2 >= len(sigs[a])]
+    labels = _cc_labels(set(toks), edges)
+    got = dump(spark_out, "q280_estimate_clusters").set_index("doc_id")
+    errs = []
+    if len(got) != len(labels):
+        errs.append(f"row count {len(got)} != {len(labels)}")
+    bad = sum(1 for v, l in labels.items()
+              if int(got.loc[v, "cluster"]) != l or
+              bool(got.loc[v, "is_canonical"]) != (v == l))
+    if bad:
+        errs.append(f"{bad}/{len(labels)} cluster labels differ")
+    return errs
+
+
 def check_q26(con, sf_dir, spark_out, band=2):
     sigs, toks = _minhash_sigs(con, sf_dir)
     buckets = {}
@@ -6228,6 +6261,7 @@ CHECKS = {
     "q25_minhash_sig": check_q25,
     "q26_lsh_pairs": check_q26,
     "q279_minhash_estimate": check_q279_minhash_estimate,
+    "q280_estimate_clusters": check_q280_estimate_clusters,
     "q39_textrank_kw": check_q39,
     "q46_precision_rec": check_q46,
     "q27_ngram_jaccard": check_q27_jaccard,
