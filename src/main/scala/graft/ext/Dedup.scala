@@ -90,6 +90,41 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Star (spanning-edge) LSH candidates — the sub-quadratic candidate
+    * mode for near-duplicate-DENSE corpora: within every (band, key)
+    * bucket, one edge from the bucket's minimum-id doc (the hub) to each
+    * other member — m−1 edges per bucket instead of C(m,2). Returns
+    * (doc_a = hub, doc_b) with doc_a < doc_b, distinct across bands.
+    *
+    * Candidate volume is bounded by numBands·N regardless of bucket-size
+    * distribution — the property [[lshCandidates]] lacks on a dup-dense
+    * crawl, where a single m-member near-clique bucket emits m(m−1)/2
+    * pairs (the sf10nd tier priced that at 16–21×/decade). The hub agg is
+    * a partial-aggregatable groupBy on the SAME (band, key) the pair
+    * self-join would shuffle on, and the join back is hub-broadcast-shaped
+    * per bucket — no pair set is ever materialized.
+    *
+    * Connectivity contract (q281 vs q70, pinned in ExtSpec): every star
+    * edge is itself a band-candidate pair, so after identical exact-jaccard
+    * thresholding the star graph is a SUBGRAPH of the pair-complete graph —
+    * star clusters always REFINE the pair-complete clusters, never merge
+    * across them. They can split one: a member connects only through its
+    * bucket hubs, so if every hub–member edge of a doc fails τ while some
+    * member–member edge passes, the star graph drops that link. Identity
+    * holds when buckets are τ-homogeneous (every co-bucketed pair ≥ τ) —
+    * the near-clique profile dedup targets; the sf10nd stress run
+    * quantifies the residual deviation.
+    */
+  def lshStarCandidates(sigs: DataFrame, idCol: String,
+                        numHashes: Int, bandSize: Int): DataFrame = {
+    val bands = bandRows(sigs, idCol, numHashes, bandSize)
+    val hubs = bands.groupBy(col("band"), col("key"))
+      .agg(min(col(idCol)).as("doc_a"))
+    bands.join(hubs, Seq("band", "key"))
+      .filter(col(idCol) > col("doc_a"))
+      .select(col("doc_a"), col(idCol).as("doc_b")).distinct()
+  }
+
   /** Asymmetric LSH candidates — the incremental-ingestion cut: INCOMING
     * docs probe the EXISTING base corpus's bands, never each other. Returns
     * (doc_a = incoming id, doc_b = base id), distinct; no `<` constraint

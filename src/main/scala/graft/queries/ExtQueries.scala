@@ -123,7 +123,11 @@ object ExtQueries {
     * copy→rep star edges in [[dedupClusters]]. Work is dup-LINEAR.
     */
   private def repScoredPairs(s: SparkSession, d: String): DataFrame =
-    graft.runtime.Stage.shared(s, s"rep-scored-pairs:$SH:$NH:$BAND:$d") {
+    // Key versioned v2 when the stage's semantics changed (rep → crep rep
+    // set, round 10) — Stage.shared is in-memory per session today, but a
+    // persisted cross-run stage cache must never serve the pre-crep result
+    // (ADVICE r10).
+    graft.runtime.Stage.shared(s, s"rep-scored-pairs:v2:$SH:$NH:$BAND:$d") {
       val repDocs = graft.ops.Ops.fanOut(
         Tables.documents(s, d).join(
           sharedRepMap(s, d).filter(col("doc_id") === col("crep"))
@@ -135,6 +139,69 @@ object ExtQueries {
           Dedup.lshCandidates(sigs, "doc_id", NH, BAND),
           Dedup.shingleRows(repDocs, "doc_id", col("text"), SH)))
     }
+
+  /** Exact-jaccard-scored STAR candidate pairs ([[Dedup.lshStarCandidates]]):
+    * ≤ numBands·N edges by construction, so the exact rescoring join is
+    * candidate-LINEAR even on a near-dup-dense corpus — the sub-quadratic
+    * exact cluster stage (VERDICT r10 task 1). Kept separate from the
+    * rep-collapsed [[repScoredPairs]]: star generation is already
+    * dup-linear (a ×m exact-copy bucket emits m−1 edges, not C(m,2)), so
+    * it runs on the FULL corpus and its declared semantics need no
+    * collapse argument.
+    */
+  private def starScoredPairs(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s, s"star-scored-pairs:$SH:$NH:$BAND:$d") {
+      graft.runtime.Stage.persistShared(
+        Dedup.jaccardOnShingles(
+          Dedup.lshStarCandidates(sharedSigs(s, d), "doc_id", NH, BAND),
+          sharedShingles(s, d)))
+    }
+
+  /** q281's cluster labels: CC over star edges thresholded at the q70 τ.
+    * Star clusters REFINE q70's (edge subgraph ⇒ components only split,
+    * never merge — see [[Dedup.lshStarCandidates]]); ExtSpec pins both the
+    * refinement property and a constructed split case.
+    */
+  private def starClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = starScoredPairs(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
+    Dedup.connectedComponents(verts, edges,
+      reroot = graft.runtime.Reroot.fromEnv())
+      .select(col("_id").as("doc_id"), col("label").as("cluster"),
+        (col("_id") === col("label")).as("is_canonical"))
+  }
+
+  /** q279's estimate-scored candidate pairs: signature-slot agreement over
+    * the shared band candidates — no shingle join anywhere.
+    */
+  private def estimatePairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = sharedSigs(s, d)
+    val vec = array((0 until NH).map(i => col(s"sig$i")): _*)
+    val sa = sigs.select(col("doc_id").as("doc_a"), vec.as("_va"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), vec.as("_vb"))
+    sharedCands(s, d)
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("_va"), col("_vb"),
+            (x, y) => x === y), b => b)).cast("double") / NH, 6)
+          .as("est_jaccard"))
+  }
+
+  /** q280's estimate-edge cluster labels — the fully-cheap screening
+    * clusters q282/q283 ride for the end-to-end estimate-tier triage
+    * report (VERDICT r10 task 6).
+    */
+  private def estimateClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = estimatePairs(s, d).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
+    Dedup.connectedComponents(verts, edges,
+      reroot = graft.runtime.Reroot.fromEnv())
+      .select(col("_id").as("doc_id"), col("label").as("cluster"),
+        (col("_id") === col("label")).as("is_canonical"))
+  }
 
   /** q70's cluster labels (doc_id, cluster, is_canonical), shared with the
     * q98 keep-one ledger. Edges = rep-level near-dup pairs ∪ copy→rep
@@ -459,18 +526,7 @@ object ExtQueries {
     // granularity 1/8); exact-jaccard lanes remain the adjudicating
     // semantics. est = k/8 is an exact binary fraction, so the round(6)
     // is bit-stable across engines.
-    "q279_minhash_estimate" -> ((s, d) => {
-      val sigs = sharedSigs(s, d)
-      val vec = array((0 until NH).map(i => col(s"sig$i")): _*)
-      val sa = sigs.select(col("doc_id").as("doc_a"), vec.as("_va"))
-      val sb = sigs.select(col("doc_id").as("doc_b"), vec.as("_vb"))
-      sharedCands(s, d)
-        .join(sa, "doc_a").join(sb, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(size(filter(zip_with(col("_va"), col("_vb"),
-              (x, y) => x === y), b => b)).cast("double") / NH, 6)
-            .as("est_jaccard"))
-    }),
+    "q279_minhash_estimate" -> ((s, d) => estimatePairs(s, d)),
 
     // Estimate-based dedup clusters (round 10): the END-TO-END cheap
     // screening path — bands → slot-agreement estimate ≥ τ → connected
@@ -482,15 +538,76 @@ object ExtQueries {
     // eighths, so borderline pairs flip vs q70); both the oracle and the
     // union-find checker compute the same estimate edges, so the lane is
     // still bit-checked end to end.
-    "q280_estimate_clusters" -> ((s, d) => {
-      val est = queries("q279_minhash_estimate")(s, d)
-      val edges = est.filter(col("est_jaccard") >= 0.5)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
-      Dedup.connectedComponents(verts, edges,
-        reroot = graft.runtime.Reroot.fromEnv())
-        .select(col("_id").as("doc_id"), col("label").as("cluster"),
-          (col("_id") === col("label")).as("is_canonical"))
+    "q280_estimate_clusters" -> ((s, d) => estimateClusters(s, d)),
+
+    // Star-candidate EXACT dedup clusters (round 11, VERDICT r10 task 1):
+    // the sub-quadratic exact cluster stage for the near-dup-dense
+    // profile. Candidates are per-band STAR edges (bucket-min hub → each
+    // member, ≤ numBands·N total — Dedup.lshStarCandidates) instead of the
+    // full C(m,2) bucket pairs; scoring is the SAME exact shingle jaccard
+    // and threshold as q70, so the result refines q70's clusters (edge
+    // subgraph ⇒ split-only deviation, never a merge; identity under
+    // τ-homogeneous buckets). q70 remains the adjudicating pair-complete
+    // semantics; this lane is the posture a crawl-scale exact pass runs
+    // when the pair-complete candidate stage is group-quadratic (sf10nd:
+    // q70 434 s vs this lane's candidate-linear stage).
+    "q281_star_dedup_clusters" -> ((s, d) => starClusters(s, d)),
+
+    // Estimate-tier savings ledger (round 11, VERDICT r10 task 6): q273's
+    // exact report re-based on q280's estimate clusters — the keep-one
+    // savings numbers the CHEAP screening path yields end-to-end, with no
+    // shingle-intersection join anywhere (per-pair cost = the 8-slot
+    // agreement). Approximate by q280's declared contract; the exact q273
+    // remains the adjudicating ledger.
+    "q282_estimate_savings" -> ((s, d) => {
+      val ntk = graft.ops.Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("ntk"))
+      val per = estimateClusters(s, d).join(ntk, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("m"), sum(col("ntk")).as("ts"),
+          sum(when(col("is_canonical"), col("ntk")).otherwise(0L)).as("kept"))
+      per.groupBy(
+        when(col("m") === 1, "1").when(col("m") === 2, "2")
+          .when(col("m") <= 4, "3-4").when(col("m") <= 8, "5-8")
+          .otherwise("9+").as("size_bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("m")).as("n_docs"),
+          sum(col("ts")).as("tokens_total"),
+          sum(col("ts") - col("kept")).as("tokens_saved"))
+        .withColumn("saved_frac", graft.ops.Ops.ratioHalfUp(
+          col("tokens_saved") * 10000, col("tokens_total"), 4))
+    }),
+
+    // Estimate-tier data card (round 11, task 6's second half): q270's
+    // per-source card with the dup-rate column fed by q280's estimate
+    // clusters — the complete first-pass triage report (volume, language
+    // spread, near-dup rate) at screening cost.
+    "q283_estimate_data_card" -> ((s, d) => {
+      val docs = graft.ops.Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(graft.text.Tokenizer.tokens(col("text"))).cast("long").as("ntk"))
+      val lc = docs
+        .join(estimateClusters(s, d).select(col("doc_id"), col("is_canonical")),
+          "doc_id")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"), sum(col("ntk")).as("tk"),
+          sum(when(col("is_canonical"), 0L).otherwise(1L)).as("dup"))
+      lc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"), sum(col("tk")).as("n_tokens"),
+          count(lit(1)).as("n_langs"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("lang"), col("c")))),
+              x => x.getField("c").cast("double")),
+            lit(0.0), (acc, cv) => acc + cv * log(cv)).as("_clc"),
+          sum(col("dup")).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          round(log(col("n_docs").cast("double"))
+            - col("_clc") / col("n_docs"), 6).as("lang_entropy"),
+          col("n_dup_docs"),
+          graft.ops.Ops.ratioHalfUp(col("n_dup_docs") * 10000L,
+            col("n_docs"), 4).as("dup_rate"),
+          graft.ops.Ops.ratioHalfUp(col("n_tokens") * 10000L,
+            col("n_docs"), 4).as("avg_tokens"))
     }),
 
     // n-gram Jaccard on a deterministic pair set (consecutive doc ids) —
@@ -816,6 +933,31 @@ object ExtQueries {
        |  SELECT re.id, e.b FROM ereach re JOIN eedges e ON e.a = re.r),
        |elab AS (SELECT id, min(r) AS mn FROM ereach GROUP BY id)""".stripMargin
 
+  /** q281's chain: [[clusterChain]] with the pair-complete candidate CTE
+    * replaced by per-band STAR edges (bucket-min hub → member), same exact
+    * jaccard scoring and τ. Ends with `stlab(id, mn)`.
+    */
+  private lazy val starClusterChain =
+    s"""$shCte,
+       |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+       |bands AS (
+       |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+       |  FROM sigs, range(${NH / BAND}) t(b)),
+       |hubs AS (SELECT b, key, min(doc_id) AS hub FROM bands GROUP BY b, key),
+       |spairs AS (
+       |  SELECT DISTINCT h.hub AS doc_a, x.doc_id AS doc_b
+       |  FROM bands x JOIN hubs h ON h.b = x.b AND h.key = x.key
+       |  WHERE x.doc_id > h.hub),
+       |stscored AS (${jaccardCte("spairs")}),
+       |stdup AS (SELECT doc_a, doc_b FROM stscored WHERE jaccard >= 0.5),
+       |stedges AS (SELECT doc_a AS a, doc_b AS b FROM stdup
+       |            UNION SELECT doc_b, doc_a FROM stdup),
+       |streach AS (
+       |  SELECT a AS id, b AS r FROM stedges
+       |  UNION
+       |  SELECT re.id, e.b FROM streach re JOIN stedges e ON e.a = re.r),
+       |stlab AS (SELECT id, min(r) AS mn FROM streach GROUP BY id)""".stripMargin
+
   private def projExpr(j: Int): String =
     s"list_sum(list_transform(range($DIM), pi -> (CASE WHEN substr(md5('${j}_' || pi::VARCHAR), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END) * CAST(embedding[pi+1] AS DOUBLE)))"
 
@@ -1061,6 +1203,54 @@ object ExtQueries {
          |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
          |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
          |FROM documents d LEFT JOIN elab l ON l.id = d.doc_id""".stripMargin,
+
+    "q281_star_dedup_clusters" ->
+      s"""WITH RECURSIVE $starClusterChain
+         |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
+         |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN stlab l ON l.id = d.doc_id""".stripMargin,
+
+    "q282_estimate_savings" ->
+      s"""WITH RECURSIVE $estClusterChain,
+         |res AS (
+         |  SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
+         |    coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_can,
+         |    len($toks) AS ntk
+         |  FROM documents d LEFT JOIN elab l ON l.id = d.doc_id),
+         |per AS (
+         |  SELECT cluster, count(*) AS m, CAST(sum(ntk) AS BIGINT) AS ts,
+         |    CAST(sum(CASE WHEN is_can THEN ntk ELSE 0 END) AS BIGINT) AS kept
+         |  FROM res GROUP BY 1)
+         |SELECT CASE WHEN m = 1 THEN '1' WHEN m = 2 THEN '2'
+         |    WHEN m <= 4 THEN '3-4' WHEN m <= 8 THEN '5-8'
+         |    ELSE '9+' END AS size_bucket,
+         |  count(*) AS n_clusters, CAST(sum(m) AS BIGINT) AS n_docs,
+         |  CAST(sum(ts) AS BIGINT) AS tokens_total,
+         |  CAST(sum(ts - kept) AS BIGINT) AS tokens_saved,
+         |  ${SqlFragments.ratioHalfUpSql("sum(ts - kept) * 10000", "sum(ts)", 4)}
+         |    AS saved_frac
+         |FROM per GROUP BY 1""".stripMargin,
+
+    "q283_estimate_data_card" ->
+      s"""WITH RECURSIVE $estClusterChain,
+         |res AS (
+         |  SELECT d.doc_id, d.source, d.lang, len($toks) AS ntk,
+         |    coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_can
+         |  FROM documents d LEFT JOIN elab l ON l.id = d.doc_id),
+         |lc AS (
+         |  SELECT source, lang, count(*) AS c, CAST(sum(ntk) AS BIGINT) AS tk,
+         |    sum(CASE WHEN is_can THEN 0 ELSE 1 END) AS dup
+         |  FROM res GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS n_tokens, count(*) AS n_langs,
+         |  round(ln(CAST(sum(c) AS DOUBLE))
+         |    - list_sum(list_transform(list(CAST(c AS DOUBLE) ORDER BY lang),
+         |        cv -> cv * ln(cv))) / sum(c), 6)
+         |    AS lang_entropy,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+         |  ${SqlFragments.ratioHalfUpSql("sum(dup) * 10000", "sum(c)", 4)} AS dup_rate,
+         |  ${SqlFragments.ratioHalfUpSql("sum(tk) * 10000", "sum(c)", 4)} AS avg_tokens
+         |FROM lc GROUP BY 1""".stripMargin,
 
     "q27_ngram_jaccard" ->
       s"""WITH $shCte,

@@ -202,7 +202,12 @@ object StreamStress {
           src.select(col("user_id").as("userId"),
             expr("unix_micros(ts) DIV 1000").as("tsMs")))
       } { sunk =>
-        if (sunk != null) graft.streaming.StreamingTws.mergeTimerSink(sunk)
+        // Explicit sentinel cut on the sink side too (mergeTimerSink's own
+        // -1L filter coincides with SentinelUser today, but the comparison
+        // must stay insensitive to whether the sentinel's timer fires even
+        // if that constant ever diverges — ADVICE r10).
+        if (sunk != null) graft.streaming.StreamingTws.mergeTimerSink(
+          sunk.filter(col("user_id") =!= SentinelUser))
         else {
           spark.read.parquet(skewDir)
             .filter(col("user_id") =!= SentinelUser)

@@ -67,6 +67,59 @@ class ExtSpec extends AnyFunSuite {
     assert(cands === Set((9L, 1L), (19L, 1L)))
   }
 
+  test("star candidates: m-member bucket emits m-1 hub edges, never C(m,2)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (9L, "completely unrelated content words entirely elsewhere"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", col("text"), 3, 8)
+    val star = Dedup.lshStarCandidates(sigs, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // four exact copies: hub 1 links each member once — 3 edges, not 6
+    assert(star === Set((1L, 2L), (1L, 3L), (1L, 4L)))
+  }
+
+  test("star clusters refine pair-complete clusters: split-only deviation, never a merge") {
+    // Synthetic signature table: docs 1,2,3 collide ONLY in band 0
+    // (sig0/sig1 shared), so the bucket is {1,2,3} with hub 1.
+    def sig(id: Long, tail: String) =
+      (id, "k1", "k2", s"${tail}a", s"${tail}b", s"${tail}c", s"${tail}d", s"${tail}e", s"${tail}f")
+    val sigs = Seq(sig(1L, "x"), sig(2L, "y"), sig(3L, "z"))
+      .toDF("doc_id", "sig0", "sig1", "sig2", "sig3", "sig4", "sig5", "sig6", "sig7")
+    val star = Dedup.lshStarCandidates(sigs, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star === Set((1L, 2L), (1L, 3L)))
+    val full = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // Shingle sets chosen so j(1,2)=0.5 and j(2,3)=0.5 pass τ but the
+    // hub edge j(1,3)=0 fails: the pair-complete graph joins {1,2,3};
+    // the star graph keeps {1,2} and splits 3 off — the documented
+    // deviation direction. The reverse (star merging what pair-complete
+    // splits) is impossible: star edges are a subset of candidate pairs
+    // under the same exact-jaccard threshold.
+    val sh = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"),
+      (2L, "d"), (3L, "c"), (3L, "d")).toDF("_id", "_s")
+    def clusters(cands: Set[(Long, Long)]): Map[Long, Long] = {
+      val edges = Dedup.jaccardOnShingles(
+          cands.toSeq.toDF("doc_a", "doc_b"), sh)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      Dedup.connectedComponents((1L to 3L).toDF("_id"), edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val starLab = clusters(star)
+    val fullLab = clusters(full)
+    assert(starLab === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    assert(fullLab === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // refinement invariant: one star cluster never straddles two full ones
+    val byStar = starLab.groupBy(_._2).values
+    assert(byStar.forall(m => m.keys.map(fullLab).toSet.size === 1))
+  }
+
   test("ngram jaccard: disjoint shingle sets give 0") {
     val docs = Seq(
       (1L, "a b c d"),

@@ -74,8 +74,12 @@ def round_compare(cur_path, prev_path, solo_path, out_path,
                     "cur sample range => suite churn, else REAL",
         },
         "n_common": len(common),
-        "geomean_ratio_cur_over_prev": round(_geomean(
-            [v["ratio"] for v in per.values()]), 4),
+        # _geomean returns None when no positive ratios exist (disjoint
+        # query sets, or every prev median 0) — report that instead of
+        # raising TypeError on round(None, 4).
+        "geomean_ratio_cur_over_prev": (lambda g: round(g, 4) if g is not None
+                                        else None)(_geomean(
+            [v["ratio"] for v in per.values()])),
         "total_prev_s": round(sum(v["prev_s"] for v in per.values()), 1),
         "total_cur_s": round(sum(v["cur_s"] for v in per.values()), 1),
         "n_flagged": len(regressions),

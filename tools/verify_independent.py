@@ -1535,6 +1535,158 @@ def check_q280_estimate_clusters(con, sf_dir, spark_out, band=2):
     return errs
 
 
+def _estimate_dup_edges(con, sf_dir, band=2):
+    """q280's edge set: band-candidate pairs whose signature agreement
+    covers at least half the slots. Returns (edges, all_doc_ids)."""
+    sigs, toks = _minhash_sigs(con, sf_dir)
+    buckets = {}
+    for d, mins in sigs.items():
+        if mins[0] is None:
+            continue
+        for b in range(len(mins) // band):
+            buckets.setdefault((b, "".join(mins[b * band:(b + 1) * band])),
+                               []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+    edges = [(a, b) for a, b in pairs
+             if sum(1 for i in range(len(sigs[a]))
+                    if sigs[a][i] == sigs[b][i]) * 2 >= len(sigs[a])]
+    return edges, set(toks)
+
+
+def _star_dup_edges(con, sf_dir, tau=0.5, band=2):
+    """q281's edge set: per-band STAR candidates (bucket-min hub -> each
+    member) with rounded exact jaccard >= tau — never the C(m,2) bucket
+    pairs."""
+    sigs, toks = _minhash_sigs(con, sf_dir)
+    buckets = {}
+    for d, mins in sigs.items():
+        if mins[0] is None:
+            continue
+        for b in range(len(mins) // band):
+            buckets.setdefault((b, "".join(mins[b * band:(b + 1) * band])),
+                               []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        hub = min(ds)
+        for d in ds:
+            if d > hub:
+                pairs.add((hub, d))
+    sets = {d: {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+            for d, tk in toks.items() if len(tk) >= 3}
+    edges = []
+    for a, b in pairs:
+        if a not in sets or b not in sets:
+            continue
+        inter = len(sets[a] & sets[b])
+        j = spark_round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+        if j >= tau:
+            edges.append((a, b))
+    return edges, set(toks)
+
+
+def check_q281_star_clusters(con, sf_dir, spark_out):
+    """Union-find over the star-candidate exact-jaccard edges, plus the
+    refinement invariant: every star cluster must sit inside one
+    pair-complete (q70) cluster — the declared deviation contract is
+    split-only."""
+    edges, all_ids = _star_dup_edges(con, sf_dir)
+    labels = _cc_labels(all_ids, edges)
+    got = dump(spark_out, "q281_star_dedup_clusters").set_index("doc_id")
+    errs = []
+    bad = sum(1 for v, l in labels.items()
+              if int(got.loc[v, "cluster"]) != l or
+              bool(got.loc[v, "is_canonical"]) != (v == l))
+    if bad:
+        errs.append(f"{bad}/{len(labels)} star cluster labels differ from"
+                    f" union-find")
+    if len(got) != len(labels):
+        errs.append(f"row count {len(got)} != {len(labels)}")
+    full_edges, _ = _lsh_dup_edges(con, sf_dir)
+    full = _cc_labels(all_ids, full_edges)
+    star_to_full = {}
+    for v, l in labels.items():
+        prev = star_to_full.setdefault(l, full[v])
+        if prev != full[v]:
+            errs.append(f"star cluster {l} straddles q70 clusters "
+                        f"{prev} and {full[v]} — refinement violated")
+            break
+    return errs[:5]
+
+
+def check_q282_estimate_savings(con, sf_dir, spark_out):
+    """q273's ledger arithmetic re-based on the estimate-edge union-find
+    labels (no shingle sets anywhere in the edge build)."""
+    edges, all_ids = _estimate_dup_edges(con, sf_dir)
+    labels = _cc_labels(all_ids, edges)
+    toks = _doc_tokens(con, sf_dir)
+    per = {}
+    for d, l in labels.items():
+        m, ts, kept = per.get(l, (0, 0, 0))
+        ntk = len(toks[d])
+        per[l] = (m + 1, ts + ntk, kept + (ntk if d == l else 0))
+    agg = {}
+    for m, ts, kept in per.values():
+        b = "1" if m == 1 else ("2" if m == 2 else (
+            "3-4" if m <= 4 else ("5-8" if m <= 8 else "9+")))
+        c = agg.setdefault(b, [0, 0, 0, 0])
+        c[0] += 1
+        c[1] += m
+        c[2] += ts
+        c[3] += ts - kept
+    got = dump(spark_out, "q282_estimate_savings").set_index("size_bucket")
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"bucket count {len(got)} != {len(agg)}")
+    for b, c in agg.items():
+        g = got.loc[b]
+        if (int(g["n_clusters"]), int(g["n_docs"]), int(g["tokens_total"]),
+                int(g["tokens_saved"])) != tuple(c):
+            errs.append(f"{b}: counts differ")
+        if float(g["saved_frac"]) != half_up_ratio(c[3] * 10000, c[2], 4):
+            errs.append(f"{b}: saved_frac differs")
+    return errs[:5]
+
+
+def check_q283_estimate_data_card(con, sf_dir, spark_out):
+    """q270's card arithmetic with the dup column fed by the estimate-edge
+    union-find labels."""
+    edges, all_ids = _estimate_dup_edges(con, sf_dir)
+    labels = _cc_labels(all_ids, edges)
+    docs = load(con, sf_dir, "documents", "doc_id, source, lang, text")
+    agg = {}
+    for _, r in docs.iterrows():
+        d = int(r["doc_id"])
+        cell = agg.setdefault(r["source"], {}).setdefault(r["lang"], [0, 0, 0])
+        cell[0] += 1
+        cell[1] += len(tokenize(r["text"]))
+        cell[2] += 0 if labels[d] == d else 1
+    got = dump(spark_out, "q283_estimate_data_card").set_index("source")
+    errs = []
+    if len(got) != len(agg):
+        errs.append(f"source count {len(got)} != {len(agg)}")
+    for src, langs in agg.items():
+        n = sum(v[0] for v in langs.values())
+        tk = sum(v[1] for v in langs.values())
+        dup = sum(v[2] for v in langs.values())
+        ent = math.log(n) - sum(v[0] * math.log(v[0])
+                                for v in langs.values()) / n
+        g = got.loc[src]
+        if (int(g["n_docs"]), int(g["n_tokens"]), int(g["n_langs"]),
+                int(g["n_dup_docs"])) != (n, tk, len(langs), dup):
+            errs.append(f"{src}: counts differ")
+        if float(g["dup_rate"]) != half_up_ratio(dup * 10000, n, 4) or \
+           float(g["avg_tokens"]) != half_up_ratio(tk * 10000, n, 4):
+            errs.append(f"{src}: ratios differ")
+        if not close(g["lang_entropy"], ent, 5.1e-7):
+            errs.append(f"{src}: entropy {g['lang_entropy']} != {ent}")
+    return errs[:5]
+
+
 def check_q26(con, sf_dir, spark_out, band=2):
     sigs, toks = _minhash_sigs(con, sf_dir)
     buckets = {}
@@ -6262,6 +6414,9 @@ CHECKS = {
     "q26_lsh_pairs": check_q26,
     "q279_minhash_estimate": check_q279_minhash_estimate,
     "q280_estimate_clusters": check_q280_estimate_clusters,
+    "q281_star_dedup_clusters": check_q281_star_clusters,
+    "q282_estimate_savings": check_q282_estimate_savings,
+    "q283_estimate_data_card": check_q283_estimate_data_card,
     "q39_textrank_kw": check_q39,
     "q46_precision_rec": check_q46,
     "q27_ngram_jaccard": check_q27_jaccard,
