@@ -191,17 +191,27 @@ object ExtQueries {
 
   /** q280's estimate-edge cluster labels — the fully-cheap screening
     * clusters q282/q283 ride for the end-to-end estimate-tier triage
-    * report (VERDICT r10 task 6).
+    * report (VERDICT r10 task 6). A SHARED stage (unlike the exact
+    * [[dedupClusters]], which each exact lane prices cold): the whole
+    * point of the screening tier is one cheap cluster pass feeding every
+    * triage report, so the CC labels are materialized once per
+    * session+dataset. sharedStage (cut + doc_id repartition + cache)
+    * rather than persistShared: the CC loop's final frame rides scoped
+    * localCheckpoints, and the cut severs that lineage while pinning the
+    * doc_id partitioning the q282/q283 joins consume.
     */
-  private def estimateClusters(s: SparkSession, d: String): DataFrame = {
-    val edges = estimatePairs(s, d).filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
-    Dedup.connectedComponents(verts, edges,
-      reroot = graft.runtime.Reroot.fromEnv())
-      .select(col("_id").as("doc_id"), col("label").as("cluster"),
-        (col("_id") === col("label")).as("is_canonical"))
-  }
+  private def estimateClusters(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s, s"estimate-clusters:$SH:$NH:$BAND:$d") {
+      val edges = estimatePairs(s, d).filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
+      graft.runtime.Stage.sharedStage(
+        Dedup.connectedComponents(verts, edges,
+          reroot = graft.runtime.Reroot.fromEnv())
+          .select(col("_id").as("doc_id"), col("label").as("cluster"),
+            (col("_id") === col("label")).as("is_canonical")),
+        col("doc_id"))
+    }
 
   /** q70's cluster labels (doc_id, cluster, is_canonical), shared with the
     * q98 keep-one ledger. Edges = rep-level near-dup pairs ∪ copy→rep

@@ -578,6 +578,15 @@ object ScaleQueries {
     "q102_stream_outer_join" -> ((s, d) =>
       graft.streaming.StreamingOuterJoin.viewFunnel(s, d)),
 
+    // The SALTED outer join (round 11, VERDICT r10 task 2): q102's funnel
+    // through StreamingOuterJoin.joinSalted — hot-key state and pair
+    // fan-out spread across salt sub-keys, output row-identical by
+    // contract. Shares q102's batch oracle VERBATIM: the gate hash-checks
+    // salt-invariance end to end; StreamStress prices the skew win at
+    // sf10 (SCALE.md).
+    "q284_stream_outer_salted" -> ((s, d) =>
+      graft.streaming.StreamingOuterJoin.viewFunnelSalted(s, d)),
+
     // Whole-graph PageRank over the click bipartite graph (users ↔ news,
     // symmetrized; node ids namespaced even/odd). 10 BSP supersteps — one
     // |E|-row shuffle each — via ext.Graph.pageRank; the oracle unrolls the
@@ -728,6 +737,23 @@ object ScaleQueries {
   private val zExpr = (0 until 10).map(i =>
     s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
     .mkString(" + ")
+
+  /** Shared by q102 (unsalted) and q284 (salted): the salted join's
+    * contract is row-identity, so both lanes hash against one batch SQL.
+    */
+  private val streamOuterJoinOracle =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events),
+      |v AS (SELECT user_id, event_id AS view_id, ts AS v_ts FROM ev
+      |      WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts FROM ev
+      |      WHERE event_type = 'click')
+      |SELECT v.user_id AS userId, v.view_id, c.click_id,
+      |  date_diff('us', v.v_ts, c.c_ts) AS gap_us
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |  AND c.c_ts >= v.v_ts
+      |  AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -950,19 +976,11 @@ object ScaleQueries {
         |  LEFT JOIN p USING (user_id, day)
         |GROUP BY 1""".stripMargin,
 
-    "q102_stream_outer_join" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-        |  FROM events),
-        |v AS (SELECT user_id, event_id AS view_id, ts AS v_ts FROM ev
-        |      WHERE event_type = 'view'),
-        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts FROM ev
-        |      WHERE event_type = 'click')
-        |SELECT v.user_id AS userId, v.view_id, c.click_id,
-        |  date_diff('us', v.v_ts, c.c_ts) AS gap_us
-        |FROM v LEFT JOIN c ON v.user_id = c.user_id
-        |  AND c.c_ts >= v.v_ts
-        |  AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR""".stripMargin,
+    "q102_stream_outer_join" -> streamOuterJoinOracle,
+
+    // identical SQL by design: the salted lane's declared contract is
+    // row-identity with the unsalted join
+    "q284_stream_outer_salted" -> streamOuterJoinOracle,
 
     "q101_pagerank" ->
       s"""WITH e0 AS (

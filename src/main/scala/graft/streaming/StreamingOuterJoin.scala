@@ -36,6 +36,43 @@ object StreamingOuterJoin {
       expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 1 hour"),
       "left_outer")
 
+  /** Salted variant of [[join]] for DECLARED hot keys — the skew remedy
+    * for the one-hot-state-partition problem (SCALE.md r10 probe: a 2%
+    * single-key skew put 3.2× wall on the join, all of it funneled
+    * through ONE state-store partition because state is hash-partitioned
+    * by join key). Each hot VIEW row gets a deterministic sub-key salt
+    * (hash of its unique view_id); each hot CLICK row is replicated to
+    * every salt. A hot (view, click) pair therefore meets on exactly one
+    * (user, salt) partition and every cold pair on salt 0 — the output is
+    * row-identical to [[join]] (pinned in PlanAndStreamSpec; the q284
+    * gate lane hash-checks it against q102's batch oracle), while the hot
+    * key's view state and its pair fan-out spread across `salts`
+    * partitions.
+    *
+    * Cost contract: hot-side CLICK state is replicated ×salts (bounded —
+    * watermark delay + interval worth of hot clicks, times salts); cold
+    * keys pay nothing. The hot-key SET is an input, not magic: a
+    * production deployment feeds it from a frequency sketch over the
+    * previous window (the same detection AQE uses for batch skew joins,
+    * which streaming state partitioning lacks) — [[viewFunnelSalted]]
+    * shows the one-aggregate pre-pass form.
+    */
+  def joinSalted(views: DataFrame, clicks: DataFrame,
+                 hotKeys: Seq[Long], salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val vs = views.withColumn("_vsalt",
+      when(col("v_user").isin(hotKeys: _*),
+        pmod(hash(col("view_id")), lit(salts))).otherwise(lit(0)))
+    val cs = clicks.withColumn("_csalt",
+      explode(when(col("c_user").isin(hotKeys: _*),
+        sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
+    vs.join(cs,
+        expr("v_user = c_user AND _vsalt = _csalt AND " +
+          "c_ts >= v_ts AND c_ts <= v_ts + interval 1 hour"),
+        "left_outer")
+      .drop("_vsalt", "_csalt")
+  }
+
   /** Runs the outer-join stream to completion: one row per (view, click)
     * attribution pair plus one null-click row per unconverted view —
     * (userId, view_id, click_id, gap_us).
@@ -60,6 +97,52 @@ object StreamingOuterJoin {
 
     val sink = s"stream_outer_join_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
     val q = join(views, clicks).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(sink)
+      .filter(col("v_user") =!= SENTINEL_USER)
+      .select(col("v_user").as("userId"), col("view_id"), col("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  /** [[viewFunnel]] through the SALTED join: the hot-key set comes from a
+    * one-row batch pre-pass (top user by event count, id-asc tie-break) —
+    * the harness rendering of the frequency-sketch detection a production
+    * stream feeds from its previous window. Output is row-identical to
+    * [[viewFunnel]] by [[joinSalted]]'s contract, so the q284 gate lane
+    * shares q102's batch oracle verbatim.
+    */
+  def viewFunnelSalted(spark: SparkSession, dir: String,
+                       salts: Int = 8): DataFrame =
+      StreamConf.withStatePartitions(spark) {
+    // Harness-only scalar (same class as writeSentinel's max(ts)): one
+    // row out of a groupBy — the "previous window" sketch stand-in.
+    val hot = graft.io.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("user_id").asc)
+      .limit(1).head().getLong(0)
+
+    val sentinelDir = graft.runtime.Scratch.dir("souter_sentinel", dir)
+    writeSentinel(spark, dir, sentinelDir)
+    def src(path: String, glob: Option[String]): DataFrame =
+      StreamingHotTopics.eventsStream(spark, path, glob)
+    val events = src(dir, Some("events.parquet")).union(src(sentinelDir, None))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+
+    val sink = s"stream_salted_join_${Integer.toHexString(dir.hashCode).replace('-', '_')}"
+    val q = joinSalted(views, clicks, Seq(hot), salts).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(sink)

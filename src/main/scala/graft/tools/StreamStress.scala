@@ -42,6 +42,10 @@ object StreamStress {
   private val SentinelUser = -1L
   private val NumFiles = 24
   private val KillAfterBatches = 4
+  /** Sub-keys the salted lane spreads the hot key across (= local[…]
+    * parallelism, so one hot key can occupy every core).
+    */
+  private val SaltK = 16
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -189,6 +193,30 @@ object StreamStress {
         if (sunk != null) sunk
         else {
           val b = spark.read.parquet(skewDir)
+          graft.streaming.StreamingOuterJoin.join(ojViews(b), ojClicks(b))
+            .select(col("v_user"), col("view_id"), col("click_id"))
+        }
+      base.filter(col("v_user") =!= SentinelUser)
+    }
+
+    // --- lane 1b: the SALTED outer join on the same skewed input — the
+    // hot-key remedy (StreamingOuterJoin.joinSalted): hot view state and
+    // pair fan-out spread across SaltK sub-keys, output contract-identical
+    // to lane 1. In the hot0 control no row carries HotUser, so the lane
+    // doubles as the salt-overhead measurement.
+    lane("outer_join_salted") { src =>
+      graft.streaming.StreamingOuterJoin.joinSalted(
+        ojViews(src).withWatermark("v_ts", "2 hours"),
+        ojClicks(src).withWatermark("c_ts", "2 hours"),
+        Seq(HotUser), SaltK)
+        .select(col("v_user"), col("view_id"), col("click_id"))
+    } { sunk =>
+      val base =
+        if (sunk != null) sunk
+        else {
+          val b = spark.read.parquet(skewDir)
+          // batch expectation stays the UNSALTED join: the comparison IS
+          // the row-identity contract
           graft.streaming.StreamingOuterJoin.join(ojViews(b), ojClicks(b))
             .select(col("v_user"), col("view_id"), col("click_id"))
         }

@@ -167,4 +167,50 @@ class GraphTrendSpec extends AnyFunSuite {
     assert(views === srcViews)
     out.unpersist()
   }
+
+  test("Reroot under block loss: Local fails loudly, Reliable recomputes from disk (VERDICT r10 task 5)") {
+    // Simulated executor loss: drop EVERY persisted block after the loop
+    // completes — localCheckpoint blocks live only in the block manager
+    // with truncated lineage, which is exactly what an executor loss
+    // forfeits. (Deliberately last in this suite: the sweep also evicts
+    // other tests' session caches, which rebuild lazily.)
+    def dropAllBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+    graft.runtime.Stage.newQueryScope()
+    val verts = (1L to 6L).toDF("_id")
+    val ccEdges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+
+    val local = Dedup.connectedComponents(verts, ccEdges)
+    assert(local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    dropAllBlocks()
+    // Local contract: lost blocks are unrecoverable — the read must FAIL
+    // (partially recomputed labels would be silently wrong), never
+    // silently recompute from a lineage that no longer exists.
+    val err = intercept[Exception] { local.count() }
+    assert(causes(err).exists(_.toLowerCase.contains("checkpoint block")),
+      s"expected a lost-checkpoint-block failure, got: ${causes(err).mkString(" | ")}")
+
+    graft.runtime.Stage.newQueryScope()
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_loss").toString
+    try {
+      val rel = Dedup.connectedComponents(verts, ccEdges,
+        reroot = graft.runtime.Reroot.Reliable(ckDir))
+      assert(rel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+      dropAllBlocks()
+      // Reliable contract: the same loss recomputes from the checkpoint
+      // FILES and returns the identical labels.
+      assert(rel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckDir))
+    }
+  }
 }

@@ -699,6 +699,34 @@ class PlanAndStreamSpec extends AnyFunSuite {
       s"user 2 per-type counts must span the restart, got $finalRows")
   }
 
+  test("salted outer join: row-identical to the unsalted join, hot and cold keys alike") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-05 10:$m%02d:00")
+    // user 7 is "hot" (declared); user 8 cold; view 30 unmatched (null row);
+    // view 13's click arrives outside the hour window
+    val views = Seq(
+      (7L, 10L, ts(0)), (7L, 11L, ts(5)), (7L, 13L, ts(10)),
+      (8L, 20L, ts(0)), (7L, 30L, ts(30)))
+      .toDF("v_user", "view_id", "v_ts")
+    val lateTs = Timestamp.valueOf("2024-01-05 11:30:00")
+    val clicks = Seq(
+      (7L, 100L, ts(1)), (7L, 101L, ts(6)), (7L, 102L, ts(7)),
+      (8L, 200L, ts(2)), (7L, 300L, lateTs))
+      .toDF("c_user", "click_id", "c_ts")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("v_user"), col("view_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val plain = rows(graft.streaming.StreamingOuterJoin.join(views, clicks))
+    val salted = rows(graft.streaming.StreamingOuterJoin
+      .joinSalted(views, clicks, Seq(7L), 4))
+    assert(salted === plain)
+    // the hot pair fan-out is real in this fixture (view 10/11 each match
+    // multiple clicks) and the unmatched-view null row survives salting
+    assert(plain.count(_._3 == -1L) >= 1)
+    assert(plain.size > views.count())
+  }
+
   test("events schema probe: missing-path fallback is not memoized; a real footer is") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val dir = java.nio.file.Files.createTempDirectory("graft_probe").toString

@@ -4,9 +4,19 @@
 # intractable at 100x (quadratic pair loops, dense power iterations) fails
 # loudly as TIMEOUT/MEM instead of wedging the box. Results: one line per
 # lane (PASS/FAIL/TIMEOUT) in $OUT.
+#
+# The four rec-family lanes (q23/q46 TF-IDF, q40/q117 TextRank) are
+# dispatched to the memory-bounded 32-slice recompute
+# (tools/verify_sf1_rec_fp.py — identical arithmetic, user-sliced heaps
+# instead of a materialized candidate explode) as two FAMILY jobs with
+# their own longer budget: the monolithic recompute is intractable at sf1
+# by design (the q220 guard's own ~1.5e9-element ceiling), not by
+# implementation. One run of this script therefore covers EVERY checker
+# lane at any SF — no side-evidence reruns (VERDICT r10 task 3).
 # Usage: tools/checker_sf1.sh <sfDir> <sparkOut> <resultFile> [parallelism]
 set -u
 SF=${1:?sfDir}; DUMP=${2:?sparkOut}; OUT=${3:?resultFile}; PAR=${4:-8}
+FAMILY_LANES="q23_rec_lists q46_precision_rec q40_textrank_rec q117_precision_textrank"
 LANES=$(python3 - <<'EOF'
 import importlib.util, sys
 spec = importlib.util.spec_from_file_location("vi", "tools/verify_independent.py")
@@ -16,7 +26,9 @@ try:
     spec.loader.exec_module(m)
 except SystemExit:
     pass
-print("\n".join(sorted(m.CHECKS)))
+family = {"q23_rec_lists", "q46_precision_rec",
+          "q40_textrank_rec", "q117_precision_textrank"}
+print("\n".join(sorted(set(m.CHECKS) - family)))
 EOF
 )
 : > "$OUT"
@@ -35,8 +47,33 @@ run_lane() {
     echo "FAIL $lane :: $(echo "$res" | grep -m3 "FAIL\|Error\|error" | tr '\n' ' ')" >> "$OUT"
   fi
 }
+run_family() { # mode listLane precLane
+  mode=$1; list_lane=$2; prec_lane=$3
+  # 64 GiB cap (profile dicts, not the candidate explode), 3 h wall: the
+  # sliced recompute is ~65 slice-minutes for textrank at sf1.
+  res=$( (ulimit -v $((64*1024*1024)); timeout 10800 \
+    python3 tools/verify_sf1_rec_fp.py --sf-dir "$SF" --spark-out "$DUMP" \
+      --mode "$mode" 2>&1) )
+  rc=$?
+  for lane in "$list_lane" "$prec_lane"; do
+    if [ $rc -eq 124 ]; then
+      echo "TIMEOUT $lane (family $mode)" >> "$OUT"
+    elif echo "$res" | grep -q "^PASS $list_lane (+$prec_lane)"; then
+      echo "PASS $lane" >> "$OUT"
+    else
+      echo "FAIL $lane :: $(echo "$res" | grep -m3 "FAIL\|Error\|error" | tr '\n' ' ')" >> "$OUT"
+    fi
+  done
+}
 export -f run_lane; export SF DUMP OUT
+# family jobs start first (they dominate wall-clock at sf1) and overlap
+# with the per-lane pool
+run_family tfidf q23_rec_lists q46_precision_rec &
+TFIDF_PID=$!
+run_family textrank q40_textrank_rec q117_precision_textrank &
+TEXTRANK_PID=$!
 echo "$LANES" | xargs -P "$PAR" -I{} bash -c 'run_lane {}'
+wait "$TFIDF_PID" "$TEXTRANK_PID"
 sort -k2 -o "$OUT" "$OUT"
 grep -c '^PASS' "$OUT" | xargs echo pass:
 grep -v '^PASS' "$OUT" || true

@@ -4357,6 +4357,10 @@ def check_q154_loo(con, sf_dir, spark_out):
 
 
 def check_q162_geo(con, sf_dir, spark_out):
+    """Vectorized grid-accelerated haversine: one pandas merge per 3x3
+    cell offset with numpy haversine on the candidate block, instead of
+    the per-point python loop that timed out at sf1's 900 s per-lane cap
+    (VERDICT r10 task 3). Same cells, same pair set, same rounding."""
     cust = load(con, sf_dir, "customer", "c_custkey AS id")
     ids = cust["id"].astype(int).to_numpy()
     # r9 synthesis: id pairs (2k, 2k+1) share a base point 0.1 deg apart so
@@ -4364,35 +4368,55 @@ def check_q162_geo(con, sf_dir, spark_out):
     lat = (((ids // 2) * 37) % 300) / 10.0 - 15.0 + (ids % 2) * 0.1
     lon = (((ids // 2) * 73) % 600) / 10.0 + (ids % 2) * 0.1
     got = dump(spark_out, "q162_geo_bucket_join").set_index(["ida", "idb"])
-    # grid-accelerated haversine: same 3x3 cell neighborhood as the lane
-    cells = {}
-    for i, vid in enumerate(ids):
-        cells.setdefault((int(np.floor(lat[i])), int(np.floor(lon[i]))),
-                         []).append(i)
-    exp = {}
-    for i, vid in enumerate(ids):
-        cx, cy = int(np.floor(lat[i])), int(np.floor(lon[i]))
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for j in cells.get((cx + dx, cy + dy), ()):
-                    a, b = ids[i], ids[j]
-                    if a >= b:
-                        continue
-                    la1, lo1, la2, lo2 = map(
-                        math.radians, (lat[i], lon[i], lat[j], lon[j]))
-                    dkm = 12742.0 * math.asin(math.sqrt(
-                        math.sin((la2 - la1) / 2) ** 2 +
-                        math.cos(la1) * math.cos(la2) *
-                        math.sin((lo2 - lo1) / 2) ** 2))
-                    dkm = spark_round(dkm, 3)
-                    if dkm <= 40.0:
-                        exp[(a, b)] = dkm
+    pts = pd.DataFrame({"id": ids, "lat": lat, "lon": lon,
+                        "cx": np.floor(lat).astype(int),
+                        "cy": np.floor(lon).astype(int)})
+    parts = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            right = pts.rename(columns={c: c + "_b" for c in pts.columns})
+            right["cx"] = right["cx_b"] - dx
+            right["cy"] = right["cy_b"] - dy
+            m = pts.merge(right, on=["cx", "cy"])
+            m = m[m["id"] < m["id_b"]]
+            if m.empty:
+                continue
+            la1 = np.radians(m["lat"].to_numpy())
+            lo1 = np.radians(m["lon"].to_numpy())
+            la2 = np.radians(m["lat_b"].to_numpy())
+            lo2 = np.radians(m["lon_b"].to_numpy())
+            dkm = 12742.0 * np.arcsin(np.sqrt(
+                np.sin((la2 - la1) / 2) ** 2 +
+                np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2))
+            # loose pre-filter on the raw value; the exact <= 40.0 cut is
+            # applied after rounding
+            keep = dkm <= 40.0005
+            parts.append(pd.DataFrame({
+                "ida": m["id"].to_numpy()[keep],
+                "idb": m["id_b"].to_numpy()[keep],
+                "raw": dkm[keep]}))
+    exp = pd.concat(parts, ignore_index=True)
+    # Vectorized binary HALF_UP for the bulk; Spark's decimal-string
+    # HALF_UP (spark_round) only where the two can disagree — raw values
+    # within 1e-9 of a .0005 tie boundary (the decimal-repr vs binary gap).
+    scaled = exp["raw"].to_numpy() * 1000.0
+    r = np.floor(scaled + 0.5) / 1000.0
+    near_tie = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-9
+    if near_tie.any():
+        raws = exp["raw"].to_numpy()
+        r = r.copy()
+        for i in np.flatnonzero(near_tie):
+            r[i] = spark_round(raws[i], 3)
+    exp["dist_exp"] = r
+    exp = exp[exp["dist_exp"] <= 40.0]
     errs = []
     if len(got) != len(exp):
         errs.append(f"pair count {len(got)} != {len(exp)}")
-    bad = sum(1 for k, dkm in exp.items()
-              if k not in got.index or
-              not close(got.loc[k, "dist_km"], dkm, 1e-9))
+    m = got.reset_index().merge(exp[["ida", "idb", "dist_exp"]],
+                                on=["ida", "idb"], how="outer")
+    bad = int(m["dist_km"].isna().sum() + m["dist_exp"].isna().sum() +
+              (np.abs(m["dist_km"].to_numpy() -
+                      m["dist_exp"].to_numpy()) > 1e-9).sum())
     if bad:
         errs.append(f"{bad}/{len(exp)} geo pairs differ")
     return errs
@@ -5733,6 +5757,9 @@ def check_q71_pivot(con, sf_dir, spark_out):
 
 
 def check_q72_unpivot(con, sf_dir, spark_out):
+    """Vectorized (melt + grouped multiset compare): the old per-row
+    Counter loop over 3x|lineitem| tuples timed out at the sf1 tier's
+    900 s per-lane cap (VERDICT r10 task 3)."""
     li = load(con, sf_dir, "lineitem",
               "l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
               "l_discount")
@@ -5740,17 +5767,21 @@ def check_q72_unpivot(con, sf_dir, spark_out):
     errs = []
     if len(got) != 3 * len(li):
         errs.append(f"row count {len(got)} != {3 * len(li)}")
-    from collections import Counter
-    exp = Counter()
-    for _, r in li.iterrows():
-        for m in ("l_quantity", "l_extendedprice", "l_discount"):
-            exp[(int(r["l_orderkey"]), int(r["l_linenumber"]), m,
-                 spark_round(r[m], 2))] += 1
-    gc = Counter((int(r["l_orderkey"]), int(r["l_linenumber"]),
-                  r["measure"], float(r["value"]))
-                 for _, r in got.iterrows())
-    if exp != gc:
-        errs.append(f"{sum((exp - gc).values())} unpivot rows differ")
+    exp = li.melt(id_vars=["l_orderkey", "l_linenumber"],
+                  value_vars=["l_quantity", "l_extendedprice", "l_discount"],
+                  var_name="measure", value_name="value")
+    # spark_round stays the per-value arbiter (same HALF_UP semantics as
+    # the original loop); the multiset compare is the vectorized part.
+    exp["value"] = [spark_round(v, 2) for v in exp["value"].to_numpy()]
+    key = ["l_orderkey", "l_linenumber", "measure", "value"]
+    e = exp.groupby(key).size()
+    g = got.assign(l_orderkey=got["l_orderkey"].astype(int),
+                   l_linenumber=got["l_linenumber"].astype(int),
+                   value=got["value"].astype(float)).groupby(key).size()
+    diff = e.subtract(g, fill_value=0)
+    bad = int((diff != 0).sum())
+    if bad:
+        errs.append(f"{bad} unpivot (key, multiplicity) groups differ")
     return errs
 
 
