@@ -74,18 +74,29 @@ object Ops {
     edges.join(ok, keyCol)
   }
 
-  /** Null-safe (`<=>`) equi-join with a null-bucket budget. The null
-    * bucket of a null-safe join is a semantic CROSS — every null-key left
-    * row pairs with every null-key right row — so a high-null key silently
-    * turns the join quadratic at scale. This wrapper projects that pair
-    * count with ONE tiny column-pruned probe job BEFORE launching the
-    * join (both null counts computed as a cross of two single-row
-    * aggregates — the sides are independent, so one action covers both)
-    * and fails loudly over budget; the deliberate cost of a small probe
-    * job buys a guarantee no plan inspection gives (the explosion depends
-    * on data, not the plan). Callers that already track their null counts
-    * can pass them via `knownNullCounts` and skip the probe entirely;
-    * callers that have proven their null rates can call `<=>` directly.
+  /** Null-safe (`<=>`) equi-join with a null-bucket budget and SPLIT
+    * execution. The null bucket of a null-safe join is a semantic CROSS —
+    * every null-key left row pairs with every null-key right row — and it
+    * carries TWO scale hazards: the pair count is quadratic in null rates
+    * (data-dependent, invisible in the plan), and under a plain `<=>`
+    * hash join every null row lands on ONE hash key = one task, so even
+    * an in-budget bucket serializes onto a single core (measured at sf1:
+    * the q129 bucket is ~5M × 1.5k pairs — hours single-task, ~a minute
+    * spread over the cluster).
+    *
+    * This wrapper (a) projects the pair count with ONE tiny column-pruned
+    * probe job BEFORE launching anything (both null counts as a cross of
+    * two single-row aggregates) and fails loudly over budget, and (b)
+    * executes in two branches with a positional union: non-null keys as a
+    * plain equi-join, the null bucket as a broadcast nested-loop cross of
+    * the SMALLER null side against the larger — row-identical to `<=>`
+    * (OpsSpec pins it), but the pair generation is spread across every
+    * partition of the big side instead of one hash bucket. Work stays
+    * pair-count-proportional — that is the semantics — so the budget is
+    * the real contract; the split removes only the artificial skew.
+    * Callers that already track their null counts can pass
+    * `knownNullCounts` and skip the probe; callers that have proven their
+    * null rates can call `<=>` directly.
     */
   def nullSafeJoinGuarded(left: DataFrame, leftKey: Column,
                           right: DataFrame, rightKey: Column,
@@ -102,7 +113,19 @@ object Ops {
         s"${ln * rn} pairs (budget $maxNullPairs). A null-heavy key makes " +
         "<=> a cross join at scale — pre-filter nulls or join them " +
         "separately with bounded semantics.")
-    left.join(right, leftKey <=> rightKey)
+    val eq = left.filter(leftKey.isNotNull)
+      .join(right.filter(rightKey.isNotNull), leftKey === rightKey)
+    val nullBucket =
+      if (rn <= ln)
+        left.filter(leftKey.isNull)
+          .crossJoin(broadcast(right.filter(rightKey.isNull)))
+      else
+        // broadcast the smaller (left) side but KEEP left++right column
+        // order so the positional union with `eq` lines up
+        broadcast(left.filter(leftKey.isNull))
+          .crossJoin(right.filter(rightKey.isNull))
+    // both branches emit left-columns ++ right-columns — positional union
+    eq.union(nullBucket)
   }
 
   /** Σ price·(1−discount) in EXACT integer ten-thousandths of a currency

@@ -247,12 +247,14 @@ object MiningQueries {
     // dimension-join semantics SQL's plain `=` silently drops. Keys are
     // NULLed deterministically (value band), then the null-safe join count
     // is compared against the null-dropping plain join in one output row
-    // per key class. Catalyst plans <=> as a real hash join key (no
-    // fallback to nested-loop). Runs through Ops.nullSafeJoinGuarded: the
-    // null bucket is a semantic cross (null-rows × null-rows), and the
-    // guard fails loudly before launching a join whose bucket outgrows the
-    // budget — so this demo shape can't be copied onto a high-null key and
-    // silently go quadratic.
+    // per key class. Runs through Ops.nullSafeJoinGuarded, which since
+    // round 11 executes SPLIT (non-null equi-join ∪ broadcast-cross null
+    // bucket — row-identical to <=>, but the bucket's pairs spread across
+    // every partition instead of one hash key) and still fails loudly
+    // when the bucket outgrows the budget. Budget 2e9: the bucket is the
+    // lane's declared output feed (~1.4e8 pairs at sf1 — executed, not
+    // refused, ~seconds distributed), and the guard still refuses the
+    // accidental 10×-null regression.
     "q129_nullsafe_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_id"),
@@ -262,7 +264,8 @@ object MiningQueries {
         .select(when(col("c_custkey") % 100 === 0, lit(null).cast("bigint"))
           .otherwise(col("c_custkey")).as("ck"),
           col("c_mktsegment"))
-      Ops.nullSafeJoinGuarded(ev, col("uk"), dim, col("ck"))
+      Ops.nullSafeJoinGuarded(ev, col("uk"), dim, col("ck"),
+          maxNullPairs = 2000000000L)
         .groupBy(coalesce(col("c_mktsegment"), lit("NULL_KEY")).as("segment"),
           col("uk").isNull.as("null_key"))
         .agg(count(lit(1)).as("n_matches"))

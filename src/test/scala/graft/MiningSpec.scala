@@ -137,6 +137,15 @@ class MiningSpec extends AnyFunSuite {
     // within budget: the join runs and the null bucket is exactly the cross
     val ok = Ops.nullSafeJoinGuarded(left, col("lk"), right, col("rk"), maxNullPairs = 800L)
     assert(ok.filter(col("lk").isNull).count() === 800L)
+    // the split execution (equi-join ∪ broadcast-cross bucket, round 11)
+    // is row-identical to the plain <=> join — multiset compare
+    val plain = left.join(right, col("lk") <=> col("rk"))
+    assert(ok.exceptAll(plain).isEmpty && plain.exceptAll(ok).isEmpty)
+    // and both smaller-side orientations agree: flip which side is
+    // null-heavy so the broadcast picks the LEFT branch too
+    val ok2 = Ops.nullSafeJoinGuarded(right, col("rk"), left, col("lk"), maxNullPairs = 800L)
+    val plain2 = right.join(left, col("rk") <=> col("lk"))
+    assert(ok2.exceptAll(plain2).isEmpty && plain2.exceptAll(ok2).isEmpty)
   }
 
   private def chunks(tokens: Seq[String], chunk: Int, stride: Int): Seq[Seq[String]] = {
