@@ -116,13 +116,27 @@ object Dedup {
     * quantifies the residual deviation.
     */
   def lshStarCandidates(sigs: DataFrame, idCol: String,
-                        numHashes: Int, bandSize: Int): DataFrame = {
+                        numHashes: Int, bandSize: Int,
+                        numHubs: Int = 1): DataFrame = {
+    require(numHubs >= 1, "numHubs must be >= 1")
     val bands = bandRows(sigs, idCol, numHashes, bandSize)
-    val hubs = bands.groupBy(col("band"), col("key"))
-      .agg(min(col(idCol)).as("doc_a"))
+    // numHubs is the recall/cost dial: link each member to the h
+    // smallest-id docs of the bucket (candidate volume ×h, still
+    // candidate-linear; h = bucket size degenerates to the pair-complete
+    // graph). h=1 keeps the cheap partial-agg path — no per-bucket sort.
+    val hubs =
+      if (numHubs == 1)
+        bands.groupBy(col("band"), col("key")).agg(min(col(idCol)).as("_hub"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key")).orderBy(col(idCol))
+        bands.withColumn("_hr", row_number().over(w))
+          .filter(col("_hr") <= numHubs)
+          .select(col("band"), col("key"), col(idCol).as("_hub"))
+      }
     bands.join(hubs, Seq("band", "key"))
-      .filter(col(idCol) > col("doc_a"))
-      .select(col("doc_a"), col(idCol).as("doc_b")).distinct()
+      .filter(col(idCol) > col("_hub"))
+      .select(col("_hub").as("doc_a"), col(idCol).as("doc_b")).distinct()
   }
 
   /** Asymmetric LSH candidates — the incremental-ingestion cut: INCOMING

@@ -149,21 +149,25 @@ object ExtQueries {
     * it runs on the FULL corpus and its declared semantics need no
     * collapse argument.
     */
-  private def starScoredPairs(s: SparkSession, d: String): DataFrame =
-    graft.runtime.Stage.shared(s, s"star-scored-pairs:$SH:$NH:$BAND:$d") {
+  private def starScoredPairs(s: SparkSession, d: String,
+                              numHubs: Int = 1): DataFrame =
+    graft.runtime.Stage.shared(s, s"star-scored-pairs:$SH:$NH:$BAND:$numHubs:$d") {
       graft.runtime.Stage.persistShared(
         Dedup.jaccardOnShingles(
-          Dedup.lshStarCandidates(sharedSigs(s, d), "doc_id", NH, BAND),
+          Dedup.lshStarCandidates(sharedSigs(s, d), "doc_id", NH, BAND, numHubs),
           sharedShingles(s, d)))
     }
 
   /** q281's cluster labels: CC over star edges thresholded at the q70 τ.
     * Star clusters REFINE q70's (edge subgraph ⇒ components only split,
     * never merge — see [[Dedup.lshStarCandidates]]); ExtSpec pins both the
-    * refinement property and a constructed split case.
+    * refinement property and a constructed split case. `numHubs` is the
+    * recall dial (q281 = 1, q285 = 2; both refine q70, and q281 refines
+    * q285 — larger h only adds edges).
     */
-  private def starClusters(s: SparkSession, d: String): DataFrame = {
-    val edges = starScoredPairs(s, d)
+  private def starClusters(s: SparkSession, d: String,
+                           numHubs: Int = 1): DataFrame = {
+    val edges = starScoredPairs(s, d, numHubs)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
@@ -562,6 +566,14 @@ object ExtQueries {
     // when the pair-complete candidate stage is group-quadratic (sf10nd:
     // q70 434 s vs this lane's candidate-linear stage).
     "q281_star_dedup_clusters" -> ((s, d) => starClusters(s, d)),
+
+    // The h=2 point of the star recall dial (round 11): every bucket
+    // member links to the TWO smallest bucket ids. Candidate volume ×2,
+    // still candidate-linear; recovers most of h=1's splits on the nd
+    // stress corpus (SCALE.md table). Refinement order is proved and
+    // pinned: q281 ⊑ q285 ⊑ q70 (more hubs only ADD edges, so clusters
+    // only coarsen toward the pair-complete limit, never cross it).
+    "q285_star2_dedup_clusters" -> ((s, d) => starClusters(s, d, numHubs = 2)),
 
     // Estimate-tier savings ledger (round 11, VERDICT r10 task 6): q273's
     // exact report re-based on q280's estimate clusters — the keep-one
@@ -968,6 +980,34 @@ object ExtQueries {
        |  SELECT re.id, e.b FROM streach re JOIN stedges e ON e.a = re.r),
        |stlab AS (SELECT id, min(r) AS mn FROM streach GROUP BY id)""".stripMargin
 
+  /** q285's chain: [[starClusterChain]] with h=2 hubs (the two smallest
+    * ids per bucket, via row_number). Ends with `s2lab(id, mn)`.
+    */
+  private lazy val star2ClusterChain =
+    s"""$shCte,
+       |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+       |bands AS (
+       |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+       |  FROM sigs, range(${NH / BAND}) t(b)),
+       |hubs2 AS (
+       |  SELECT b, key, doc_id AS hub FROM (
+       |    SELECT b, key, doc_id,
+       |      row_number() OVER (PARTITION BY b, key ORDER BY doc_id) AS hr
+       |    FROM bands) t WHERE hr <= 2),
+       |spairs2 AS (
+       |  SELECT DISTINCT h.hub AS doc_a, x.doc_id AS doc_b
+       |  FROM bands x JOIN hubs2 h ON h.b = x.b AND h.key = x.key
+       |  WHERE x.doc_id > h.hub),
+       |s2scored AS (${jaccardCte("spairs2")}),
+       |s2dup AS (SELECT doc_a, doc_b FROM s2scored WHERE jaccard >= 0.5),
+       |s2edges AS (SELECT doc_a AS a, doc_b AS b FROM s2dup
+       |            UNION SELECT doc_b, doc_a FROM s2dup),
+       |s2reach AS (
+       |  SELECT a AS id, b AS r FROM s2edges
+       |  UNION
+       |  SELECT re.id, e.b FROM s2reach re JOIN s2edges e ON e.a = re.r),
+       |s2lab AS (SELECT id, min(r) AS mn FROM s2reach GROUP BY id)""".stripMargin
+
   private def projExpr(j: Int): String =
     s"list_sum(list_transform(range($DIM), pi -> (CASE WHEN substr(md5('${j}_' || pi::VARCHAR), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END) * CAST(embedding[pi+1] AS DOUBLE)))"
 
@@ -1219,6 +1259,12 @@ object ExtQueries {
          |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
          |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
          |FROM documents d LEFT JOIN stlab l ON l.id = d.doc_id""".stripMargin,
+
+    "q285_star2_dedup_clusters" ->
+      s"""WITH RECURSIVE $star2ClusterChain
+         |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
+         |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN s2lab l ON l.id = d.doc_id""".stripMargin,
 
     "q282_estimate_savings" ->
       s"""WITH RECURSIVE $estClusterChain,

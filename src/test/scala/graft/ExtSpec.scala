@@ -118,6 +118,12 @@ class ExtSpec extends AnyFunSuite {
     // refinement invariant: one star cluster never straddles two full ones
     val byStar = starLab.groupBy(_._2).values
     assert(byStar.forall(m => m.keys.map(fullLab).toSet.size === 1))
+    // the h=2 dial on the same fixture: hubs {1,2} add the (2,3) edge,
+    // recovering exactly the pair-complete clustering — q281 ⊑ q285 ⊑ q70
+    val star2 = Dedup.lshStarCandidates(sigs, "doc_id", 8, 2, numHubs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star2 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(clusters(star2) === fullLab)
   }
 
   test("ngram jaccard: disjoint shingle sets give 0") {

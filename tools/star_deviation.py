@@ -8,7 +8,9 @@ cluster. This driver verifies that on real dump output and reports how
 much splitting actually happens — the number SCALE.md cites for the nd
 stress fixtures.
 
-Usage: python3 tools/star_deviation.py <verifyOutDir>
+Usage: python3 tools/star_deviation.py <verifyOutDir> [starLane]
+(starLane defaults to q281_star_dedup_clusters; pass
+q285_star2_dedup_clusters to price the h=2 dial)
 """
 import glob
 import json
@@ -25,8 +27,9 @@ def labels(out, lane):
 
 def main():
     out = sys.argv[1]
+    lane = sys.argv[2] if len(sys.argv) > 2 else "q281_star_dedup_clusters"
     full = labels(out, "q70_dedup_clusters")
-    star = labels(out, "q281_star_dedup_clusters")
+    star = labels(out, lane)
     assert len(full) == len(star), "row count mismatch"
     m = pd.DataFrame({"full": full, "star": star}).reset_index()
 

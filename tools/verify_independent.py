@@ -1558,10 +1558,10 @@ def _estimate_dup_edges(con, sf_dir, band=2):
     return edges, set(toks)
 
 
-def _star_dup_edges(con, sf_dir, tau=0.5, band=2):
-    """q281's edge set: per-band STAR candidates (bucket-min hub -> each
-    member) with rounded exact jaccard >= tau — never the C(m,2) bucket
-    pairs."""
+def _star_dup_edges(con, sf_dir, tau=0.5, band=2, num_hubs=1):
+    """q281/q285's edge set: per-band STAR candidates (the num_hubs
+    smallest bucket ids -> each larger member) with rounded exact jaccard
+    >= tau — never the C(m,2) bucket pairs."""
     sigs, toks = _minhash_sigs(con, sf_dir)
     buckets = {}
     for d, mins in sigs.items():
@@ -1572,10 +1572,10 @@ def _star_dup_edges(con, sf_dir, tau=0.5, band=2):
                                []).append(d)
     pairs = set()
     for ds in buckets.values():
-        hub = min(ds)
-        for d in ds:
-            if d > hub:
-                pairs.add((hub, d))
+        for hub in sorted(ds)[:num_hubs]:
+            for d in ds:
+                if d > hub:
+                    pairs.add((hub, d))
     sets = {d: {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
             for d, tk in toks.items() if len(tk) >= 3}
     edges = []
@@ -1615,6 +1615,35 @@ def check_q281_star_clusters(con, sf_dir, spark_out):
             errs.append(f"star cluster {l} straddles q70 clusters "
                         f"{prev} and {full[v]} — refinement violated")
             break
+    return errs[:5]
+
+
+def check_q285_star2_clusters(con, sf_dir, spark_out):
+    """h=2 star union-find + the refinement ORDER: q281 refines q285
+    refines q70 (more hubs only add edges)."""
+    edges2, all_ids = _star_dup_edges(con, sf_dir, num_hubs=2)
+    labels2 = _cc_labels(all_ids, edges2)
+    got = dump(spark_out, "q285_star2_dedup_clusters").set_index("doc_id")
+    errs = []
+    bad = sum(1 for v, l in labels2.items()
+              if int(got.loc[v, "cluster"]) != l or
+              bool(got.loc[v, "is_canonical"]) != (v == l))
+    if bad:
+        errs.append(f"{bad}/{len(labels2)} h=2 star labels differ")
+    if len(got) != len(labels2):
+        errs.append(f"row count {len(got)} != {len(labels2)}")
+    edges1, _ = _star_dup_edges(con, sf_dir, num_hubs=1)
+    labels1 = _cc_labels(all_ids, edges1)
+    full_edges, _ = _lsh_dup_edges(con, sf_dir)
+    full = _cc_labels(all_ids, full_edges)
+    for fine, coarse, name in ((labels1, labels2, "q281 within q285"),
+                               (labels2, full, "q285 within q70")):
+        seen = {}
+        for v, l in fine.items():
+            prev = seen.setdefault(l, coarse[v])
+            if prev != coarse[v]:
+                errs.append(f"refinement order violated: {name}")
+                break
     return errs[:5]
 
 
@@ -6446,6 +6475,7 @@ CHECKS = {
     "q279_minhash_estimate": check_q279_minhash_estimate,
     "q280_estimate_clusters": check_q280_estimate_clusters,
     "q281_star_dedup_clusters": check_q281_star_clusters,
+    "q285_star2_dedup_clusters": check_q285_star2_clusters,
     "q282_estimate_savings": check_q282_estimate_savings,
     "q283_estimate_data_card": check_q283_estimate_data_card,
     "q39_textrank_kw": check_q39,
