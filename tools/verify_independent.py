@@ -1428,7 +1428,19 @@ def check_q39(con, sf_dir, spark_out, window=5, k=5):
     return errs
 
 
+_SIG_CACHE = {}
+
+
 def _minhash_sigs(con, sf_dir, n=3, num_hashes=8):
+    # Memoized per (sf_dir, n, num_hashes): checks that compare several
+    # edge constructions (check_q281/q285 build star h=1, h=2 AND the
+    # pair-complete set) would otherwise recompute the md5 signature
+    # table 3x — at sf1 that is the difference between fitting the 900 s
+    # per-lane cap and blowing it. Per-process cache only (each checker
+    # lane runs in its own process under checker_sf1.sh).
+    key = (sf_dir, n, num_hashes)
+    if key in _SIG_CACHE:
+        return _SIG_CACHE[key]
     import hashlib
     toks = _doc_tokens(con, sf_dir)
     sigs = {}
@@ -1446,6 +1458,7 @@ def _minhash_sigs(con, sf_dir, n=3, num_hashes=8):
                 if mins[i + 1] is None or hi < mins[i + 1]:
                     mins[i + 1] = hi
         sigs[d] = mins
+    _SIG_CACHE[key] = (sigs, toks)
     return sigs, toks
 
 
