@@ -139,6 +139,55 @@ object Dedup {
       .select(col("_hub").as("doc_a"), col(idCol).as("doc_b")).distinct()
   }
 
+  /** Rescue-wave candidates — the detached-member fix that makes the star
+    * graph's clusters EXACTLY the pair-complete ([[lshCandidates]]) clusters
+    * at candidate-linear + failure-proportional cost. `failedDocs` (one
+    * column named `idCol`) is the set of MEMBER endpoints of star edges
+    * that failed the τ threshold; each such doc re-probes every one of its
+    * band buckets and pairs with every non-hub co-member. Returns
+    * (doc_a < doc_b), distinct.
+    *
+    * Exactness theorem (pinned in ExtSpec, recomputed by check_q286): let
+    * E70 be the thresholded pair-complete edge set and E* = thresholded
+    * star(h=1) ∪ thresholded rescue edges. E* ⊆ E70 (every rescue pair is
+    * a co-bucket pair scored by the same jaccard and τ), and E* preserves
+    * E70's connectivity: for any (x,y) ∈ E70 co-bucketed in B with hub h,
+    * either x = h (then (x,y) is a star edge of B, and it passed τ because
+    * it is in E70), or both hub edges (h,x),(h,y) passed τ (then x–h–y
+    * already connects x,y in E*), or one of them failed — putting that
+    * member in `failedDocs`, whose re-probe of B regenerates (x,y), which
+    * passes τ. A subgraph with the same connectivity has identical
+    * connected components, hence identical min-id cluster labels.
+    *
+    * Cost: candidate volume is Σ_buckets f_b·m_b (f_b = failed members of
+    * the bucket, m_b = bucket size) — proportional to the FAILURE count,
+    * not C(m,2). τ-homogeneous buckets (exact-copy groups, near-clique
+    * profiles) produce zero failures and therefore zero rescue work; the
+    * wave's size is exactly the size of the star approximation's error
+    * surface. Hub-side failures need no rescue: a hub's own-bucket pairs
+    * are already star edges, and in buckets where it is a member it enters
+    * `failedDocs` through its member-side edge there.
+    */
+  def lshStarRescueCandidates(sigs: DataFrame, idCol: String,
+                              numHashes: Int, bandSize: Int,
+                              failedDocs: DataFrame): DataFrame = {
+    val bands = bandRows(sigs, idCol, numHashes, bandSize)
+    // Same partial-aggregatable hub groupBy as lshStarCandidates h=1 — the
+    // rescue is defined relative to the single-hub star graph.
+    val hubs = bands.groupBy(col("band"), col("key")).agg(min(col(idCol)).as("_hub"))
+    val fb = bands.join(failedDocs, Seq(idCol), "left_semi")
+      .select(col(idCol).as("_f"), col("band"), col("key"))
+    bands.join(fb, Seq("band", "key"))
+      .join(hubs, Seq("band", "key"))
+      // Drop hub-incident pairs: (hub, member) of the SAME bucket is
+      // already a scored star edge; rescoring it buys nothing.
+      .filter(col(idCol) =!= col("_f") &&
+        col(idCol) =!= col("_hub") && col("_f") =!= col("_hub"))
+      .select(least(col("_f"), col(idCol)).as("doc_a"),
+        greatest(col("_f"), col(idCol)).as("doc_b"))
+      .distinct()
+  }
+
   /** Asymmetric LSH candidates — the incremental-ingestion cut: INCOMING
     * docs probe the EXISTING base corpus's bands, never each other. Returns
     * (doc_a = incoming id, doc_b = base id), distinct; no `<` constraint

@@ -81,8 +81,9 @@ object Ops {
     * (data-dependent, invisible in the plan), and under a plain `<=>`
     * hash join every null row lands on ONE hash key = one task, so even
     * an in-budget bucket serializes onto a single core (measured at sf1:
-    * the q129 bucket is ~5M × 1.5k pairs — hours single-task, ~a minute
-    * spread over the cluster).
+    * the q129 bucket is ~94k × 1.5k ≈ 1.41e8 pairs — minutes single-task,
+    * seconds spread over the cluster; the figure MiningQueries' q129
+    * budget note cites).
     *
     * This wrapper (a) projects the pair count with ONE tiny column-pruned
     * probe job BEFORE launching anything (both null counts as a cross of

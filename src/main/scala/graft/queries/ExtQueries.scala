@@ -177,6 +177,37 @@ object ExtQueries {
         (col("_id") === col("label")).as("is_canonical"))
   }
 
+  /** q286's cluster labels: CC over star(h=1) edges PLUS the detached-
+    * member rescue wave — bit-identical to q70's labels by the exactness
+    * theorem on [[Dedup.lshStarRescueCandidates]], at candidate-linear +
+    * failure-proportional cost instead of the pair-complete stage's
+    * group-quadratic one. Shares the star scoring stage with q281 (same
+    * session ⇒ the rescue pass is the only extra work).
+    */
+  private def starRescueClusters(s: SparkSession, d: String): DataFrame = {
+    // The star-scored pairs feed three consumers here (failure set,
+    // surviving edges) and are already session-shared/persisted.
+    val scored = starScoredPairs(s, d)
+    // Member-side endpoints only: hub-side failures need no rescue (see
+    // the theorem — a hub's own-bucket pairs ARE star edges, and where it
+    // is a member its failures enter through doc_b).
+    val failed = scored.filter(col("jaccard") < 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val rescueScored = Dedup.jaccardOnShingles(
+      Dedup.lshStarRescueCandidates(sharedSigs(s, d), "doc_id", NH, BAND, failed),
+      sharedShingles(s, d))
+    val edges = scored.filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .union(rescueScored.filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
+    Dedup.connectedComponents(verts, edges,
+      reroot = graft.runtime.Reroot.fromEnv())
+      .select(col("_id").as("doc_id"), col("label").as("cluster"),
+        (col("_id") === col("label")).as("is_canonical"))
+  }
+
   /** q279's estimate-scored candidate pairs: signature-slot agreement over
     * the shared band candidates — no shingle join anywhere.
     */
@@ -574,6 +605,17 @@ object ExtQueries {
     // pinned: q281 ⊑ q285 ⊑ q70 (more hubs only ADD edges, so clusters
     // only coarsen toward the pair-complete limit, never cross it).
     "q285_star2_dedup_clusters" -> ((s, d) => starClusters(s, d, numHubs = 2)),
+
+    // Star + detached-member RESCUE wave (round 12, VERDICT r11 task 1):
+    // members whose hub edge failed τ re-probe their co-bucket members —
+    // candidate volume proportional to the FAILURE count (zero on
+    // τ-homogeneous buckets), and the union of star + rescue edges has
+    // provably IDENTICAL connectivity to the pair-complete graph (see
+    // Dedup.lshStarRescueCandidates's exactness theorem, pinned in
+    // ExtSpec and recomputed by check_q286). This retires the density-
+    // scaling deviation of q281/q285: exact q70 cluster semantics at
+    // candidate-linear + failure-proportional cost.
+    "q286_star_rescue_clusters" -> ((s, d) => starRescueClusters(s, d)),
 
     // Estimate-tier savings ledger (round 11, VERDICT r10 task 6): q273's
     // exact report re-based on q280's estimate clusters — the keep-one
@@ -1008,6 +1050,49 @@ object ExtQueries {
        |  SELECT re.id, e.b FROM s2reach re JOIN s2edges e ON e.a = re.r),
        |s2lab AS (SELECT id, min(r) AS mn FROM s2reach GROUP BY id)""".stripMargin
 
+  /** q286's chain: [[starClusterChain]] plus the detached-member RESCUE
+    * wave — member endpoints of failed star edges re-probe their
+    * co-bucket non-hub members; star ∪ rescue edges feed the same
+    * transitive closure. By the exactness theorem on
+    * [[Dedup.lshStarRescueCandidates]] this computes q70's labels.
+    * Ends with `rslab(id, mn)`.
+    */
+  private lazy val starRescueChain =
+    s"""$shCte,
+       |sigs AS (SELECT doc_id, $sigSelect FROM docsh),
+       |bands AS (
+       |  SELECT doc_id, b, CASE b $bandKeyCase END AS key
+       |  FROM sigs, range(${NH / BAND}) t(b)),
+       |hubs AS (SELECT b, key, min(doc_id) AS hub FROM bands GROUP BY b, key),
+       |spairs AS (
+       |  SELECT DISTINCT h.hub AS doc_a, x.doc_id AS doc_b
+       |  FROM bands x JOIN hubs h ON h.b = x.b AND h.key = x.key
+       |  WHERE x.doc_id > h.hub),
+       |stscored AS (${jaccardCte("spairs")}),
+       |stfail AS (SELECT DISTINCT doc_b AS doc_id FROM stscored
+       |           WHERE jaccard < 0.5),
+       |rpairs AS (
+       |  SELECT DISTINCT least(fb.doc_id, x.doc_id) AS doc_a,
+       |                  greatest(fb.doc_id, x.doc_id) AS doc_b
+       |  FROM bands fb
+       |  JOIN stfail f ON f.doc_id = fb.doc_id
+       |  JOIN bands x ON x.b = fb.b AND x.key = fb.key
+       |  JOIN hubs h ON h.b = fb.b AND h.key = fb.key
+       |  WHERE x.doc_id <> fb.doc_id AND x.doc_id <> h.hub
+       |    AND fb.doc_id <> h.hub),
+       |rscored AS (${jaccardCte("rpairs")}),
+       |rsdup AS (
+       |  SELECT doc_a, doc_b FROM stscored WHERE jaccard >= 0.5
+       |  UNION
+       |  SELECT doc_a, doc_b FROM rscored WHERE jaccard >= 0.5),
+       |rsedges AS (SELECT doc_a AS a, doc_b AS b FROM rsdup
+       |            UNION SELECT doc_b, doc_a FROM rsdup),
+       |rsreach AS (
+       |  SELECT a AS id, b AS r FROM rsedges
+       |  UNION
+       |  SELECT re.id, e.b FROM rsreach re JOIN rsedges e ON e.a = re.r),
+       |rslab AS (SELECT id, min(r) AS mn FROM rsreach GROUP BY id)""".stripMargin
+
   private def projExpr(j: Int): String =
     s"list_sum(list_transform(range($DIM), pi -> (CASE WHEN substr(md5('${j}_' || pi::VARCHAR), 1, 1) <= '7' THEN 1.0 ELSE -1.0 END) * CAST(embedding[pi+1] AS DOUBLE)))"
 
@@ -1265,6 +1350,12 @@ object ExtQueries {
          |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
          |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
          |FROM documents d LEFT JOIN s2lab l ON l.id = d.doc_id""".stripMargin,
+
+    "q286_star_rescue_clusters" ->
+      s"""WITH RECURSIVE $starRescueChain
+         |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
+         |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN rslab l ON l.id = d.doc_id""".stripMargin,
 
     "q282_estimate_savings" ->
       s"""WITH RECURSIVE $estClusterChain,

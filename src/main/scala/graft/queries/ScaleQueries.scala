@@ -587,6 +587,17 @@ object ScaleQueries {
     "q284_stream_outer_salted" -> ((s, d) =>
       graft.streaming.StreamingOuterJoin.viewFunnelSalted(s, d)),
 
+    // AUTO-salted outer join (round 12, VERDICT r11 task 2): the hot-key
+    // set comes from a STREAMING windowed-frequency detector (closed
+    // windows → exactly-once foreachBatch ledger → share+count hotness
+    // test) instead of q284's batch pre-pass — the self-contained
+    // production posture, one epoch per run (HotKeyDetector's epoch
+    // contract). Output is row-identical whatever the detected set, so
+    // this lane too shares q102's oracle verbatim; StreamStress's
+    // auto-salted lane prices the detection+salting at sf10 skew.
+    "q287_stream_outer_autosalted" -> ((s, d) =>
+      graft.streaming.StreamingOuterJoin.viewFunnelAutoSalted(s, d)),
+
     // Whole-graph PageRank over the click bipartite graph (users ↔ news,
     // symmetrized; node ids namespaced even/odd). 10 BSP supersteps — one
     // |E|-row shuffle each — via ext.Graph.pageRank; the oracle unrolls the
@@ -981,6 +992,7 @@ object ScaleQueries {
     // identical SQL by design: the salted lane's declared contract is
     // row-identity with the unsalted join
     "q284_stream_outer_salted" -> streamOuterJoinOracle,
+    "q287_stream_outer_autosalted" -> streamOuterJoinOracle,
 
     "q101_pagerank" ->
       s"""WITH e0 AS (

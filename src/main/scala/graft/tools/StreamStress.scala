@@ -223,6 +223,39 @@ object StreamStress {
       base.filter(col("v_user") =!= SentinelUser)
     }
 
+    // --- lane 1c: the AUTO-salted outer join — the hot set comes from the
+    // STREAMING windowed-frequency detector (HotKeyDetector), not from
+    // naming HotUser. Detection runs once before the lane (one epoch —
+    // the detector's own exactly-once ledger), and on the skewed corpus
+    // it MUST rediscover HotUser; the join lane then goes through the
+    // standard kill/restart protocol with the detected set. hot0 control:
+    // no key reaches 1% share, the set is empty, and the lane measures
+    // pure detection+unsalted overhead.
+    val detected = graft.streaming.HotKeyDetector.detectBounded(
+      spark, stream().withColumn("ts", col("ts").cast("timestamp")),
+      s"$work/hotkey_detect")
+    println(s"[stress] detector found hot keys: ${detected.mkString(",")}")
+    assert(hotPct == 0 || detected.contains(HotUser),
+      s"detector missed the planted hot key at hotPct=$hotPct: $detected")
+    assert(hotPct > 0 || detected.isEmpty,
+      s"detector false-positives on the unskewed control: $detected")
+    lane("outer_join_salted_auto") { src =>
+      graft.streaming.StreamingOuterJoin.joinSalted(
+        ojViews(src).withWatermark("v_ts", "2 hours"),
+        ojClicks(src).withWatermark("c_ts", "2 hours"),
+        detected, SaltK)
+        .select(col("v_user"), col("view_id"), col("click_id"))
+    } { sunk =>
+      val base =
+        if (sunk != null) sunk
+        else {
+          val b = spark.read.parquet(skewDir)
+          graft.streaming.StreamingOuterJoin.join(ojViews(b), ojClicks(b))
+            .select(col("v_user"), col("view_id"), col("click_id"))
+        }
+      base.filter(col("v_user") =!= SentinelUser)
+    }
+
     // --- lane 2: q204 shape — TWS event-time timers (RocksDB provider).
     graft.streaming.StreamingTws.withRocksDb(spark) {
       lane("tws_timers") { src =>

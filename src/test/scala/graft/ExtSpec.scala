@@ -126,6 +126,43 @@ class ExtSpec extends AnyFunSuite {
     assert(clusters(star2) === fullLab)
   }
 
+  test("rescue wave: detached member re-probes its bucket — star+rescue equals pair-complete exactly") {
+    // The split fixture from the refinement test: bucket {1,2,3} (band 0,
+    // hub 1); j(1,2)=0.5 passes, hub edge j(1,3)=0 fails, member edge
+    // j(2,3)=0.5 passes — h=1 star splits doc 3 off. The rescue wave must
+    // put 3 (the member endpoint of the failed edge) back through its
+    // bucket's non-hub co-members, regenerate (2,3), and land on the
+    // pair-complete clustering — the exactness theorem's smallest case.
+    def sig(id: Long, tail: String) =
+      (id, "k1", "k2", s"${tail}a", s"${tail}b", s"${tail}c", s"${tail}d", s"${tail}e", s"${tail}f")
+    val sigs = Seq(sig(1L, "x"), sig(2L, "y"), sig(3L, "z"))
+      .toDF("doc_id", "sig0", "sig1", "sig2", "sig3", "sig4", "sig5", "sig6", "sig7")
+    val sh = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"),
+      (2L, "d"), (3L, "c"), (3L, "d")).toDF("_id", "_s")
+    val starScored = Dedup.jaccardOnShingles(
+      Dedup.lshStarCandidates(sigs, "doc_id", 8, 2), sh)
+    val failed = starScored.filter(col("jaccard") < 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    assert(failed.collect().map(_.getLong(0)).toSet === Set(3L))
+    val rescue = Dedup.lshStarRescueCandidates(sigs, "doc_id", 8, 2, failed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the member-member pair — hub-incident pairs are never re-scored
+    assert(rescue === Set((2L, 3L)))
+    val edges = starScored.filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .union(Dedup.jaccardOnShingles(Seq((2L, 3L)).toDF("doc_a", "doc_b"), sh)
+        .filter(col("jaccard") >= 0.5).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val lab = Dedup.connectedComponents((1L to 3L).toDF("_id"), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical to the pair-complete clustering, not merely a refinement
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // no failures -> empty rescue wave (the τ-homogeneous-bucket case)
+    val none = Dedup.lshStarRescueCandidates(sigs, "doc_id", 8, 2,
+      spark.emptyDataset[Long].toDF("doc_id"))
+    assert(none.count() === 0L)
+  }
+
   test("ngram jaccard: disjoint shingle sets give 0") {
     val docs = Seq(
       (1L, "a b c d"),

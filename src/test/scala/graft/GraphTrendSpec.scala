@@ -169,14 +169,19 @@ class GraphTrendSpec extends AnyFunSuite {
   }
 
   test("Reroot under block loss: Local fails loudly, Reliable recomputes from disk (VERDICT r10 task 5)") {
-    // Simulated executor loss: drop EVERY persisted block after the loop
-    // completes — localCheckpoint blocks live only in the block manager
+    // Simulated executor loss: drop the persisted blocks THIS TEST
+    // creates — localCheckpoint blocks live only in the block manager
     // with truncated lineage, which is exactly what an executor loss
-    // forfeits. (Deliberately last in this suite: the sweep also evicts
-    // other tests' session caches, which rebuild lazily.)
-    def dropAllBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+    // forfeits. The sweep is scoped to RDD ids registered after the test
+    // starts: a blanket unpersist would also evict other suites' cached
+    // frames, and any of those riding a localCheckpoint cannot rebuild
+    // (the same lost-block failure this test asserts), which made suite
+    // order matter in the shared forked JVM (ADVICE r11).
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    def dropTestBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => preexisting(id) }
+        .values.foreach(_.unpersist(blocking = true))
     def causes(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
         .map(e => Option(e.getMessage).getOrElse("")).toSeq
@@ -188,7 +193,7 @@ class GraphTrendSpec extends AnyFunSuite {
 
     val local = Dedup.connectedComponents(verts, ccEdges)
     assert(local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
-    dropAllBlocks()
+    dropTestBlocks()
     // Local contract: lost blocks are unrecoverable — the read must FAIL
     // (partially recomputed labels would be silently wrong), never
     // silently recompute from a lineage that no longer exists.
@@ -202,7 +207,7 @@ class GraphTrendSpec extends AnyFunSuite {
       val rel = Dedup.connectedComponents(verts, ccEdges,
         reroot = graft.runtime.Reroot.Reliable(ckDir))
       assert(rel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
-      dropAllBlocks()
+      dropTestBlocks()
       // Reliable contract: the same loss recomputes from the checkpoint
       // FILES and returns the identical labels.
       assert(rel.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)

@@ -727,6 +727,36 @@ class PlanAndStreamSpec extends AnyFunSuite {
     assert(plain.size > views.count())
   }
 
+  test("hot-key detector: share+count hotness over closed windows; streaming detection finds the planted key") {
+    import java.sql.Timestamp
+    // batch side: the hotness predicate — per-window share AND absolute
+    // floor, OR across windows
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-05 $h%02d:00:00")
+    val ledger = Seq(
+      (t(1), t(2), 7L, 300L), (t(1), t(2), 8L, 9700L),   // 7: 3% share, hot
+      (t(2), t(3), 9L, 50L), (t(2), t(3), 10L, 950L),    // 9: 5% but < 100 rows
+      (t(3), t(4), 11L, 2L), (t(3), t(4), 12L, 3L))      // tiny window, floor
+      .toDF("w_start", "w_end", "key", "n")
+    val hot = graft.streaming.HotKeyDetector.hotKeys(ledger, 0.01, 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(hot === Set(7L, 8L, 10L))
+
+    // streaming side: planted 30%-share key in a 500-row hour, closed by a
+    // far-future row; the final (open) window never reaches the ledger
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotdet").toString
+    val base = Timestamp.valueOf("2024-01-05 10:00:00").getTime
+    val rows = (0 until 500).map { i =>
+      val u = if (i % 10 < 3) 7L else 100L + i % 50
+      (i.toLong, u, new Timestamp(base + (i % 3600) * 1000L))
+    } :+ (9999L, -1L, new Timestamp(base + 48L * 3600 * 1000))
+    rows.toDF("event_id", "user_id", "ts").write.parquet(s"$dir/ev")
+    val schema = spark.read.parquet(s"$dir/ev").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/ev")
+    val detected = graft.streaming.HotKeyDetector.detectBounded(
+      spark, stream, s"$dir/work")
+    assert(detected === Seq(7L))
+  }
+
   test("events schema probe: missing-path fallback is not memoized; a real footer is") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val dir = java.nio.file.Files.createTempDirectory("graft_probe").toString

@@ -16,9 +16,14 @@
 # Usage: tools/checker_sf1.sh <sfDir> <sparkOut> <resultFile> [parallelism]
 set -u
 SF=${1:?sfDir}; DUMP=${2:?sparkOut}; OUT=${3:?resultFile}; PAR=${4:-8}
+# Single source of truth for the family-dispatched lanes: the heredoc
+# below consumes this via the environment, and the run_family calls at the
+# bottom must name the same four lanes (pairs: tfidf=q23+q46,
+# textrank=q40+q117).
 FAMILY_LANES="q23_rec_lists q46_precision_rec q40_textrank_rec q117_precision_textrank"
+export FAMILY_LANES
 LANES=$(python3 - <<'EOF'
-import importlib.util, sys
+import importlib.util, os, sys
 spec = importlib.util.spec_from_file_location("vi", "tools/verify_independent.py")
 m = importlib.util.module_from_spec(spec)
 sys.argv = ["vi"]
@@ -26,11 +31,13 @@ try:
     spec.loader.exec_module(m)
 except SystemExit:
     pass
-family = {"q23_rec_lists", "q46_precision_rec",
-          "q40_textrank_rec", "q117_precision_textrank"}
+family = set(os.environ["FAMILY_LANES"].split())
+missing = family - set(m.CHECKS)
+if missing:
+    sys.exit(f"FAMILY_LANES not in CHECKS registry: {sorted(missing)}")
 print("\n".join(sorted(set(m.CHECKS) - family)))
 EOF
-)
+) || exit 1   # sys.exit message (drifted FAMILY_LANES) goes to stderr
 : > "$OUT"
 run_lane() {
   lane=$1

@@ -1602,6 +1602,81 @@ def _star_dup_edges(con, sf_dir, tau=0.5, band=2, num_hubs=1):
     return edges, set(toks)
 
 
+def _star_rescue_dup_edges(con, sf_dir, tau=0.5, band=2):
+    """q286's edge set: star h=1 edges plus the detached-member RESCUE
+    wave — member endpoints of failed star edges re-probe their co-bucket
+    non-hub members. The exactness theorem (Dedup.lshStarRescueCandidates)
+    says CC over this equals CC over the pair-complete edges; check_q286
+    asserts both the labels and the equality."""
+    sigs, toks = _minhash_sigs(con, sf_dir)
+    buckets = {}
+    for d, mins in sigs.items():
+        if mins[0] is None:
+            continue
+        for b in range(len(mins) // band):
+            buckets.setdefault((b, "".join(mins[b * band:(b + 1) * band])),
+                               []).append(d)
+    spairs = set()
+    for ds in buckets.values():
+        hub = min(ds)
+        for d in ds:
+            if d > hub:
+                spairs.add((hub, d))
+    sets = {d: {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+            for d, tk in toks.items() if len(tk) >= 3}
+
+    def jac(a, b):
+        inter = len(sets[a] & sets[b])
+        return spark_round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+
+    edges = []
+    failed = set()
+    for a, b in spairs:
+        if a not in sets or b not in sets:
+            continue
+        if jac(a, b) >= tau:
+            edges.append((a, b))
+        else:
+            failed.add(b)          # member-side endpoint only
+    rpairs = set()
+    for ds in buckets.values():
+        hub = min(ds)
+        for f in ds:
+            if f in failed and f != hub:
+                for x in ds:
+                    if x != f and x != hub:
+                        rpairs.add((min(f, x), max(f, x)))
+    for a, b in rpairs:
+        if a in sets and b in sets and jac(a, b) >= tau:
+            edges.append((a, b))
+    return edges, set(toks)
+
+
+def check_q286_star_rescue_clusters(con, sf_dir, spark_out):
+    """Union-find over the star+rescue edges, plus the EXACTNESS
+    invariant: labels must equal the pair-complete (q70-construction)
+    union-find labels — not merely refine them."""
+    edges, all_ids = _star_rescue_dup_edges(con, sf_dir)
+    labels = _cc_labels(all_ids, edges)
+    got = dump(spark_out, "q286_star_rescue_clusters").set_index("doc_id")
+    errs = []
+    if len(got) != len(labels):
+        errs.append(f"row count {len(got)} != {len(labels)}")
+    bad = sum(1 for v, l in labels.items()
+              if int(got.loc[v, "cluster"]) != l or
+              bool(got.loc[v, "is_canonical"]) != (v == l))
+    if bad:
+        errs.append(f"{bad}/{len(labels)} star+rescue labels differ from"
+                    f" union-find")
+    full_edges, _ = _lsh_dup_edges(con, sf_dir)
+    full = _cc_labels(all_ids, full_edges)
+    ndiff = sum(1 for v, l in labels.items() if full[v] != l)
+    if ndiff:
+        errs.append(f"exactness violated: {ndiff} labels differ from the"
+                    f" pair-complete union-find")
+    return errs[:5]
+
+
 def check_q281_star_clusters(con, sf_dir, spark_out):
     """Union-find over the star-candidate exact-jaccard edges, plus the
     refinement invariant: every star cluster must sit inside one
@@ -6489,6 +6564,7 @@ CHECKS = {
     "q280_estimate_clusters": check_q280_estimate_clusters,
     "q281_star_dedup_clusters": check_q281_star_clusters,
     "q285_star2_dedup_clusters": check_q285_star2_clusters,
+    "q286_star_rescue_clusters": check_q286_star_rescue_clusters,
     "q282_estimate_savings": check_q282_estimate_savings,
     "q283_estimate_data_card": check_q283_estimate_data_card,
     "q39_textrank_kw": check_q39,
