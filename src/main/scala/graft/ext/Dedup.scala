@@ -141,10 +141,10 @@ object Dedup {
 
   /** Rescue-wave candidates — the detached-member fix that makes the star
     * graph's clusters EXACTLY the pair-complete ([[lshCandidates]]) clusters
-    * at candidate-linear + failure-proportional cost. `failedDocs` (one
-    * column named `idCol`) is the set of MEMBER endpoints of star edges
-    * that failed the τ threshold; each such doc re-probes every one of its
-    * band buckets and pairs with every non-hub co-member. Returns
+    * at candidate-linear + failure-proportional cost. `failedEdges` is the
+    * set of star edges (doc_a = hub, doc_b = member) that failed the τ
+    * threshold; the member re-probes THE BUCKET WHOSE hub edge failed,
+    * pairing with every non-hub co-member of that bucket. Returns
     * (doc_a < doc_b), distinct.
     *
     * Exactness theorem (pinned in ExtSpec, recomputed by check_q286): let
@@ -154,38 +154,65 @@ object Dedup {
     * E70's connectivity: for any (x,y) ∈ E70 co-bucketed in B with hub h,
     * either x = h (then (x,y) is a star edge of B, and it passed τ because
     * it is in E70), or both hub edges (h,x),(h,y) passed τ (then x–h–y
-    * already connects x,y in E*), or one of them failed — putting that
-    * member in `failedDocs`, whose re-probe of B regenerates (x,y), which
-    * passes τ. A subgraph with the same connectivity has identical
-    * connected components, hence identical min-id cluster labels.
+    * already connects x,y in E*), or one of them failed IN BUCKET B —
+    * whose re-probe of exactly B regenerates (x,y), which passes τ. A
+    * subgraph with the same connectivity has identical connected
+    * components, hence identical min-id cluster labels.
     *
-    * Cost: candidate volume is Σ_buckets f_b·m_b (f_b = failed members of
-    * the bucket, m_b = bucket size) — proportional to the FAILURE count,
-    * not C(m,2). τ-homogeneous buckets (exact-copy groups, near-clique
-    * profiles) produce zero failures and therefore zero rescue work; the
-    * wave's size is exactly the size of the star approximation's error
-    * surface. Hub-side failures need no rescue: a hub's own-bucket pairs
-    * are already star edges, and in buckets where it is a member it enters
-    * `failedDocs` through its member-side edge there.
+    * Cost: candidate volume is Σ_buckets f_b·m_b (f_b = members of the
+    * bucket whose OWN hub edge failed, m_b = bucket size) — proportional
+    * to the FAILURE count, not C(m,2). τ-homogeneous buckets (exact-copy
+    * groups, near-clique profiles) produce zero failures and therefore
+    * zero rescue work; the wave's size is exactly the size of the star
+    * approximation's error surface. Per-bucket scoping matters on a dense
+    * crawl: a doc in `bands` buckets that failed in one re-probes one, not
+    * all (sf10nd: 6.1M candidates vs 9.9M under a global failed-doc set).
+    * Hub-side failures need no rescue: a hub's own-bucket pairs are
+    * already star edges, and in buckets where it is a member its failures
+    * there are member-side failures.
     */
   def lshStarRescueCandidates(sigs: DataFrame, idCol: String,
                               numHashes: Int, bandSize: Int,
-                              failedDocs: DataFrame): DataFrame = {
+                              failedEdges: DataFrame): DataFrame = {
     val bands = bandRows(sigs, idCol, numHashes, bandSize)
     // Same partial-aggregatable hub groupBy as lshStarCandidates h=1 — the
     // rescue is defined relative to the single-hub star graph.
     val hubs = bands.groupBy(col("band"), col("key")).agg(min(col(idCol)).as("_hub"))
-    val fb = bands.join(failedDocs, Seq(idCol), "left_semi")
+    val withHub = bands.join(hubs, Seq("band", "key"))
+    // (bucket, member) incidences whose own hub edge failed: the semi-join
+    // keys on BOTH endpoints, so only the failing bucket re-probes.
+    val fb = withHub.join(failedEdges,
+        withHub("_hub") === failedEdges("doc_a") &&
+          withHub(idCol) === failedEdges("doc_b"), "left_semi")
       .select(col(idCol).as("_f"), col("band"), col("key"))
     bands.join(fb, Seq("band", "key"))
       .join(hubs, Seq("band", "key"))
       // Drop hub-incident pairs: (hub, member) of the SAME bucket is
       // already a scored star edge; rescoring it buys nothing.
-      .filter(col(idCol) =!= col("_f") &&
-        col(idCol) =!= col("_hub") && col("_f") =!= col("_hub"))
+      .filter(col(idCol) =!= col("_f") && col(idCol) =!= col("_hub"))
       .select(least(col("_f"), col(idCol)).as("doc_a"),
         greatest(col("_f"), col(idCol)).as("doc_b"))
       .distinct()
+  }
+
+  /** Exact Jaccard size prefilter: j(A,B) ≥ τ forces |A| ≥ τ·|B| and
+    * |B| ≥ τ·|A| (intersection ≤ min size), so pairs whose shingle-set
+    * sizes are more than 1/τ apart CANNOT pass and need no intersection
+    * join. Provably drops only sub-τ pairs — output-invariant for any
+    * consumer that thresholds at ≥ τ — and costs two size-table hash
+    * joins instead of a pairs×shingles explode. τ is passed as an exact
+    * rational (num/den: τ = num/den, e.g. 1/2) so the integer-arithmetic
+    * comparison has no float edge cases.
+    */
+  def jaccardSizePrefilter(pairs: DataFrame, sh: DataFrame,
+                           tauNum: Int, tauDen: Int): DataFrame = {
+    val sizes = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    pairs
+      .join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
+      .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+      .filter(least(col("_na"), col("_nb")) * tauDen
+        >= greatest(col("_na"), col("_nb")) * tauNum)
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** Asymmetric LSH candidates — the incremental-ingestion cut: INCOMING

@@ -181,20 +181,25 @@ object ExtQueries {
     * member rescue wave — bit-identical to q70's labels by the exactness
     * theorem on [[Dedup.lshStarRescueCandidates]], at candidate-linear +
     * failure-proportional cost instead of the pair-complete stage's
-    * group-quadratic one. Shares the star scoring stage with q281 (same
-    * session ⇒ the rescue pass is the only extra work).
+    * group-quadratic one (sf10nd: 0 label diffs over 500k docs). Shares
+    * the star scoring stage with q281 (same session ⇒ the rescue pass is
+    * the only extra work).
     */
   private def starRescueClusters(s: SparkSession, d: String): DataFrame = {
     // The star-scored pairs feed three consumers here (failure set,
     // surviving edges) and are already session-shared/persisted.
     val scored = starScoredPairs(s, d)
-    // Member-side endpoints only: hub-side failures need no rescue (see
-    // the theorem — a hub's own-bucket pairs ARE star edges, and where it
-    // is a member its failures enter through doc_b).
     val failed = scored.filter(col("jaccard") < 0.5)
-      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_a"), col("doc_b"))
+    // The size prefilter is output-invariant (it provably drops only
+    // sub-τ pairs — Dedup.jaccardSizePrefilter) but skips the pairs ×
+    // shingles intersection explode for them; the oracle chain and
+    // check_q286 deliberately OMIT it, so the gate cross-validates its
+    // exactness every run.
     val rescueScored = Dedup.jaccardOnShingles(
-      Dedup.lshStarRescueCandidates(sharedSigs(s, d), "doc_id", NH, BAND, failed),
+      Dedup.jaccardSizePrefilter(
+        Dedup.lshStarRescueCandidates(sharedSigs(s, d), "doc_id", NH, BAND, failed),
+        sharedShingles(s, d), 1, 2),
       sharedShingles(s, d))
     val edges = scored.filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
@@ -1051,10 +1056,12 @@ object ExtQueries {
        |s2lab AS (SELECT id, min(r) AS mn FROM s2reach GROUP BY id)""".stripMargin
 
   /** q286's chain: [[starClusterChain]] plus the detached-member RESCUE
-    * wave — member endpoints of failed star edges re-probe their
-    * co-bucket non-hub members; star ∪ rescue edges feed the same
-    * transitive closure. By the exactness theorem on
-    * [[Dedup.lshStarRescueCandidates]] this computes q70's labels.
+    * wave — a member whose hub edge failed re-probes THAT bucket's
+    * non-hub members; star ∪ rescue edges feed the same transitive
+    * closure. By the exactness theorem on
+    * [[Dedup.lshStarRescueCandidates]] this computes q70's labels. The
+    * engine-side size prefilter is deliberately absent here (it is
+    * output-invariant, so the hash compare cross-validates it).
     * Ends with `rslab(id, mn)`.
     */
   private lazy val starRescueChain =
@@ -1069,17 +1076,19 @@ object ExtQueries {
        |  FROM bands x JOIN hubs h ON h.b = x.b AND h.key = x.key
        |  WHERE x.doc_id > h.hub),
        |stscored AS (${jaccardCte("spairs")}),
-       |stfail AS (SELECT DISTINCT doc_b AS doc_id FROM stscored
-       |           WHERE jaccard < 0.5),
+       |stfail AS (SELECT doc_a, doc_b FROM stscored WHERE jaccard < 0.5),
+       |fbands AS (
+       |  SELECT fb.doc_id, fb.b, fb.key
+       |  FROM bands fb
+       |  JOIN hubs fh ON fh.b = fb.b AND fh.key = fb.key
+       |  JOIN stfail f ON f.doc_a = fh.hub AND f.doc_b = fb.doc_id),
        |rpairs AS (
        |  SELECT DISTINCT least(fb.doc_id, x.doc_id) AS doc_a,
        |                  greatest(fb.doc_id, x.doc_id) AS doc_b
-       |  FROM bands fb
-       |  JOIN stfail f ON f.doc_id = fb.doc_id
+       |  FROM fbands fb
        |  JOIN bands x ON x.b = fb.b AND x.key = fb.key
        |  JOIN hubs h ON h.b = fb.b AND h.key = fb.key
-       |  WHERE x.doc_id <> fb.doc_id AND x.doc_id <> h.hub
-       |    AND fb.doc_id <> h.hub),
+       |  WHERE x.doc_id <> fb.doc_id AND x.doc_id <> h.hub),
        |rscored AS (${jaccardCte("rpairs")}),
        |rsdup AS (
        |  SELECT doc_a, doc_b FROM stscored WHERE jaccard >= 0.5

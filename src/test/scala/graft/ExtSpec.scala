@@ -142,12 +142,21 @@ class ExtSpec extends AnyFunSuite {
     val starScored = Dedup.jaccardOnShingles(
       Dedup.lshStarCandidates(sigs, "doc_id", 8, 2), sh)
     val failed = starScored.filter(col("jaccard") < 0.5)
-      .select(col("doc_b").as("doc_id")).distinct()
-    assert(failed.collect().map(_.getLong(0)).toSet === Set(3L))
+      .select(col("doc_a"), col("doc_b"))
+    assert(failed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 3L)))
     val rescue = Dedup.lshStarRescueCandidates(sigs, "doc_id", 8, 2, failed)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // only the member-member pair — hub-incident pairs are never re-scored
     assert(rescue === Set((2L, 3L)))
+    // the size prefilter keeps it (|2|=4, |3|=2 shingles: 2·2 ≥ 4)
+    assert(Dedup.jaccardSizePrefilter(rescue.toSeq.toDF("doc_a", "doc_b"), sh, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((2L, 3L)))
+    // ...and provably drops only sub-τ pairs: a 1-vs-4-shingle pair
+    // (max possible jaccard 1/4 < τ) is filtered
+    val shBig = sh.union(Seq((9L, "a")).toDF("_id", "_s"))
+    assert(Dedup.jaccardSizePrefilter(Seq((2L, 9L)).toDF("doc_a", "doc_b"), shBig, 1, 2)
+      .count() === 0L)
     val edges = starScored.filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
       .union(Dedup.jaccardOnShingles(Seq((2L, 3L)).toDF("doc_a", "doc_b"), sh)
@@ -159,7 +168,7 @@ class ExtSpec extends AnyFunSuite {
     assert(lab === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
     // no failures -> empty rescue wave (the τ-homogeneous-bucket case)
     val none = Dedup.lshStarRescueCandidates(sigs, "doc_id", 8, 2,
-      spark.emptyDataset[Long].toDF("doc_id"))
+      spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b"))
     assert(none.count() === 0L)
   }
 

@@ -1604,10 +1604,12 @@ def _star_dup_edges(con, sf_dir, tau=0.5, band=2, num_hubs=1):
 
 def _star_rescue_dup_edges(con, sf_dir, tau=0.5, band=2):
     """q286's edge set: star h=1 edges plus the detached-member RESCUE
-    wave — member endpoints of failed star edges re-probe their co-bucket
+    wave — a member whose own hub edge failed re-probes THAT bucket's
     non-hub members. The exactness theorem (Dedup.lshStarRescueCandidates)
     says CC over this equals CC over the pair-complete edges; check_q286
-    asserts both the labels and the equality."""
+    asserts both the labels and the equality. The engine's size prefilter
+    is deliberately NOT mirrored here (it is output-invariant; this
+    recompute cross-validates that)."""
     sigs, toks = _minhash_sigs(con, sf_dir)
     buckets = {}
     for d, mins in sigs.items():
@@ -1630,19 +1632,19 @@ def _star_rescue_dup_edges(con, sf_dir, tau=0.5, band=2):
         return spark_round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
 
     edges = []
-    failed = set()
+    failed = set()            # failed star pairs (hub, member)
     for a, b in spairs:
         if a not in sets or b not in sets:
             continue
         if jac(a, b) >= tau:
             edges.append((a, b))
         else:
-            failed.add(b)          # member-side endpoint only
+            failed.add((a, b))
     rpairs = set()
     for ds in buckets.values():
         hub = min(ds)
         for f in ds:
-            if f in failed and f != hub:
+            if f != hub and (hub, f) in failed:   # failed IN THIS bucket
                 for x in ds:
                     if x != f and x != hub:
                         rpairs.add((min(f, x), max(f, x)))
