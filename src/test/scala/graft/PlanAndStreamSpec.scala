@@ -721,6 +721,11 @@ class PlanAndStreamSpec extends AnyFunSuite {
     val salted = rows(graft.streaming.StreamingOuterJoin
       .joinSalted(views, clicks, Seq(7L), 4))
     assert(salted === plain)
+    // empty hot set (what the auto-salted lane runs when detection finds
+    // nothing): degenerates to the unsalted join, same rows
+    val unsalted = rows(graft.streaming.StreamingOuterJoin
+      .joinSalted(views, clicks, Seq.empty, 4))
+    assert(unsalted === plain)
     // the hot pair fan-out is real in this fixture (view 10/11 each match
     // multiple clicks) and the unmatched-view null row survives salting
     assert(plain.count(_._3 == -1L) >= 1)
