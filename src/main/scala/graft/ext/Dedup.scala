@@ -203,6 +203,14 @@ object Dedup {
     * joins instead of a pairs×shingles explode. τ is passed as an exact
     * rational (num/den: τ = num/den, e.g. 1/2) so the integer-arithmetic
     * comparison has no float edge cases.
+    *
+    * Rounding caveat (ADVICE r12): consumers threshold on
+    * `round(jaccard, 6)` ([[jaccardOnShingles]]'s default), and half-up
+    * rounding admits true jaccard as low as τ − 0.5e-6. The comparison is
+    * therefore widened by that margin — it keeps every pair with
+    * min/max ≥ τ − 0.5e-6, i.e. min·den·2e6 ≥ max·(num·2e6 − den) — so
+    * output-invariance holds for the ROUNDED threshold too, not just the
+    * unrounded one. Long arithmetic: sizes < 2^31 and den·2e6 < 2^62/2^31.
     */
   def jaccardSizePrefilter(pairs: DataFrame, sh: DataFrame,
                            tauNum: Int, tauDen: Int): DataFrame = {
@@ -210,8 +218,8 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
       .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
-      .filter(least(col("_na"), col("_nb")) * tauDen
-        >= greatest(col("_na"), col("_nb")) * tauNum)
+      .filter(least(col("_na"), col("_nb")) * lit(tauDen.toLong * 2000000L)
+        >= greatest(col("_na"), col("_nb")) * lit(tauNum.toLong * 2000000L - tauDen.toLong))
       .select(col("doc_a"), col("doc_b"))
   }
 

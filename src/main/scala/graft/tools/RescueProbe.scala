@@ -41,11 +41,6 @@ object RescueProbe {
     val failedDocs = failedPairs.select(col("doc_b").as("doc_id")).distinct().persist()
     println(s"[probe] failed member docs: ${failedDocs.count()}")
 
-    val globalRescue = timed("global rescue cands")(
-      Dedup.lshStarRescueCandidates(sigs, "doc_id", nh, band, failedDocs).count())
-    println(s"[probe] global rescue candidates: $globalRescue")
-
-    // per-bucket variant: only the bucket where the hub edge failed
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until nh / band).map { b =>
         struct(lit(b).as("band"),
@@ -53,6 +48,24 @@ object RescueProbe {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val hubs = bands.groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("_hub"))
+
+    // GLOBAL-failure rescue (the comparison leg the per-bucket scoping is
+    // measured against): every doc with ANY failed hub edge re-probes ALL
+    // of its buckets, pairing with every co-bucket member except itself
+    // and the hub. Built inline — Dedup.lshStarRescueCandidates keys its
+    // semi-join on (hub, member) failed EDGES, not a failed-doc set
+    // (ADVICE r12: passing failedDocs there is a schema mismatch).
+    val globalRescue = timed("global rescue cands")(
+      bands.join(failedDocs.withColumnRenamed("doc_id", "_f"),
+          bands("doc_id") === col("_f"), "left_semi")
+        .select(col("doc_id").as("_f"), col("band"), col("key"))
+        .join(bands, Seq("band", "key"))
+        .join(hubs, Seq("band", "key"))
+        .filter(col("doc_id") =!= col("_f") && col("doc_id") =!= col("_hub"))
+        .select(least(col("_f"), col("doc_id")).as("doc_a"),
+          greatest(col("_f"), col("doc_id")).as("doc_b"))
+        .distinct().count())
+    println(s"[probe] global rescue candidates: $globalRescue")
     val members = bands.join(hubs, Seq("band", "key"))
       .filter(col("doc_id") =!= col("_hub"))
     val failedBandRows = members.join(failedPairs,

@@ -11,10 +11,11 @@ set -eu
 SF=${1:?sfDir}; OUT=${2:?outJson}
 # Default set = the rec-family cache-sensitive lanes PLUS every lane a
 # round has ever adjudicated as suite-ordering churn (r9: q26/q107/q23/
-# q105/q106/q162/q186; r11 driver-flagged: q119/q68/q201/q18) —
+# q105/q106/q162/q186; r11 driver-flagged: q119/q68/q201/q18;
+# r12 driver-flagged: q50/q151/q273/q275/q67 — VERDICT r12 task 7) —
 # tools/ab_analyze.py roundcmp classifies against this artifact, so a
 # lane missing here costs a hand adjudication later.
-LANES=${3:-q220_rec_unbounded,q121_item_cf,q268_split_leakage,q21_rec_dot,q22_rec_cosine,q23_rec_lists,q245_rec_lists_capped,q246_rec_cosine_capped,q26_lsh_pairs,q105_conversion_paths,q106_salted_join,q107_zorder,q162_geo_bucket_join,q186_degree_assortativity,q119_user_set_sim,q68_pq_topk,q201_bm25,q18_tfidf_topk}
+LANES=${3:-q220_rec_unbounded,q121_item_cf,q268_split_leakage,q21_rec_dot,q22_rec_cosine,q23_rec_lists,q245_rec_lists_capped,q246_rec_cosine_capped,q26_lsh_pairs,q105_conversion_paths,q106_salted_join,q107_zorder,q162_geo_bucket_join,q186_degree_assortativity,q119_user_set_sim,q68_pq_topk,q201_bm25,q18_tfidf_topk,q50_als_recommend,q151_kmeans,q273_dedup_savings,q275_eval_contamination,q67_pq_codes}
 TMP=$(mktemp -d)
 IFS=',' read -ra L <<< "$LANES"
 for q in "${L[@]}"; do
