@@ -54,6 +54,21 @@ object Bench {
     // per-query variance is inspectable after the fact. k=1 (set
     // SPARK_GRAFT_BENCH_K=1) restores the old single-pass behavior.
     val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt
+    // Box-state warm-up (VERDICT r12 task 1): one untimed pass over every
+    // selected lane before the k timed samples. The r12 driver bench
+    // launched minutes after a 1.5 h verify JVM exited and recorded a
+    // uniform ~7.5% smear over all 285 common lanes — page cache, JIT and
+    // shared-stage builds all cold. Warming INSIDE Bench makes the
+    // driver-visible medians independent of whatever ran on the box
+    // before; it costs one extra pass of wall-clock, which the driver does
+    // not time. SPARK_GRAFT_BENCH_WARMUP=0 restores the old behavior.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
+      selected.foreach { case (name, fn) =>
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
+      }
+    }
     val results = selected.map { case (name, fn) =>
       val samples = (1 to k).map { _ =>
         val t0 = System.nanoTime()
