@@ -188,29 +188,142 @@ object ExtQueries {
   private def starRescueClusters(s: SparkSession, d: String): DataFrame = {
     // The star-scored pairs feed three consumers here (failure set,
     // surviving edges) and are already session-shared/persisted.
-    val scored = starScoredPairs(s, d)
-    val failed = scored.filter(col("jaccard") < 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    // The size prefilter is output-invariant (it provably drops only
-    // sub-τ pairs — Dedup.jaccardSizePrefilter) but skips the pairs ×
-    // shingles intersection explode for them; the oracle chain and
-    // check_q286 deliberately OMIT it, so the gate cross-validates its
-    // exactness every run.
-    val rescueScored = Dedup.jaccardOnShingles(
-      Dedup.jaccardSizePrefilter(
-        Dedup.lshStarRescueCandidates(sharedSigs(s, d), "doc_id", NH, BAND, failed),
-        sharedShingles(s, d), 1, 2),
-      sharedShingles(s, d))
-    val edges = scored.filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-      .union(rescueScored.filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b")))
+    val edges = starRescueEdgesFrom(starScoredPairs(s, d), sharedSigs(s, d),
+        sharedShingles(s, d))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
     Dedup.connectedComponents(verts, edges,
       reroot = graft.runtime.Reroot.fromEnv())
       .select(col("_id").as("doc_id"), col("label").as("cluster"),
         (col("_id") === col("label")).as("is_canonical"))
+  }
+
+  /** Star(h=1) ∪ rescue-wave thresholded edges over an arbitrary signature
+    * set — the reusable core of q286 and the q288 incremental posture.
+    * `scored` must be the exact-jaccard-scored star candidates of `sigs`
+    * (persisted by the caller; it feeds both the failure set and the
+    * surviving edges). By the exactness theorem on
+    * [[Dedup.lshStarRescueCandidates]], CC over the returned (doc_a,
+    * doc_b) edges equals CC over the pair-complete thresholded LSH
+    * candidates of `sigs` — for WHATEVER sub-corpus `sigs` covers, since
+    * signatures and band keys are per-document (corpus-independent).
+    *
+    * The size prefilter is output-invariant (it provably drops only
+    * sub-τ pairs — Dedup.jaccardSizePrefilter) but skips the pairs ×
+    * shingles intersection explode for them; the oracle chains and
+    * check_q286/check_q288 deliberately OMIT it, so the gate
+    * cross-validates its exactness every run.
+    */
+  private def starRescueEdgesFrom(scored: DataFrame, sigs: DataFrame,
+                                  sh: DataFrame): DataFrame = {
+    val failed = scored.filter(col("jaccard") < 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val rescueScored = Dedup.jaccardOnShingles(
+      Dedup.jaccardSizePrefilter(
+        Dedup.lshStarRescueCandidates(sigs, "doc_id", NH, BAND, failed),
+        sh, 1, 2),
+      sh)
+    scored.filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .union(rescueScored.filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
+  }
+
+  /** q288's cluster labels — the INCREMENTAL rendering of q286's exact
+    * posture (VERDICT r12 task 3): a new batch (doc_id % 10 = 9, the
+    * q263 crawl stand-in) is merged into an already-deduped base corpus
+    * WITHOUT re-clustering the base, and the output labels are
+    * bit-identical to running the exact union dedup (q286 ≡ q70) over
+    * base ∪ batch.
+    *
+    * Delta-posture theorem (pinned in ExtSpec; recomputed independently
+    * by check_q288): let U = B ⊎ I and E70(U) the thresholded
+    * pair-complete LSH edge set over U. Signatures, band keys and pair
+    * jaccard are per-document/per-pair (corpus-independent), so E70(U)
+    * partitions exactly into E70(B) ⊎ E70(I) ⊎ E_cross, where E_cross is
+    * the thresholded asymmetric band-collision set
+    * ([[Dedup.lshCandidatesAgainst]] scores EVERY cross band collision —
+    * pair-complete across the cut). Replace each intra part by a
+    * connectivity-equivalent subgraph on its own vertex set (star ∪
+    * rescue via the q286 theorem; then the base part again by its
+    * label→member stars, connectivity-equivalent by the definition of
+    * labels): the union graph keeps identical connected components,
+    * hence identical min-id labels. Finally, a base component with NO
+    * incident cross edge is untouched by every new edge, so its labels
+    * are unchanged — only TOUCHED clusters (those with a cross-edge
+    * member) enter the merge CC at all.
+    *
+    * Scale shape: per-batch cost is the batch's own star+rescue work +
+    * one asymmetric band probe against the base band table + a
+    * label-keyed membership join over TOUCHED clusters only. Nothing
+    * re-shingles or re-scores the base corpus; the base-side work is two
+    * hash joins against stored state (bands, labels) — at 100 TB both
+    * are bucketed tables and the probe cost scales with |batch|·bands,
+    * not |base| (tools.IncrementalProbe prices this on the nd tiers).
+    * The base state (labels) is computed here from base docs because the
+    * harness is single-shot; a production deployment loads it.
+    */
+  private def incrementalClusters(s: SparkSession, d: String): DataFrame = {
+    import graft.runtime.Stage
+    val sigs = sharedSigs(s, d)
+    val sh = sharedShingles(s, d)
+    val incSigs = sigs.filter(col("doc_id") % 10 === 9)
+    val baseSigs = sigs.filter(col("doc_id") % 10 =!= 9)
+    val docs = Tables.documents(s, d)
+    val reroot = graft.runtime.Reroot.fromEnv()
+
+    def partEdges(part: DataFrame): DataFrame = {
+      val scored = Stage.scopedPersist(Dedup.jaccardOnShingles(
+        Dedup.lshStarCandidates(part, "doc_id", NH, BAND), sh))
+      starRescueEdgesFrom(scored, part, sh)
+    }
+
+    // Base state — in production this is LOADED (the previous run's
+    // labels + band table); the single-shot harness computes it from the
+    // base partition with the same exact posture.
+    val baseVerts = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id").as("_id"))
+    val baseLabels = Stage.scopedPersist(
+      Dedup.connectedComponents(baseVerts,
+        partEdges(baseSigs).select(col("doc_a").as("a"), col("doc_b").as("b")),
+        reroot = reroot))
+
+    // Batch-internal edges (star+rescue within the batch) and cross
+    // edges (asymmetric band probe, pair-complete across the cut).
+    val incEdges = partEdges(incSigs)
+    val cross = Stage.scopedPersist(
+      Dedup.jaccardOnShingles(
+        Dedup.jaccardSizePrefilter(
+          Dedup.lshCandidatesAgainst(incSigs, baseSigs, "doc_id", NH, BAND),
+          sh, 1, 2),
+        sh)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")))
+
+    // Touched base clusters: those with a cross-edge member. Only their
+    // members enter the merge CC (as label→member star edges); every
+    // other base doc keeps its label untouched.
+    val touched = baseLabels.join(
+        cross.select(col("doc_b").as("_id")).distinct(), Seq("_id"), "left_semi")
+      .select(col("label").as("_tc")).distinct()
+    val touchedMembers = Stage.scopedPersist(
+      baseLabels.join(touched, baseLabels("label") === touched("_tc"),
+        "left_semi"))
+    val labelStars = touchedMembers.filter(col("_id") =!= col("label"))
+      .select(col("label").as("a"), col("_id").as("b"))
+    val verts = docs.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id").as("_id"))
+      .union(touchedMembers.select(col("_id")))
+    val edges = incEdges.union(cross)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(labelStars)
+    val merged = Dedup.connectedComponents(verts, edges, reroot = reroot)
+    val untouched = baseLabels.join(touched,
+      baseLabels("label") === touched("_tc"), "left_anti")
+    merged.union(untouched)
+      .select(col("_id").as("doc_id"), col("label").as("cluster"),
+        (col("_id") === col("label")).as("is_canonical"),
+        (col("_id") % 10 === 9).as("is_incoming"))
   }
 
   /** q279's estimate-scored candidate pairs: signature-slot agreement over
@@ -621,6 +734,17 @@ object ExtQueries {
     // scaling deviation of q281/q285: exact q70 cluster semantics at
     // candidate-linear + failure-proportional cost.
     "q286_star_rescue_clusters" -> ((s, d) => starRescueClusters(s, d)),
+
+    // Incremental EXACT near-dup clustering (round 13, VERDICT r12 task
+    // 3): the q263 ingestion posture upgraded from an is-new screen to
+    // full cluster semantics — base labels + batch star/rescue edges +
+    // asymmetric cross probe + touched-cluster merge, bit-identical to
+    // the exact union dedup by the delta-posture theorem (see
+    // incrementalClusters). The oracle is deliberately the UNION
+    // semantics (q286's chain + is_incoming), so the gate hash-verifies
+    // the theorem end-to-end every run; check_q288 recomputes the
+    // incremental construction itself.
+    "q288_incremental_clusters" -> ((s, d) => incrementalClusters(s, d)),
 
     // Estimate-tier savings ledger (round 11, VERDICT r10 task 6): q273's
     // exact report re-based on q280's estimate clusters — the keep-one
@@ -1364,6 +1488,15 @@ object ExtQueries {
       s"""WITH RECURSIVE $starRescueChain
          |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
          |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN rslab l ON l.id = d.doc_id""".stripMargin,
+
+    // The UNION exact-dedup semantics: hash-equality of the incremental
+    // engine path against this is the delta-posture theorem's gate check.
+    "q288_incremental_clusters" ->
+      s"""WITH RECURSIVE $starRescueChain
+         |SELECT d.doc_id, coalesce(least(l.id, l.mn), d.doc_id) AS cluster,
+         |  coalesce(least(l.id, l.mn), d.doc_id) = d.doc_id AS is_canonical,
+         |  d.doc_id % 10 = 9 AS is_incoming
          |FROM documents d LEFT JOIN rslab l ON l.id = d.doc_id""".stripMargin,
 
     "q282_estimate_savings" ->

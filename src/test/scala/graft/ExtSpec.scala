@@ -172,6 +172,44 @@ class ExtSpec extends AnyFunSuite {
     assert(none.count() === 0L)
   }
 
+  test("q288: incremental merge equals union exact dedup (delta-posture theorem)") {
+    // Sliding-window token ranges give controlled shingle overlaps:
+    // doc(lo,len) = tokens w{lo}..w{lo+len-1}, so two docs' 3-gram sets
+    // intersect exactly on the shared start positions.
+    def txt(lo: Int, len: Int): String =
+      (lo until lo + len)
+        .map(i => s"t${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+        .mkString(" ")  // letter-only words: the tokenizer drops digits
+    val docs = Seq(
+      // base pair A=1, B=2: j(A,B) = 6/34 ≈ 0.18 — separate base clusters
+      (1L, txt(1, 22)), (2L, txt(15, 22)),
+      // incoming bridge chain 9–19: j(1,9)=17/23, j(9,19)=15/25,
+      // j(19,2)=14/26 — all ≥ τ, so the batch MERGES base clusters {1},{2}
+      (9L, txt(4, 22)), (19L, txt(9, 22)),
+      // incoming 29 near base 31 with 29 < 31: the merged cluster must
+      // RELABEL the base doc to the smaller incoming id
+      (31L, txt(40, 22)), (29L, txt(41, 22)),
+      // untouched base cluster {3,4} and base singleton 5: labels must
+      // survive the merge byte-identical
+      (3L, txt(80, 22)), (4L, txt(83, 22)), (5L, txt(65, 11)))
+    val dir = writeDocsFull(docs.map { case (id, t) => (id, t, "en", "srcT") })
+    graft.runtime.Stage.newQueryScope()
+    val inc = graft.queries.ExtQueries.queries("q288_incremental_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSet
+    graft.runtime.Stage.newQueryScope()
+    val union = graft.queries.ExtQueries.queries("q286_star_rescue_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(0) % 10 == 9)).toSet
+    // the theorem: incremental labels ≡ exact union dedup labels
+    assert(inc === union)
+    // ...and the fixture actually exercises every merge direction (the
+    // LSH bands catch each planted pair — deterministic md5 minhash):
+    val lab = inc.map(t => t._1 -> t._2).toMap
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 19L -> 1L,
+      29L -> 29L, 31L -> 29L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
   test("ngram jaccard: disjoint shingle sets give 0") {
     val docs = Seq(
       (1L, "a b c d"),

@@ -1602,18 +1602,20 @@ def _star_dup_edges(con, sf_dir, tau=0.5, band=2, num_hubs=1):
     return edges, set(toks)
 
 
-def _star_rescue_dup_edges(con, sf_dir, tau=0.5, band=2):
+def _star_rescue_dup_edges(con, sf_dir, tau=0.5, band=2, ids=None):
     """q286's edge set: star h=1 edges plus the detached-member RESCUE
     wave — a member whose own hub edge failed re-probes THAT bucket's
     non-hub members. The exactness theorem (Dedup.lshStarRescueCandidates)
     says CC over this equals CC over the pair-complete edges; check_q286
     asserts both the labels and the equality. The engine's size prefilter
     is deliberately NOT mirrored here (it is output-invariant; this
-    recompute cross-validates that)."""
+    recompute cross-validates that). `ids` restricts the construction to a
+    sub-corpus (check_q288's per-part edges — signatures and band keys are
+    per-document, so the restriction just drops bucket members)."""
     sigs, toks = _minhash_sigs(con, sf_dir)
     buckets = {}
     for d, mins in sigs.items():
-        if mins[0] is None:
+        if mins[0] is None or (ids is not None and d not in ids):
             continue
         for b in range(len(mins) // band):
             buckets.setdefault((b, "".join(mins[b * band:(b + 1) * band])),
@@ -1676,6 +1678,73 @@ def check_q286_star_rescue_clusters(con, sf_dir, spark_out):
     if ndiff:
         errs.append(f"exactness violated: {ndiff} labels differ from the"
                     f" pair-complete union-find")
+    return errs[:5]
+
+
+def check_q288_incremental_clusters(con, sf_dir, spark_out):
+    """Recompute of the INCREMENTAL construction itself (base star+rescue
+    labels, batch star+rescue edges, pair-complete cross band probe,
+    touched-cluster label-star merge), plus the delta-posture theorem
+    invariant: the result must equal the full-union pair-complete
+    union-find — the same exactness contract as check_q286, extended
+    across the base/batch cut."""
+    sigs, toks = _minhash_sigs(con, sf_dir)
+    all_ids = set(toks)
+    inc_ids = {d for d in all_ids if d % 10 == 9}
+    base_ids = all_ids - inc_ids
+    base_edges, _ = _star_rescue_dup_edges(con, sf_dir, ids=base_ids)
+    base_lab = _cc_labels(base_ids, base_edges)
+    inc_edges, _ = _star_rescue_dup_edges(con, sf_dir, ids=inc_ids)
+    # cross edges: EVERY band collision across the cut, exact jaccard >= tau
+    buckets = {}
+    for d, mins in sigs.items():
+        if mins[0] is None:
+            continue
+        for b in range(len(mins) // 2):
+            buckets.setdefault((b, "".join(mins[b * 2:(b + 1) * 2])),
+                               []).append(d)
+    sets = {d: {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+            for d, tk in toks.items() if len(tk) >= 3}
+    cpairs = set()
+    for ds in buckets.values():
+        incs = [d for d in ds if d in inc_ids]
+        bases = [d for d in ds if d not in inc_ids]
+        for a in incs:
+            for b in bases:
+                cpairs.add((a, b))
+    cross = []
+    for a, b in cpairs:
+        if a not in sets or b not in sets:
+            continue
+        inter = len(sets[a] & sets[b])
+        j = spark_round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+        if j >= 0.5:
+            cross.append((a, b))
+    touched = {base_lab[b] for _, b in cross}
+    touched_members = {v for v in base_ids if base_lab[v] in touched}
+    label_stars = [(base_lab[v], v) for v in touched_members
+                   if base_lab[v] != v]
+    merge_ids = inc_ids | touched_members
+    merged = _cc_labels(merge_ids, inc_edges + cross + label_stars)
+    labels = {v: (merged[v] if v in merge_ids else base_lab[v])
+              for v in all_ids}
+    got = dump(spark_out, "q288_incremental_clusters").set_index("doc_id")
+    errs = []
+    if len(got) != len(labels):
+        errs.append(f"row count {len(got)} != {len(labels)}")
+    bad = sum(1 for v, l in labels.items()
+              if int(got.loc[v, "cluster"]) != l or
+              bool(got.loc[v, "is_canonical"]) != (v == l) or
+              bool(got.loc[v, "is_incoming"]) != (v % 10 == 9))
+    if bad:
+        errs.append(f"{bad}/{len(labels)} incremental labels differ from"
+                    f" the incremental union-find recompute")
+    full_edges, _ = _lsh_dup_edges(con, sf_dir)
+    full = _cc_labels(all_ids, full_edges)
+    ndiff = sum(1 for v, l in labels.items() if full[v] != l)
+    if ndiff:
+        errs.append(f"delta-posture theorem violated: {ndiff} labels"
+                    f" differ from the full-union pair-complete union-find")
     return errs[:5]
 
 
@@ -6567,6 +6636,7 @@ CHECKS = {
     "q281_star_dedup_clusters": check_q281_star_clusters,
     "q285_star2_dedup_clusters": check_q285_star2_clusters,
     "q286_star_rescue_clusters": check_q286_star_rescue_clusters,
+    "q288_incremental_clusters": check_q288_incremental_clusters,
     "q282_estimate_savings": check_q282_estimate_savings,
     "q283_estimate_data_card": check_q283_estimate_data_card,
     "q39_textrank_kw": check_q39,
