@@ -421,4 +421,93 @@ object Dedup {
       .select(col("_id"), col("_id").as("label"))
     labels.union(isolated)
   }
+
+  /** Large-star/small-star connected components (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+    * and Beyond", SoCC 2014): same signature and output contract as
+    * [[connectedComponents]], but converging in O(log n) ROUNDS instead of
+    * O(component diameter) — the variant for graphs whose components can
+    * be LONG CHAINS (the span-chain topology Lee et al. ACL '22 document
+    * in crawl near-dup data), where hash-min propagation at 100× scale
+    * would exceed any fixed round bound (VERDICT r12 task 4).
+    *
+    * Each round rewrites the edge set:
+    *  - large-star: every node u connects its STRICTLY LARGER neighbors
+    *    to m(u) = min(Γ(u) ∪ {u});
+    *  - small-star: every edge directed large→small; each node u connects
+    *    its (all smaller) neighbors and itself to m(u) = min(Γ(u)).
+    * Both operations preserve connectivity (each replaced edge (u,v)
+    * stays connected through m(u)); fixed points are exactly star forests
+    * rooted at component minima, so the converged edge set IS the label
+    * map. Rounds shrink the graph geometrically — the property hash-min
+    * lacks, where a diameter-d chain needs d rounds.
+    *
+    * Per round: two partial-aggregatable groupBys (the per-node min) and
+    * two joins back — the same shuffle shape as one hash-min round, so
+    * the shallow near-dup default stays on [[connectedComponents]] (its
+    * rounds are marginally cheaper and 2-3 suffice); this variant is the
+    * escape hatch that keeps deep components from hitting the loud
+    * maxIter throw. Convergence probe: a count compare per round, with an
+    * exact exceptAll check only when counts match.
+    */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+                              maxIter: Int = 50,
+                              reroot: graft.runtime.Reroot = graft.runtime.Reroot.Local): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("a"), least(col("src"), col("_mn")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("src"),
+          least(col("a"), col("b")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val mins = dir.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
+      dir.join(mins, "src")
+        .filter(col("dst") =!= col("_mn"))
+        .select(col("dst").as("a"), col("_mn").as("b"))
+        .union(mins.select(col("src").as("a"), col("_mn").as("b")))
+        .distinct()
+    }
+    val roll = graft.runtime.Reroot.rolling(reroot)
+    var cur = roll(edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    // Edge-incident vertices, captured from the INPUT edge set — the
+    // iteration rewrites edges, and isolated vertices (the overwhelming
+    // majority in a corpus dedup graph) never enter it, exactly as in
+    // [[connectedComponents]].
+    val incident = graft.runtime.Stage.scopedPersist(
+      cur.select(explode(array(col("a"), col("b"))).as("_id")).distinct())
+    var curCount = cur.count()
+    var converged = curCount == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = roll(smallStar(largeStar(cur)))
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.exceptAll(cur).limit(1).isEmpty
+      cur = next
+      curCount = nextCount
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds")
+    // The fixed point is a star forest (v → component min): labels are the
+    // edges themselves plus each root labelling itself.
+    val labels = cur.select(col("a").as("_id"), col("b").as("label"))
+      .union(cur.select(col("b").as("_id"), col("b").as("label")))
+      .distinct()
+    graft.runtime.Stage.scopedPersist(labels)
+    val isolated = vertices.select(col("_id"))
+      .join(incident, Seq("_id"), "left_anti")
+      .select(col("_id"), col("_id").as("label"))
+    labels.union(isolated)
+  }
 }
