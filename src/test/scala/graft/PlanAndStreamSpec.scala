@@ -740,11 +740,17 @@ class PlanAndStreamSpec extends AnyFunSuite {
     val ledger = Seq(
       (t(1), t(2), 7L, 300L), (t(1), t(2), 8L, 9700L),   // 7: 3% share, hot
       (t(2), t(3), 9L, 50L), (t(2), t(3), 10L, 950L),    // 9: 5% but < 100 rows
-      (t(3), t(4), 11L, 2L), (t(3), t(4), 12L, 3L))      // tiny window, floor
+      (t(3), t(4), 11L, 2L), (t(3), t(4), 12L, 3L),      // tiny window, floor
+      // EXACT threshold boundaries (VERDICT r12 task 5): both tests are
+      // inclusive (>=) — a key AT share 1% and AT count 100 is hot...
+      (t(4), t(5), 13L, 100L), (t(4), t(5), 14L, 9900L), // 13: =1%, =100 → hot
+      // ...while one row of window total past the share boundary
+      // (100/10001) excludes it even at the count floor exactly.
+      (t(5), t(6), 15L, 100L), (t(5), t(6), 16L, 9901L)) // 15: just under 1%
       .toDF("w_start", "w_end", "key", "n")
     val hot = graft.streaming.HotKeyDetector.hotKeys(ledger, 0.01, 100L)
       .collect().map(_.getLong(0)).toSet
-    assert(hot === Set(7L, 8L, 10L))
+    assert(hot === Set(7L, 8L, 10L, 13L, 14L, 16L))
 
     // streaming side: planted 30%-share key in a 500-row hour, closed by a
     // far-future row; the final (open) window never reaches the ledger
