@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (r13): the 8g default left the 288-lane bench GC-bound —
+  // heavy lanes' scoped caches + localCheckpoint blocks pushed old-gen
+  // occupancy high enough that FOLLOWING lanes absorbed the collection
+  // cost (measured: q33_lang_id samples [1.3, 7.0, 11.2] at 8g vs
+  // [1.0, 1.4, 1.3] at 24g; full-suite geomean 0.856 at 24g, same code).
+  // Env-overridable as before; a cluster deployment sizes driver/executor
+  // memory itself and never sees this default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

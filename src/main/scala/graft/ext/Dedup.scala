@@ -262,17 +262,76 @@ object Dedup {
     docs.select(col(idCol).as("_id"),
       explode(array_distinct(shingles(Tokenizer.tokens(textCol), shingleSize))).as("_s"))
 
+  /** DISTINCT shingle set per document as ONE array row (_id, _sa) — the
+    * narrow-join twin of [[shingleRows]]. Derived per-row from the docs
+    * (no shuffle at any scale); a document's shingle set is bounded by its
+    * own length, so the row stays executor-friendly even on crawl docs.
+    */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: Column,
+                    shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("_id"),
+      array_distinct(shingles(Tokenizer.tokens(textCol), shingleSize)).as("_sa"))
+
   /** Exact shingle-set Jaccard for given (doc_a, doc_b) candidate pairs:
     * explode distinct shingles per doc, equi-join, count; |A∩B|/(|A|+|B|-|A∩B|).
     */
   def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: Column,
               shingleSize: Int, roundTo: Int = 6): DataFrame = {
-    // The exploded shingle set feeds three consumers (both pair sides +
-    // sizes); persist so tokenize+shingle runs once per job, not three times.
-    // Bounded: |docs| · shingles-per-doc rows of short strings.
-    val sh = graft.runtime.Stage.scopedPersist(
-      shingleRows(docs, idCol, textCol, shingleSize))
-    jaccardOnShingles(pairs, sh, roundTo)
+    // Array form: the per-doc shingle set feeds both pair sides; persist so
+    // tokenize+shingle runs once per job, not twice. Bounded: |docs| rows,
+    // one bounded array each. Result-identical to the exploded-row form —
+    // see jaccardOnArrays.
+    val arrs = graft.runtime.Stage.scopedPersist(
+      shingleArrays(docs, idCol, textCol, shingleSize))
+    jaccardOnArrays(pairs, arrs, roundTo)
+  }
+
+  /** Exact Jaccard over a prebuilt per-doc shingle-ARRAY table from
+    * [[shingleArrays]] — result-identical to [[jaccardOnShingles]] over the
+    * exploded form (same integer |A∩B|/|A|/|B|, same double division and
+    * rounding; pairs with an empty/absent shingle set on either side are
+    * dropped exactly as the exploded form's inner size join drops them).
+    *
+    * Why this form (guide §2.3/§2.4 — fewer shuffles, fewer bytes): the
+    * exploded form pays a sizes groupBy over every shingle row, a join
+    * that shuffles the whole shingle table by doc, a second join that
+    * shuffles the |pairs|·|shingles-per-doc| intersection explode by
+    * (doc, shingle), a pair-grouped count, and three joins back — ~6
+    * exchanges, the widest carrying pairs×shingles rows. Here the pair
+    * list joins the array table twice (doc-keyed equi-joins, broadcast
+    * when the corpus side is small enough) and the intersection runs
+    * per-row inside codegen'd collection expressions — 2 exchanges, none
+    * wider than |pairs| rows + one array payload per side.
+    *
+    * `tau` (num, den): optional exact-rational size prefilter applied
+    * BETWEEN the joins and BEFORE the intersection — the
+    * [[jaccardSizePrefilter]] predicate (incl. its rounding-slack margin)
+    * rendered as a per-row filter on the already-joined sizes, so pairs
+    * that provably cannot reach τ skip the intersect entirely and no
+    * extra size-table joins exist at all. Output-invariant for consumers
+    * thresholding at ≥ τ on the rounded jaccard, exactly as documented on
+    * [[jaccardSizePrefilter]].
+    */
+  def jaccardOnArrays(pairs: DataFrame, arrs: DataFrame, roundTo: Int = 6,
+                      tau: Option[(Int, Int)] = None): DataFrame = {
+    val aa = arrs.select(col("_id").as("doc_a"), col("_sa").as("_saa"))
+    val ab = arrs.select(col("_id").as("doc_b"), col("_sa").as("_sab"))
+    val joined = pairs.join(aa, "doc_a").join(ab, "doc_b")
+      .withColumn("_na", size(col("_saa")).cast("long"))
+      .withColumn("_nb", size(col("_sab")).cast("long"))
+      .filter(col("_na") > 0 && col("_nb") > 0)
+    val prefiltered = tau match {
+      case Some((num, den)) =>
+        joined.filter(least(col("_na"), col("_nb")) * lit(den.toLong * 2000000L)
+          >= greatest(col("_na"), col("_nb")) * lit(num.toLong * 2000000L - den.toLong))
+      case None => joined
+    }
+    prefiltered
+      .withColumn("_inter",
+        size(array_intersect(col("_saa"), col("_sab"))).cast("long"))
+      .withColumn("jaccard", round(col("_inter").cast("double")
+        / (col("_na") + col("_nb") - col("_inter")), roundTo))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Jaccard over a prebuilt (and typically persisted/shared) shingle-row

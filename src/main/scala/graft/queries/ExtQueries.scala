@@ -56,6 +56,19 @@ object ExtQueries {
           "doc_id", col("text"), SH))
     }
 
+  /** Per-doc distinct shingle ARRAYS (r13): the narrow scoring input every
+    * exact-jaccard pass joins twice by doc id — see Dedup.jaccardOnArrays
+    * for why this beats rescoring through the exploded-row table (the
+    * exploded form stays for consumers that genuinely need shingle-keyed
+    * rows: q269's truth-pair co-occurrence join, q253's span join).
+    */
+  private def sharedShingleArrays(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s, s"shingle-arrays:$SH:$d") {
+      graft.runtime.Stage.persistShared(
+        Dedup.shingleArrays(graft.ops.Ops.fanOut(Tables.documents(s, d)),
+          "doc_id", col("text"), SH))
+    }
+
   /** LSH candidate pairs as a shared stage: the band self-join feeds q26's
     * jaccard scoring (two plan branches) and q70's cluster resolution.
     */
@@ -73,7 +86,7 @@ object ExtQueries {
   private def sharedScoredPairs(s: SparkSession, d: String): DataFrame =
     graft.runtime.Stage.shared(s, s"lsh-scored-pairs:$SH:$NH:$BAND:$d") {
       graft.runtime.Stage.persistShared(
-        Dedup.jaccardOnShingles(sharedCands(s, d), sharedShingles(s, d)))
+        Dedup.jaccardOnArrays(sharedCands(s, d), sharedShingleArrays(s, d)))
     }
 
   /** Exact-duplicate collapse map (doc_id, rep, crep): rep = min doc_id
@@ -135,9 +148,9 @@ object ExtQueries {
       val sigs = graft.runtime.Stage.persistShared(
         Dedup.minhashSignatures(repDocs, "doc_id", col("text"), SH, NH))
       graft.runtime.Stage.persistShared(
-        Dedup.jaccardOnShingles(
+        Dedup.jaccardOnArrays(
           Dedup.lshCandidates(sigs, "doc_id", NH, BAND),
-          Dedup.shingleRows(repDocs, "doc_id", col("text"), SH)))
+          Dedup.shingleArrays(repDocs, "doc_id", col("text"), SH)))
     }
 
   /** Exact-jaccard-scored STAR candidate pairs ([[Dedup.lshStarCandidates]]):
@@ -153,9 +166,9 @@ object ExtQueries {
                               numHubs: Int = 1): DataFrame =
     graft.runtime.Stage.shared(s, s"star-scored-pairs:$SH:$NH:$BAND:$numHubs:$d") {
       graft.runtime.Stage.persistShared(
-        Dedup.jaccardOnShingles(
+        Dedup.jaccardOnArrays(
           Dedup.lshStarCandidates(sharedSigs(s, d), "doc_id", NH, BAND, numHubs),
-          sharedShingles(s, d)))
+          sharedShingleArrays(s, d)))
     }
 
   /** q281's cluster labels: CC over star edges thresholded at the q70 τ.
@@ -189,7 +202,7 @@ object ExtQueries {
     // The star-scored pairs feed three consumers here (failure set,
     // surviving edges) and are already session-shared/persisted.
     val edges = starRescueEdgesFrom(starScoredPairs(s, d), sharedSigs(s, d),
-        sharedShingles(s, d))
+        sharedShingleArrays(s, d))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val verts = Tables.documents(s, d).select(col("doc_id").as("_id"))
     Dedup.connectedComponents(verts, edges,
@@ -215,14 +228,16 @@ object ExtQueries {
     * cross-validates its exactness every run.
     */
   private def starRescueEdgesFrom(scored: DataFrame, sigs: DataFrame,
-                                  sh: DataFrame): DataFrame = {
+                                  arrs: DataFrame): DataFrame = {
     val failed = scored.filter(col("jaccard") < 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val rescueScored = Dedup.jaccardOnShingles(
-      Dedup.jaccardSizePrefilter(
-        Dedup.lshStarRescueCandidates(sigs, "doc_id", NH, BAND, failed),
-        sh, 1, 2),
-      sh)
+    // r13: rescue scoring through the array form — the size prefilter is
+    // the SAME output-invariant rational predicate (incl. rounding slack),
+    // folded into the scoring join as a per-row filter instead of two
+    // extra size-table joins (Dedup.jaccardOnArrays `tau`).
+    val rescueScored = Dedup.jaccardOnArrays(
+      Dedup.lshStarRescueCandidates(sigs, "doc_id", NH, BAND, failed),
+      arrs, tau = Some((1, 2)))
     scored.filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
       .union(rescueScored.filter(col("jaccard") >= 0.5)
@@ -266,16 +281,16 @@ object ExtQueries {
   private def incrementalClusters(s: SparkSession, d: String): DataFrame = {
     import graft.runtime.Stage
     val sigs = sharedSigs(s, d)
-    val sh = sharedShingles(s, d)
+    val arrs = sharedShingleArrays(s, d)
     val incSigs = sigs.filter(col("doc_id") % 10 === 9)
     val baseSigs = sigs.filter(col("doc_id") % 10 =!= 9)
     val docs = Tables.documents(s, d)
     val reroot = graft.runtime.Reroot.fromEnv()
 
     def partEdges(part: DataFrame): DataFrame = {
-      val scored = Stage.scopedPersist(Dedup.jaccardOnShingles(
-        Dedup.lshStarCandidates(part, "doc_id", NH, BAND), sh))
-      starRescueEdgesFrom(scored, part, sh)
+      val scored = Stage.scopedPersist(Dedup.jaccardOnArrays(
+        Dedup.lshStarCandidates(part, "doc_id", NH, BAND), arrs))
+      starRescueEdgesFrom(scored, part, arrs)
     }
 
     // Base state — in production this is LOADED (the previous run's
@@ -292,11 +307,9 @@ object ExtQueries {
     // edges (asymmetric band probe, pair-complete across the cut).
     val incEdges = partEdges(incSigs)
     val cross = Stage.scopedPersist(
-      Dedup.jaccardOnShingles(
-        Dedup.jaccardSizePrefilter(
-          Dedup.lshCandidatesAgainst(incSigs, baseSigs, "doc_id", NH, BAND),
-          sh, 1, 2),
-        sh)
+      Dedup.jaccardOnArrays(
+        Dedup.lshCandidatesAgainst(incSigs, baseSigs, "doc_id", NH, BAND),
+        arrs, tau = Some((1, 2)))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b")))
 
@@ -428,7 +441,7 @@ object ExtQueries {
       val inc = sigs.filter(col("doc_id") % 10 === 9)
       val base = sigs.filter(col("doc_id") % 10 =!= 9)
       val cands = Dedup.lshCandidatesAgainst(inc, base, "doc_id", NH, BAND)
-      val best = Dedup.jaccardOnShingles(cands, sharedShingles(s, d))
+      val best = Dedup.jaccardOnArrays(cands, sharedShingleArrays(s, d))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as("n_cands"), max(col("jaccard")).as("best_jaccard"))
       inc.select(col("doc_id"))
@@ -509,7 +522,7 @@ object ExtQueries {
         .join(shs.select(col("_s"), col("_id").as("doc_b")), "_s")
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      val nTrue = Dedup.jaccardOnShingles(tp, sharedShingles(s, d))
+      val nTrue = Dedup.jaccardOnArrays(tp, sharedShingleArrays(s, d))
         .filter(col("jaccard") >= 0.5)
         .agg(count(lit(1)).as("n_true_pairs"))
       // Sample restriction is pushed BEFORE the jaccard scoring: scoring
@@ -519,11 +532,11 @@ object ExtQueries {
       // scores ~|sample-pair| rows instead. Result-identical — membership
       // comes from the band join either way and the per-pair jaccard is
       // the same function (the oracle has always used this shape).
-      val nLsh = Dedup.jaccardOnShingles(
+      val nLsh = Dedup.jaccardOnArrays(
         sharedCands(s, d)
           .join(sample.select(col("doc_id").as("doc_a")), "doc_a")
           .join(sample.select(col("doc_id").as("doc_b")), "doc_b"),
-        sharedShingles(s, d))
+        sharedShingleArrays(s, d))
         .filter(col("jaccard") >= 0.5)
         .agg(count(lit(1)).as("n_lsh_pairs"))
       sample.agg(count(lit(1)).as("n_sample_docs"))
@@ -810,7 +823,7 @@ object ExtQueries {
       val pairs = ids.select(col("doc_id").as("doc_a"))
         .join(ids.select(col("doc_id").as("doc_b")),
           col("doc_b") === col("doc_a") + 1)
-      Dedup.jaccardOnShingles(pairs, sharedShingles(s, d))
+      Dedup.jaccardOnArrays(pairs, sharedShingleArrays(s, d))
     }),
 
     // SimHash fingerprints (UDF bit arithmetic; oracle reproduces the md5

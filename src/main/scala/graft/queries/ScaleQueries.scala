@@ -276,7 +276,12 @@ object ScaleQueries {
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_co"))
         .filter(col("_co") >= 2)
         .select(col("doc_a"), col("doc_b"))
-      Dedup.jaccardOnShingles(pairs, sets)
+      // r13: score through the array form — one collect_list groupBy
+      // (the same user-keyed shuffle the exploded form's sizes agg paid)
+      // replaces the exploded intersection join; result-identical
+      // (Dedup.jaccardOnArrays; sets rows are already distinct).
+      val arrs = sets.groupBy(col("_id")).agg(collect_list(col("_s")).as("_sa"))
+      Dedup.jaccardOnArrays(pairs, arrs)
         .filter(col("jaccard") >= 0.05)
         .select(col("doc_a").as("user_a"), col("doc_b").as("user_b"),
           col("jaccard"))

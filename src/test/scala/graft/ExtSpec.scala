@@ -82,6 +82,34 @@ class ExtSpec extends AnyFunSuite {
     assert(star === Set((1L, 2L), (1L, 3L), (1L, 4L)))
   }
 
+  test("jaccardOnArrays: result-identical to jaccardOnShingles, incl. empty-set drops and tau prefilter") {
+    // Docs over real text (exercises tokenize+shingle parity between the
+    // exploded-row and array forms), incl. a doc too short to shingle (6)
+    // and a zero-intersection pair (1,5).
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d x y"), (3L, "a b c d e f"),
+      (4L, "p q r s t u"), (5L, "m n o p q r"), (6L, "one two")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 5L), (4L, 5L), (1L, 6L), (6L, 4L))
+      .toDF("doc_a", "doc_b")
+    val sh = Dedup.shingleRows(docs, "doc_id", col("text"), 3)
+    val arrs = Dedup.shingleArrays(docs, "doc_id", col("text"), 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exploded = rows(Dedup.jaccardOnShingles(pairs, sh))
+    val arrayed = rows(Dedup.jaccardOnArrays(pairs, arrs))
+    assert(arrayed === exploded)
+    // pairs touching the unshingleable doc 6 are dropped by BOTH forms
+    assert(!exploded.exists(t => t._1 == 6L || t._2 == 6L))
+    // zero-intersection pair scores 0.0 (kept), not dropped
+    assert(exploded.contains((1L, 5L, 0.0)))
+    // tau-folded prefilter == explicit jaccardSizePrefilter + scoring
+    val pre = rows(Dedup.jaccardOnShingles(
+      Dedup.jaccardSizePrefilter(pairs, sh, 1, 2), sh))
+    val folded = rows(Dedup.jaccardOnArrays(pairs, arrs, tau = Some((1, 2))))
+    assert(folded === pre)
+  }
+
   test("star clusters refine pair-complete clusters: split-only deviation, never a merge") {
     // Synthetic signature table: docs 1,2,3 collide ONLY in band 0
     // (sig0/sig1 shared), so the bucket is {1,2,3} with hub 1.
