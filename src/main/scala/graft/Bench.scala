@@ -19,8 +19,15 @@ object Bench {
       // late in the sequence: dropped shuffle files / unpersisted blocks
       // from earlier queries are only reclaimed when the driver GC runs
       // the ContextCleaner. Default interval is 30 MINUTES — far longer
-      // than a whole bench run, so pressure accumulates. Sweep every 30s.
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // than a whole bench run, so pressure accumulates. r3 fixed that
+      // with a 30s sweep; r13 found the sweep's System.gc() is a 3-12 s
+      // stop-the-world pause that lands INSIDE whatever lane is running
+      // (q220 samples [3.96..12.6] with the sweep vs [3.18..1.84] without,
+      // same code). The sweep is now driven from the bench loop itself,
+      // BETWEEN lanes and outside every timed region (below); the timer
+      // stays as a long-stop fallback, env-tunable.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
     if (big) {
       // Let AQE size shuffles from runtime stats: big stages START at 8×
       // cores so no single sort partition holds tens of millions of rows
@@ -69,7 +76,20 @@ object Bench {
           System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
       }
     }
+    // Between-lane cleanup (r13): the ContextCleaner only learns an RDD /
+    // shuffle is dead when the JVM GC enqueues its weak reference, so a GC
+    // must run REGULARLY for scoped caches and loop checkpoints to be
+    // reclaimed — but a full System.gc() pauses 3-12 s on this heap, so it
+    // must never land inside a timed sample (the r12 driver-bench smear and
+    // this round's q220/q33 spikes were exactly that). Trigger it here,
+    // between lanes and outside every timer, and only when the heap is
+    // actually past half full — an idle-heap sweep is pure wall-clock.
+    def sweepIfPressured(): Unit = {
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2) System.gc()
+    }
     val results = selected.map { case (name, fn) =>
+      sweepIfPressured()
       val samples = (1 to k).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full evaluation of every output column (a count()

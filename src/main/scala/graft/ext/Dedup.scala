@@ -439,11 +439,15 @@ object Dedup {
     // deleted as soon as the new round materializes (sym stays on the base
     // strategy — it is live for every round).
     val roll = graft.runtime.Reroot.rolling(reroot)
+    val debug = sys.props.get("graft.cc.debug").contains("true")
+    var t0 = System.nanoTime()
     var labels = roll(sym.select(col("src").as("_id")).distinct()
       .select(col("_id"), col("_id").as("label")))
+    if (debug) println(f"[cc] init ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      t0 = System.nanoTime()
       val nbrMin = sym.join(labels, col("dst") === col("_id"))
         .groupBy(col("src")).agg(min(col("label")).as("_nl"))
       // Carry the previous label alongside the new one so the convergence
@@ -453,7 +457,10 @@ object Dedup {
         .select(col("_id"),
           least(col("label"), coalesce(col("_nl"), col("label"))).as("label"),
           col("label").as("_old")))
+      val t1 = System.nanoTime()
       converged = next.filter(col("label") =!= col("_old")).limit(1).isEmpty
+      if (debug) println(f"[cc] round $i step ${(t1 - t0) / 1e9}%6.2f s " +
+        f"probe ${(System.nanoTime() - t1) / 1e9}%6.2f s")
       labels = next.select(col("_id"), col("label"))
       i += 1
     }

@@ -1292,13 +1292,9 @@ object MiningQueries {
     // aggregate (wedges = Σ C(deg,2)); the transitivity statistic that
     // separates community-structured graphs from random ones.
     "q184_clustering_coeff" -> ((s, d) => {
-      val co = Tables.clicks(s, d)
-        .select(col("userId"), col("newsId")).distinct()
-      val edges = graft.runtime.Stage.scopedPersist(
-        co.select(col("userId"), col("newsId").as("a"))
-          .join(co.select(col("userId"), col("newsId").as("b")), "userId")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct())
+      // r13: the co-click edge self-join is session-shared with q110
+      // (GraphStages.coClickEdges) — identical frame, built once.
+      val edges = GraphStages.coClickEdges(s, d)
       // triangle + wedge counts ride ONE action as lazy one-row aggregates
       // (the q123/bm25 fold pattern); Spark's round() on doubles is the
       // same BigDecimal HALF_UP the old driver-side arithmetic used

@@ -459,13 +459,9 @@ object ScaleQueries {
     // wedges become O(arboricity·deg)). One wedge self-join + one closing
     // semi-equi-join.
     "q110_triangles" -> ((s, d) => {
-      val co = Tables.clicks(s, d)
-        .select(col("userId"), col("newsId")).distinct()
-      val edges = graft.runtime.Stage.scopedPersist(
-        co.select(col("userId"), col("newsId").as("a"))
-          .join(co.select(col("userId"), col("newsId").as("b")), "userId")
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct())
+      // r13: the co-click edge self-join is session-shared with q184
+      // (GraphStages.coClickEdges) — identical frame, built once.
+      val edges = GraphStages.coClickEdges(s, d)
       // both scalars ride ONE action in the consumer: the edge count is a
       // one-row aggregate, the triangle count the lazy triangleCountAgg
       // form — no standalone count() jobs (the q123/bm25 fold pattern)
@@ -610,11 +606,9 @@ object ScaleQueries {
     // cross-engine slack is Σ-order in the per-node contribution sum
     // (≤1e-13 relative), far inside the rounding.
     "q101_pagerank" -> ((s, d) => {
-      val e0 = Tables.clicks(s, d)
-        .select((col("userId") * 2).as("u"), (col("newsId") * 2 + 1).as("v"))
-        .distinct()
-      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
-        .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      // r13: symmetrized bipartite edges session-shared with q237
+      // (GraphStages.bipartiteClickEdges) — identical frame, built once.
+      val edges = GraphStages.bipartiteClickEdges(s, d)
       Graph.pageRank(edges, PR_ITERS, PR_DAMP,
         reroot = graft.runtime.Reroot.fromEnv())
         .select(

@@ -661,8 +661,20 @@ object SemanticQueries {
     * rides a one-row broadcast cross. Count tables are corpus-derived but
     * VOCABULARY-bounded, so the joins keep bounded build sides at 100 TB.
     * Documents with fewer than 2 tokens have no bigrams and emit no row.
+    *
+    * Session-shared (r13): three lanes consume this identical frame (q260
+    * emits it, q267 buckets it, q276 joins it) — it was rebuilt per
+    * invocation. Stage.sharedStage (parquet-cut + doc_id-pinned persist,
+    * the same treatment as the rec profiles) because the build rides the
+    * scoped `db` cache: a bare shared persist over a scoped input loses
+    * its buffers at the next query scope (Stage.persistShared invariant).
     */
-  private def bigramNllScores(s: SparkSession, d: String): DataFrame = {
+  private def bigramNllScores(s: SparkSession, d: String): DataFrame =
+    graft.runtime.Stage.shared(s, s"bigram-nll:$d") {
+      graft.runtime.Stage.sharedStage(buildBigramNllScores(s, d), col("doc_id"))
+    }
+
+  private def buildBigramNllScores(s: SparkSession, d: String): DataFrame = {
     val tk = Ops.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), graft.text.Tokenizer.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 2)

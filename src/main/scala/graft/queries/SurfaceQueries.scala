@@ -467,13 +467,12 @@ object SurfaceQueries {
     // to these 5"): same one-|E|-shuffle-per-superstep shape; the seed
     // vector rides the checkpointed node frame. Scores round(8) as q101.
     "q237_personalized_pr" -> ((s, d) => {
-      val e0 = Tables.clicks(s, d)
-        .select((col("userId") * 2).as("u"), (col("newsId") * 2 + 1).as("v"))
-        .distinct()
-      val edges = e0.select(col("u").as("src"), col("v").as("dst"))
-        .union(e0.select(col("v").as("src"), col("u").as("dst")))
-      val seeds = e0.select(col("v").as("id")).distinct()
-        .filter(expr("((id - 1) DIV 2) % 100 = 0")) // newsId % 100 = 0
+      // r13: symmetrized bipartite edges session-shared with q101
+      // (GraphStages.bipartiteClickEdges) — identical frame, built once.
+      val edges = GraphStages.bipartiteClickEdges(s, d)
+      val seeds = edges.select(col("dst").as("id")).distinct()
+        .filter(col("id") % 2 === 1 &&
+          expr("((id - 1) DIV 2) % 100 = 0")) // newsId % 100 = 0
       graft.ext.Graph.personalizedPageRank(edges, seeds, 10, 0.85,
         reroot = graft.runtime.Reroot.fromEnv())
         .select(

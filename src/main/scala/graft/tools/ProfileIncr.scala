@@ -43,10 +43,10 @@ object ProfileIncr {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sigs = Dedup.minhashSignatures(graft.ops.Ops.fanOut(docs),
       "doc_id", col("text"), SH, NH).persist(st)
-    val sh = Dedup.shingleRows(graft.ops.Ops.fanOut(docs),
+    val sh = Dedup.shingleArrays(graft.ops.Ops.fanOut(docs),
       "doc_id", col("text"), SH).persist(st)
     time("warm sigs")(noop(sigs))
-    time("warm shingles")(noop(sh))
+    time("warm shingle arrays")(noop(sh))
 
     val incSigs = sigs.filter(col("doc_id") % 10 === 9)
     val baseSigs = sigs.filter(col("doc_id") % 10 =!= 9)
@@ -54,16 +54,14 @@ object ProfileIncr {
     def starRescue(part: DataFrame, tag: String): DataFrame = {
       val cands = time(s"$tag star candidates")(
         { val c = Dedup.lshStarCandidates(part, "doc_id", NH, BAND); noop(c); c })
-      val scored = Dedup.jaccardOnShingles(cands, sh).persist(st)
-      time(s"$tag scored (jaccardOnShingles)")(noop(scored))
+      val scored = Dedup.jaccardOnArrays(cands, sh).persist(st)
+      time(s"$tag scored (jaccardOnArrays)")(noop(scored))
       val failed = scored.filter(col("jaccard") < 0.5)
         .select(col("doc_a"), col("doc_b"))
-      val rescueCands = time(s"$tag rescue candidates")(
-        { val c = Dedup.jaccardSizePrefilter(
+      val rescueScored = time(s"$tag rescue scored (arrays+tau)")(
+        { val r = Dedup.jaccardOnArrays(
             Dedup.lshStarRescueCandidates(part, "doc_id", NH, BAND, failed),
-            sh, 1, 2); noop(c); c })
-      val rescueScored = time(s"$tag rescue scored")(
-        { val r = Dedup.jaccardOnShingles(rescueCands, sh); noop(r); r })
+            sh, tau = Some((1, 2))); noop(r); r })
       scored.filter(col("jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))
         .union(rescueScored.filter(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b")))
@@ -82,14 +80,12 @@ object ProfileIncr {
     val incEdges = starRescue(incSigs, "inc").persist(st)
     time("inc edges materialize")(noop(incEdges))
 
-    val crossCands = time("cross band probe candidates")(
-      { val c = Dedup.jaccardSizePrefilter(
-          Dedup.lshCandidatesAgainst(incSigs, baseSigs, "doc_id", NH, BAND),
-          sh, 1, 2); noop(c); c })
-    val cross = Dedup.jaccardOnShingles(crossCands, sh)
+    val cross = Dedup.jaccardOnArrays(
+        Dedup.lshCandidatesAgainst(incSigs, baseSigs, "doc_id", NH, BAND),
+        sh, tau = Some((1, 2)))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b")).persist(st)
-    time("cross scored")(noop(cross))
+    time("cross scored (arrays+tau)")(noop(cross))
 
     val touched = baseLabels.join(
         cross.select(col("doc_b").as("_id")).distinct(), Seq("_id"), "left_semi")
